@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Local tests/bench run on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+configuration below is chosen so the same plans scale to a real
+multi-executor cluster: AQE for runtime re-planning and skew joins,
+shuffle partitions sized to the parallelism, Arrow for every
+Python<->JVM boundary, and UTC session time so results are
+cluster-timezone-independent (and comparable to the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session.
+
+    Used both by :func:`get_spark` and on driver-provided sessions we
+    don't construct ourselves (the correctness harness hands us one).
+    Only runtime-mutable confs belong here.
+    """
+    conf = spark.conf
+    # Deterministic, oracle-comparable timestamps.
+    conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime re-planning: partition coalescing, skew-join splitting.
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Arrow batches for pandas UDF / mapInPandas / toPandas paths.
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
+def get_spark(app_name: str = "mit_mapreduce_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a tuned local SparkSession.
+
+    At cluster scale the same knobs apply with different values:
+    shuffle partitions ~ 2-3x total cores, AQE coalesces the excess.
+    """
+    n = cpus or _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return tune(builder.getOrCreate())
