@@ -23,9 +23,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table, with runtime tuning applied
+    (UTC session tz, AQE, Arrow) so every operator built on a loaded
+    table is oracle-comparable regardless of who owns the session."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): surfaced as long nanos under
+        # nanosAsLong (session.tune); convert with exact integer math
+        # (a double division would lose precision above 2^53 ns) to the
+        # same µs truncation DuckDB applies when it reads the file.
+        from pyspark.sql import functions as F
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str,

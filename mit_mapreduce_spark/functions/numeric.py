@@ -10,9 +10,9 @@ result is bit-identical no matter how Spark (or DuckDB) parallelizes
 — and this costs nothing at scale (decimal sum is still a partial
 aggregation, map-side combined).
 
-Rounding a double to <=4 fractional digits never hits an exact tie
-(no binary double equals x.xxxx5 exactly), so Spark's HALF_UP and
-DuckDB's rounding agree on every reachable input.
+Exact half-way ties at scale 4 are reachable (dyadic doubles like
+0.03125 = 1/32), but Spark's HALF_UP and DuckDB's round() both round
+double ties away from zero, so the two engines agree on every input.
 
 The same helpers exist as SQL-text builders for the DuckDB oracle
 strings, guaranteeing both sides compute the identical expression.

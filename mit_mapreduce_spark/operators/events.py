@@ -1,1 +1,143 @@
-"""(stub — filled in as operators land)"""
+"""Batch event analytics over the `events` fixture: sessionization,
+time-bucketed windows, JSON property extraction.
+
+The reference is strictly batch text MapReduce (SURVEY.md §2.3 marks
+streaming/windows ABSENT); these are the batch halves of the
+north-star event surface. The streaming twins (Structured Streaming
+with watermarks / session_window state) live in
+operators/streaming_queries.py and are oracle-exempt.
+
+Scale notes: sessionization partitions by user_id (high cardinality —
+the window shuffle distributes evenly; a single user's history is the
+only per-task working set, the realistic bound for session logic).
+Tumbling windows reduce to a date_trunc group key — plain partial
+aggregation, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
+from mit_mapreduce_spark.operators.registry import query
+
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4h inactivity closes a session
+
+
+@query(
+    "sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged)
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+           {sql_dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch): a 4-hour silence starts a new
+    session. Classic lag → flag → running-count-of-flags → group; all
+    three window steps share the single user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_US)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_no", F.sum("new_session").over(wrun).cast("bigint"))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("bigint").alias("duration_us"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+@query(
+    "tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS nd_users,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window rollup per event type. Batch form uses
+    the window() helper (same semantics Structured Streaming applies
+    incrementally); a 1-hour tumble aligns with date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("nd_users"),
+            dsum("value", "sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "nd_users", "sum_value")
+    )
+
+
+@query(
+    "json_props",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum("CAST(json_extract_string(props, '$.k') AS DOUBLE)", 'sum_k')},
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface: extract props.k from the JSON string column
+    and aggregate it per event type. get_json_object stays JVM-side
+    (no Python UDF) and prunes to the single referenced path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(k.cast("double"), "sum_k"),
+            F.min(k.cast("bigint")).alias("min_k"),
+            F.max(k.cast("bigint")).alias("max_k"),
+        )
+    )

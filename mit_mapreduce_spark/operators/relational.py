@@ -1,1 +1,394 @@
-"""(stub — filled in as operators land)"""
+"""Relational operator sweep over the TPC-H-ish fixture tables.
+
+The reference has no joins/aggregation-matrix/set-ops surface at all
+(SURVEY.md §2.3 marks them ABSENT — its only aggregations are the
+three app reducers, `mrapps/wc.go:41-44`, `mrapps/indexer.go:36-39`,
+`mrapps/crash.go:45-55`); this module provides the full relational
+breadth a user of a general engine expects, expressed declaratively
+so Catalyst supplies pushdown, pruning, partial aggregation and join
+selection.
+
+Scale notes (100 TB posture):
+- `nation`/`region` (25/5 rows — kilobytes at any SF) are explicitly
+  `broadcast()` so the fact-side join never shuffles.
+- Fact⋈fact joins (orders⋈lineitem, customer⋈orders) shuffle on the
+  join key; AQE (session.tune) handles skew splitting + partition
+  coalescing at runtime.
+- All double SUM/AVG aggregates go through functions.numeric dsum/davg
+  (exact decimal partial aggregation) so results are bit-identical
+  under any parallelism — required by the driver's value-hash gate
+  and free at scale (still map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from mit_mapreduce_spark.operators.registry import query
+
+
+# --- scans: projection + predicate pushdown -------------------------------
+
+@query(
+    "filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+    """,
+)
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter. Both the predicate and the 5-column
+    projection reach the parquet scan (PushedFilters/ReadSchema in
+    explain()) — at 100 TB this reads a fraction of the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+                 & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_shipdate")
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+@query(
+    "join_broadcast_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'revenue')}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner join chain with a broadcast dimension: revenue per nation.
+    `nation` is broadcast (25 rows at every SF) so only the
+    customer⋈orders shuffle remains."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "join_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective filters on all three tables (pushed
+    to the scans), two key-partitioned joins, aggregation, top-10.
+    The LIMIT after ORDER BY is a TakeOrderedAndProject — no global
+    sort materializes at scale."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: order count per customer including zero-order
+    customers (COUNT of a nullable key skips the null-extended rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers holding at least one >400k order. The
+    semi join shuffles only the key column of the probe side and never
+    duplicates matches."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "join_anti_no_big_order",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti_no_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers who never placed a >400k order (the
+    complement of the semi join above — every fixture customer has
+    orders, so an unfiltered anti-join would be empty and the hash
+    check trivially green)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --- aggregation matrix ---------------------------------------------------
+
+@query(
+    "agg_matrix",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_all,
+           COUNT(DISTINCT l_orderkey) AS nd_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation matrix: SUM/AVG/MIN/MAX/COUNT/
+    COUNT-DISTINCT in one grouped pass. Catalyst plans partial (map-
+    side) aggregation for everything except the distinct, which
+    becomes a two-phase expand — one extra shuffle, no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_all"),
+            F.countDistinct("l_orderkey").alias("nd_orders"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (flag,status), (flag), () — subtotal rows
+    carry NULL group keys in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four subsets of the two group keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+# --- sorts / limits / top-k ----------------------------------------------
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. ORDER BY + LIMIT compiles to TakeOrderedAndProject:
+    each partition keeps its local top-10 and only those reach the
+    driver — no global sort, no full shuffle, at any scale. Tie-broken
+    on o_orderkey so the result set is deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- set operations -------------------------------------------------------
+
+@query(
+    "set_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations having customers or suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations having customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --- scalar function surface ---------------------------------------------
+
+@query(
+    "scalars_date",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def scalars_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part scalars (year/quarter/month) as group keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            F.month("o_orderdate").cast("int").alias("mth"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "scalars_mathstring",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           substring(p_type, 1, 6) AS type_pfx,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(abs(p_size - 25) AS INT) AS size_dev,
+           CAST(p_partkey % 7 AS BIGINT) AS key_mod,
+           round(p_retailprice, 1) AS price_r1,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket
+    FROM part
+    """,
+)
+def scalars_mathstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level string/math scalar surface: case-mapping, substring,
+    length, concat, abs, modulo, round, floor-bucketing — all
+    whole-stage-codegen JVM expressions, no Python in the loop."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_type", 1, 6).alias("type_pfx"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod"),
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_mapreduce_spark.catalog import load_table, register_views
+from mit_mapreduce_spark.catalog import load_table
 from mit_mapreduce_spark.functions.text import exploded_words
 from mit_mapreduce_spark.operators.registry import query
 
@@ -36,7 +36,6 @@ _WORDS_SQL = ("SELECT doc_id, source, unnest(regexp_split_to_array(text,"
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count (reference app A1, `mrapps/wc.go:21-44`): tokens are
     maximal Unicode-letter runs, case-sensitive; count per word."""
-    register_views(spark, sf_dir, ("documents",))
     docs = load_table(spark, sf_dir, "documents")
     return (
         exploded_words(docs.select("text"))
@@ -62,7 +61,6 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted document list. The reference dedups per-document with a set
     and sorts inside the reduce UDF; here `collect_set` + `sort_array`
     keep the agg order-insensitive (SURVEY.md §2.4.3)."""
-    register_views(spark, sf_dir, ("documents",))
     docs = load_table(spark, sf_dir, "documents")
     return (
         exploded_words(docs.select("source", "text"))
@@ -91,7 +89,6 @@ def sorted_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     `mrapps/crash.go:45-55`): reduce = sort values, join with ' '.
     Keyed on `lang` over the documents fixture; values are the doc
     sources. sort_array makes collect order irrelevant."""
-    register_views(spark, sf_dir, ("documents",))
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy(F.col("lang").alias("key"))

@@ -1,1 +1,264 @@
-"""(stub — filled in as operators land)"""
+"""Text-analysis operators over `documents`: per-doc statistics,
+quality scoring, language-ID heuristic, fingerprinting, token counting.
+
+These are the LLM-training-pipeline text ops (north-star surface; the
+reference's only text processing is the wc/indexer tokenizer,
+`mrapps/wc.go:21-34`). Everything is built from JVM-side expressions
+(split / regexp / higher-order array functions) — no Python UDFs —
+so the whole module rides whole-stage codegen and scales linearly:
+every query is a single scan + (at most) one aggregation shuffle.
+
+Tokenization matches the reference: maximal Unicode-letter runs,
+case-sensitive (functions.text.NON_LETTER, SURVEY.md §2.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
+from mit_mapreduce_spark.operators.registry import query
+
+_TOKS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+# Marker stopwords per language for the lang-ID heuristic. The corpus
+# is synthetic, so these are engine-surface demos: deterministic
+# marker-count scoring with a fixed-priority argmax.
+_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "les"),
+    "es": ("el", "los", "una"),
+}
+
+_STOP = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _spark_tokens():
+    return F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+
+
+def _sql_in_list(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "doc_stats",
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+           CAST(CASE WHEN length({_TOKS}) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform({_TOKS}, x -> length(x)))
+                          AS DOUBLE) / length({_TOKS}) END AS DOUBLE)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char count, token count, distinct
+    tokens, mean token length — all array expressions over one scan,
+    no explode (no row blowup at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    n_tokens = F.size(toks)
+    letter_sum = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id", "source", "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(letter_sum.cast("double") / n_tokens)
+        .cast("double").alias("avg_token_len"),
+    )
+
+
+@query(
+    "lang_dist",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS nd_sources,
+           SUM(CAST(length(text) AS BIGINT)) AS sum_chars,
+           SUM(CAST(length({_TOKS}) AS BIGINT)) AS sum_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution by language: docs, sources, chars, tokens.
+    Integer sums — exact under any aggregation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("nd_sources"),
+            F.sum(F.length("text").cast("bigint")).alias("sum_chars"),
+            F.sum(F.size(_spark_tokens()).cast("bigint")).alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+', '', 'g'))
+                AS BIGINT) AS n_punct,
+           CAST(length(list_filter({_TOKS},
+                x -> x IN ({_sql_in_list(_STOP)}))) AS BIGINT) AS n_stop,
+           CAST(CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+', '', 'g'))
+                     AS DOUBLE) / length(text) END AS DOUBLE) AS punct_ratio,
+           CAST(CASE WHEN length({_TOKS}) = 0 THEN 0.0
+                ELSE CAST(length(list_filter({_TOKS},
+                     x -> x IN ({_sql_in_list(_STOP)})))
+                     AS DOUBLE) / length({_TOKS}) END AS DOUBLE) AS stop_ratio
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: punctuation ratio (non-letter,
+    non-space chars / chars) and stopword ratio — the standard cheap
+    filters an LLM-data pipeline applies before expensive stages. Each
+    ratio is one integer-count division (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", r"[\p{L}\s]+", ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_punct.cast("bigint").alias("n_punct"),
+        n_stop.cast("bigint").alias("n_stop"),
+        F.when(n_chars == 0, F.lit(0.0))
+        .otherwise(n_punct.cast("double") / n_chars)
+        .cast("double").alias("punct_ratio"),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(n_stop.cast("double") / n_tokens)
+        .cast("double").alias("stop_ratio"),
+    )
+
+
+def _sql_marker_score(lang: str) -> str:
+    return (f"length(list_filter({_TOKS}, x -> x IN "
+            f"({_sql_in_list(_MARKERS[lang])})))")
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_marker_score('en')} AS s_en,
+             {_sql_marker_score('de')} AS s_de,
+             {_sql_marker_score('fr')} AS s_fr,
+             {_sql_marker_score('es')} AS s_es
+      FROM documents),
+    predicted AS (
+      SELECT doc_id, lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM scored)
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM predicted
+    GROUP BY lang, pred_lang
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score each doc against four
+    marker lists, pick the max with a fixed priority order (en > de >
+    fr > es on ties), report the confusion matrix vs the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    def marker_count(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lg: marker_count(_MARKERS[lg]) for lg in _MARKERS}
+    scored = docs.select(
+        "doc_id", "lang",
+        *[scores[lg].alias(f"s_{lg}") for lg in _MARKERS])
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_de"))
+               & (F.col("s_en") >= F.col("s_fr"))
+               & (F.col("s_en") >= F.col("s_es")), "en")
+        .when((F.col("s_de") >= F.col("s_fr"))
+              & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return (
+        scored.select("doc_id", "lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           sha256(text) AS fp_sha256,
+           ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp60,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             AS fp_norm
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: raw md5/sha256, a 60-bit integer
+    fingerprint (hex-prefix of md5 — identical construction in both
+    engines, see dedup.py), and a whitespace/case-normalized md5 for
+    near-trivial-duplicate detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.sha2("text", 256).alias("fp_sha256"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint").alias("fp60"),
+        F.md5(norm).alias("fp_norm"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text,
+                '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS char4_estimate
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimators: whitespace tokens, a BPE-ish regex
+    (letter runs | digit runs | single punctuation — the shape GPT-2's
+    pre-tokenizer produces), and the chars/4 rule of thumb."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(
+        "text", F.lit(r"[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("char4_estimate"),
+    )

@@ -32,6 +32,9 @@ def tune(spark: SparkSession) -> SparkSession:
     conf = spark.conf
     # Deterministic, oracle-comparable timestamps.
     conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+    # reader rejects; read as long and convert in catalog.load_table.
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Runtime re-planning: partition coalescing, skew-join splitting.
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

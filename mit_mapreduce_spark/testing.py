@@ -37,10 +37,15 @@ def _norm(v):
         return float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("NaN",)
         return v
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        # PySpark's collect() yields naive datetimes in the OS zone; with
+        # session tz = UTC on a UTC host both sides are naive-UTC. If a
+        # tz-aware value ever appears, normalize to UTC before dropping.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -48,11 +53,17 @@ def _norm(v):
     return v
 
 
+def _type_tag(v):
+    """Total order over mixed/NULL values: sort by (is-null, type, repr)."""
+    if isinstance(v, tuple):
+        return (v is None, "tuple", tuple(_type_tag(x) for x in v))
+    return (v is None, type(v).__name__, "" if v is None else str(v))
+
+
 def _rows_to_key(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm(r[i]) for i in idx) for r in rows
-    )
+    normed = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    return sorted(normed, key=lambda row: tuple(_type_tag(v) for v in row))
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str, max_diff_show: int = 5):
