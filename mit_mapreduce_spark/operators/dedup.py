@@ -1,1 +1,304 @@
-"""(stub — filled in as operators land)"""
+"""Deduplication operators over `documents`: exact, normalized-exact,
+MinHash+LSH near-dup (with exact n-gram Jaccard verification), and
+SimHash signatures.
+
+North-star LLM-pipeline surface (the reference has no dedup concept;
+its nearest relative is the indexer's per-doc token dedup,
+`mrapps/indexer.go:21-25`). Everything here is pure DataFrame
+expression work — no Python UDFs, no cross joins:
+
+- Exact dedup is a sha256 groupBy (one shuffle).
+- MinHash-LSH: per-doc 3-word shingles → 12 md5-derived min-hashes
+  (4 bands × 3 rows) → equi-self-join on (band, band_hash) to get
+  candidates → exact shingle-Jaccard verification on candidates only.
+  The only joins are key-equi-joins; candidate volume is bounded by
+  the banding threshold ((1/4)^(1/3) ≈ 0.63), so the all-pairs
+  O(n²) comparison never materializes at any scale.
+- SimHash: 60-bit signature per doc from token-hash bit majorities —
+  one aggregation pass with 60 integer partial sums.
+
+Cross-engine determinism: the 60-bit hash is
+``conv(substring(md5(x),1,15),16,10)`` in Spark and
+``('0x' || substring(md5(x),1,15))::BIGINT`` in DuckDB — identical
+values (verified bit-for-bit), so even the LSH pipeline is fully
+oracle-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators.registry import query
+
+N_SEEDS = 12          # minhash permutations
+BAND_ROWS = 3         # rows per LSH band
+N_BANDS = N_SEEDS // BAND_ROWS
+JACCARD_MIN = 0.6     # final verified near-dup threshold
+
+# --- shared hash/shingle builders (Spark + SQL twins) ---------------------
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash from the md5 hex prefix."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles per document.
+    Tokens are reference-semantics words (SURVEY.md §2.4.1); shingles
+    are built with a JVM-side transform over index sequences (no
+    explode until the final distinct-shingle rows)."""
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    arr = F.expr(
+        f"""transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)),
+                      i -> concat_ws(' ', slice(_toks, i, {k})))"""
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(arr)).alias("shingle"))
+    )
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+  FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[^\\p{L}]+'),
+                                 x -> x <> '') AS arr
+              FROM documents))
+  WHERE i + 2 <= length(arr)
+"""
+
+
+# --- exact dedup ----------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: cluster documents by content hash; the kept
+    representative is the minimum doc_id per cluster. One hash-groupBy
+    shuffle — the canonical 100 TB exact-dedup plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("fp"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@query(
+    "dedup_exact_norm",
+    oracle="""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after case/whitespace normalization — catches the
+    trivial near-dups (reformatted copies) before the expensive
+    MinHash stage runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.groupBy(F.md5(norm).alias("fp"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# --- MinHash + LSH near-dup ----------------------------------------------
+
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s11): column-wise minima of seeded shingle hashes —
+    one aggregation shuffle keyed on doc_id."""
+    mins = [
+        F.min(hash60(F.concat(F.col("shingle"), F.lit(f"#{seed}"))))
+        .alias(f"s{seed}")
+        for seed in range(N_SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _band_hashes(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash): md5 over each band's signature
+    slice; posexplode keeps it one row per (doc, band)."""
+    bands = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"s{b * BAND_ROWS + r}").cast("string")
+            for r in range(BAND_ROWS)
+        ]))
+        for b in range(N_BANDS)
+    ])
+    return (
+        sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    )
+
+
+def _sql_minhash_pipeline() -> str:
+    sig_cols = ", ".join(
+        "MIN({h}) AS s{i}".format(
+            h=_sql_hash60(f"shingle || '#{seed}'"), i=seed)
+        for seed in range(N_SEEDS)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = [f"s{b * BAND_ROWS + r}::VARCHAR" for r in range(BAND_ROWS)]
+        concat = " || ',' || ".join(cols)
+        band_selects.append(
+            f"      SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash\n"
+            f"      FROM sigs"
+        )
+    band_rows = "\n      UNION ALL\n".join(band_selects)
+    return f"""
+    WITH shingles AS ({_SQL_SHINGLES}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= {JACCARD_MIN}
+    """
+
+
+@query("dedup_minhash", oracle=_sql_minhash_pipeline())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    shingle → 12 seeded min-hashes → 4 bands × 3 rows → candidates from
+    band-hash equality (equi-join, never a cross product) → exact
+    3-gram Jaccard on candidates only → pairs with J ≥ 0.6.
+
+    At 100 TB: the shingle explode is linear in corpus size; the band
+    join shuffles (band_idx, band_hash) keys whose bucket sizes are the
+    LSH collision groups (AQE splits the rare hot bucket); verification
+    touches only candidate pairs, a vanishing fraction of n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    bands = _band_hashes(_minhash_sigs(sh))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b"))
+              & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("za.n") + F.col("zb.n") - F.col("n_inter")))
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.col("za.n").cast("bigint").alias("n_a"),
+            F.col("zb.n").cast("bigint").alias("n_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+N_BITS = 60
+
+
+def _sql_simhash() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(N_BITS)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(N_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[^\\p{{L}}]+')) AS word
+            FROM documents)
+      WHERE word <> ''),
+    hashed AS (SELECT doc_id, {_sql_hash60('word')} AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: bit j of the signature is the
+    majority vote of bit j across the doc's distinct token hashes.
+    One aggregation pass (60 integer partial sums — map-side combined);
+    near-dup candidates are then signature-hamming neighbors, found by
+    banding the signature exactly like MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(
+            F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+        ).alias("word"))
+        .distinct()
+        .select("doc_id", hash60(F.col("word")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(1) == 1, 1).otherwise(-1))
+        .alias(f"b{j}")
+        for j in range(N_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*bit_sums)
+    recompose = None
+    for j in range(N_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        recompose = term if recompose is None else recompose + term
+    return bits.select("doc_id", recompose.cast("bigint").alias("simhash"))

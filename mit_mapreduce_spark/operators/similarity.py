@@ -1,1 +1,187 @@
-"""(stub — filled in as operators land)"""
+"""Vector similarity search over `embeddings` (array<float>, 64-dim).
+
+North-star ANN surface (no reference equivalent). Two tiers:
+
+- ``ann_bruteforce_topk``: exact cosine top-k for a small query set.
+  The query side (8 vectors) is broadcast, so the "cross" join is a
+  BroadcastNestedLoopJoin over candidates — linear scan, no shuffle
+  of the big side, the correct exact-kNN plan at any scale when the
+  query set is small. Dot products use scaled-integer arithmetic
+  (round(x*y*1e9) summed as BIGINT — exact, order-independent) so
+  Spark and DuckDB produce bit-identical cosines and the query is
+  fully oracle-checked.
+- ``ann_lsh_pairs``: sign-random-projection LSH (deterministic
+  hyperplanes derived from md5, no RNG) buckets vectors by sign
+  pattern; neighbor pairs come from an equi-self-join on the bucket
+  id — the 100 TB path: candidate volume is per-bucket, never n².
+
+Both are pure DataFrame higher-order-function expressions — no Python
+UDF in the loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators.registry import query
+
+DIM = 64
+N_QUERIES = 8     # vec_id < 8 are the query vectors
+TOP_K = 5
+SCALE = 1_000_000_000  # 1e9: float32 products keep ~5 sig digits
+
+N_PLANES = 6      # 64 LSH buckets
+
+
+def _dot_scaled(a: Column, b: Column) -> Column:
+    """Exact order-independent dot product: per-dim products rounded
+    at 1e-9 and summed as longs (|sum| < 64 * 0.25e9 « 2^63)."""
+    prods = F.zip_with(
+        a, b,
+        lambda x, y: F.round(x.cast("double") * y.cast("double") * SCALE)
+        .cast("bigint"))
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+_SQL_DOT = ("SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+            f" * {SCALE}) AS BIGINT))")
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    dots AS (
+      SELECT q.qid, c.vec_id AS cid,
+             {_SQL_DOT.format(a='q.qe', b='c.embedding')} AS dot
+      FROM q, embeddings c, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      WHERE c.vec_id <> q.qid
+      GROUP BY q.qid, c.vec_id),
+    scored AS (
+      SELECT d.qid, d.cid,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+               AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, cid) AS INT) AS rnk
+      FROM scored)
+    SELECT qid, cid, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k}: broadcast the 8 query vectors against all
+    candidates, one pass, per-query row_number for the top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .join(norms.withColumnRenamed("vec_id", "qid"), "qid")
+        .withColumnRenamed("nsq", "qnsq")
+    )
+    c = (
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .join(norms.withColumnRenamed("vec_id", "cid"), "cid")
+        .withColumnRenamed("nsq", "cnsq")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid", "cid",
+            (_dot_scaled(F.col("qe"), F.col("ce")).cast("double")
+             / (F.sqrt(F.col("qnsq").cast("double"))
+                * F.sqrt(F.col("cnsq").cast("double")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.select("qid", "cid", "cosine",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5-derived integer mapped into [-1, 1]. No RNG — reproducible
+    across sessions, processes, and engines."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+@query("ann_lsh_pairs")  # rows-only: LSH recall is probabilistic surface
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH neighbor pairs: 6 deterministic
+    hyperplanes → 64 buckets; per-bucket equi-self-join; per-vector
+    top-3 bucket neighbors by exact cosine.
+
+    The scale path: bucket count grows with N_PLANES, candidate work
+    is Σ bucket² instead of n²; the join key is the bucket id so AQE
+    splits oversized buckets. Verified in tests: the physical plan
+    contains no CartesianProduct."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _planes()
+    plane_cols = F.array(*[
+        F.array(*[F.lit(w) for w in row]) for row in planes
+    ])
+    sign_bits = F.transform(
+        plane_cols,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(plane, F.col("embedding"),
+                           lambda w, x: w * x.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v) >= 0, 1).otherwise(0))
+    bucket = F.aggregate(
+        sign_bits, F.lit(0),
+        lambda acc, bit: acc * 2 + bit)
+    norm = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    vecs = emb.select(
+        F.col("vec_id"), F.col("embedding"), bucket.alias("bucket"),
+        norm.alias("norm"))
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b"))
+    return (
+        pairs.select("vec_a", "vec_b", "bucket", "cosine",
+                     F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )

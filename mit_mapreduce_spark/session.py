@@ -41,6 +41,10 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # Arrow batches for pandas UDF / mapInPandas / toPandas paths.
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Split scans at 32 MB so a single-file fixture table still fans
+    # out across all cores; on a real cluster the same bound keeps
+    # scan tasks uniform and AQE coalesces any excess afterwards.
+    conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     return spark
 
 
@@ -58,6 +62,7 @@ def get_spark(app_name: str = "mit_mapreduce_spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return tune(builder.getOrCreate())
