@@ -1,1 +1,162 @@
-"""(stub — filled in as operators land)"""
+"""Reference apps run VERBATIM through the MapReduce facade.
+
+These queries exercise the full compatibility surface: whole-file
+text inputs (F1), Python Map/Reduce closures translated line-for-line
+from the Go plugins (A1 `mrapps/wc.go`, A2 `mrapps/indexer.go`,
+A3 `mrapps/crash.go`/`nocrash.go` payload), FNV-32a hash partitioning
+(F3), grouped reduce (F7). Input files are materialized from the
+`documents` fixture (one file per `source`, texts joined by newline
+in doc_id order) so the DuckDB oracle can recompute the expected
+output relationally.
+
+The facade path is Python-per-pair by design (it IS the compat shim);
+the DataFrame operators in operators/text.py are the scale path for
+the same logical queries.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.mapreduce import run_job
+from mit_mapreduce_spark.operators.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+# Maximal runs of Unicode letters (Go unicode.IsLetter parity;
+# [^\W\d_] is the re-module idiom for "letter").
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _materialize_inputs(spark: SparkSession, sf_dir: str) -> str:
+    """One text file per documents.source (named exactly the source
+    key), contents = texts in doc_id order joined by newline —
+    the pg-*.txt corpus shape the reference apps consume."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(_SCRATCH, f"mrinput_{tag}")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "text")
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    by_source: dict[str, list[str]] = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append(r.text)
+    for source, texts in by_source.items():
+        with open(os.path.join(out_dir, source), "w", encoding="utf-8") as f:
+            f.write("\n".join(texts))
+    return os.path.join(out_dir, "*")
+
+
+# --- A1: word count (mrapps/wc.go:21-44) ----------------------------------
+
+def _wc_map(filename: str, contents: str):
+    return [(w, "1") for w in _WORD_RE.findall(contents)]
+
+
+def _wc_reduce(key: str, values: list[str]) -> str:
+    return str(len(values))
+
+
+_WORDS = ("SELECT unnest(regexp_split_to_array(text, '[^\\p{L}]+')) AS word,"
+          " source FROM documents")
+
+
+@query(
+    "mr_wordcount",
+    oracle=f"""
+    SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM ({_WORDS}) WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wc.go through the facade: Map emits (word, "1") per token
+    (`mrapps/wc.go:21-34`), Reduce returns len(values)
+    (`mrapps/wc.go:41-44`)."""
+    return run_job(spark, _wc_map, _wc_reduce,
+                   _materialize_inputs(spark, sf_dir))
+
+
+# --- A2: inverted index (mrapps/indexer.go:20-39) -------------------------
+
+def _indexer_map(filename: str, contents: str):
+    return [(w, filename) for w in sorted(set(_WORD_RE.findall(contents)))]
+
+
+def _indexer_reduce(key: str, values: list[str]) -> str:
+    values = sorted(values)
+    return f"{len(values)} {','.join(values)}"
+
+
+@query(
+    "mr_inverted_index",
+    oracle=f"""
+    SELECT word AS key,
+           CAST(COUNT(*) AS VARCHAR) || ' ' ||
+           string_agg(source, ',' ORDER BY source) AS value
+    FROM (SELECT DISTINCT word, source FROM ({_WORDS}) WHERE word <> '')
+    GROUP BY word
+    """,
+)
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indexer.go through the facade: per-file set dedup then
+    (word, docname) pairs (`mrapps/indexer.go:20-31`); Reduce sorts and
+    renders "N doc1,doc2,..." (`mrapps/indexer.go:36-39`)."""
+    return run_job(spark, _indexer_map, _indexer_reduce,
+                   _materialize_inputs(spark, sf_dir))
+
+
+# --- A3: crash/nocrash payload (mrapps/crash.go:34-55) --------------------
+
+def _crash_map(filename: str, contents: str):
+    # mrapps/crash.go:34-43 (sans maybeCrash — Spark owns retry
+    # semantics, SURVEY.md §5.3.4): fixed keys a-d carrying filename,
+    # len(filename), len(contents), "xyzzy".
+    return [
+        ("a", filename),
+        ("b", str(len(filename))),
+        ("c", str(len(contents))),
+        ("d", "xyzzy"),
+    ]
+
+
+def _crash_reduce(key: str, values: list[str]) -> str:
+    # mrapps/crash.go:45-55: sort values, join with " ".
+    return " ".join(sorted(values))
+
+
+@query(
+    "mr_sorted_concat",
+    oracle="""
+    WITH files AS (
+      SELECT source AS fn,
+             SUM(length(text)) + COUNT(*) - 1 AS content_len
+      FROM documents GROUP BY source)
+    SELECT 'a' AS key, string_agg(fn, ' ' ORDER BY fn) AS value FROM files
+    UNION ALL
+    SELECT 'b', string_agg(CAST(length(fn) AS VARCHAR), ' '
+                           ORDER BY CAST(length(fn) AS VARCHAR)) FROM files
+    UNION ALL
+    SELECT 'c', string_agg(CAST(content_len AS VARCHAR), ' '
+                           ORDER BY CAST(content_len AS VARCHAR)) FROM files
+    UNION ALL
+    SELECT 'd', string_agg('xyzzy', ' ') FROM files
+    """,
+)
+def mr_sorted_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crash.go's exact payload through the facade (VERDICT r1 item 5):
+    keys a-d, values sorted byte-wise and space-joined. The oracle
+    reconstructs file-level facts relationally (content length =
+    Σ text lengths + newline separators)."""
+    return run_job(spark, _crash_map, _crash_reduce,
+                   _materialize_inputs(spark, sf_dir))

@@ -1,1 +1,138 @@
-"""(stub — filled in as operators land)"""
+"""Multimodal column handling: opaque binary payloads + typed metadata,
+with Arrow-batched decode / feature-extraction plumbing.
+
+North-star surface (no reference equivalent — the reference is
+text-only). The pattern for image/audio/video at 100 TB:
+
+- the payload is an opaque ``binary`` column; all row-level metadata
+  (byte length, checksum, declared mime, dimensions) lives in typed
+  columns so filters/pruning NEVER decode payloads;
+- decode / resize / frame-sample run as ``mapInPandas`` stages —
+  Arrow batches in, Arrow batches out, one Python worker per
+  partition, payload bytes never pass through the driver;
+- real codecs (PIL/ffmpeg/torchaudio) are not in this container, so
+  the decode kernel is a clearly-marked deterministic stand-in
+  (md5-seeded feature vector); the Spark-side contract — schemas,
+  batch iteration, partitioning — is real and tested.
+
+The fixture tables carry no binary column, so ``documents.text`` is
+encoded to UTF-8 bytes as the stand-in payload; everything downstream
+treats it as opaque bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators.registry import query
+
+N_FEATURES = 8
+
+
+def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (asset_id, payload binary, meta struct). The shape
+    every multimodal pipeline stage consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.lit("text/plain;fake=1").alias("mime"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           'text/plain;fake=1' AS mime
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over binary assets: byte length + checksum +
+    mime, zero payload decoding (the plan touches the payload column
+    only inside JVM hash/length expressions — at scale this is the
+    cheap manifest scan that precedes any decode stage)."""
+    assets = binary_assets(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STAND-IN decode kernel (real image/audio libs absent in this
+    container): derives a deterministic N_FEATURES-dim vector from the
+    payload's md5. A real deployment swaps only this function body
+    (e.g. PIL decode → resize → channel means); the Arrow batch
+    contract around it is unchanged."""
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            h = hashlib.md5(bytes(payload)).digest()
+            feats.append([b / 255.0 for b in h[:N_FEATURES]])
+        yield pd.DataFrame({
+            "asset_id": pdf["asset_id"],
+            "n_bytes": pdf["payload"].map(len).astype("int64"),
+            "features": feats,
+        })
+
+
+def decode_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: payload → feature vector. Arrow
+    batches stream through the Python worker partition-locally."""
+    return (
+        assets.select("asset_id", "payload")
+        .mapInPandas(_fake_decode_batch, FEATURE_SCHEMA)
+    )
+
+
+@query("multimodal_decode")  # rows-only: the fake decoder is not SQL
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + per-language feature aggregation: the standard
+    multimodal pipeline shape (manifest scan → batched decode →
+    reduce). Aggregates are exact-decimal so the query is
+    deterministic run-to-run even though it is oracle-exempt."""
+    assets = binary_assets(spark, sf_dir)
+    feats = decode_features(assets)
+    lang = assets.select("asset_id", F.col("meta.lang").alias("lang"))
+    per_dim = feats.select(
+        "asset_id",
+        *[F.element_at("features", i + 1).alias(f"f{i}")
+          for i in range(N_FEATURES)],
+    )
+    agg = [
+        F.sum(F.round(F.col(f"f{i}"), 6).cast("decimal(28,6)"))
+        .cast("double").alias(f"sum_f{i}")
+        for i in range(N_FEATURES)
+    ]
+    return (
+        per_dim.join(lang, "asset_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_assets"), *agg)
+    )

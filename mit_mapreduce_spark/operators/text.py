@@ -65,35 +65,64 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded_words(docs.select("source", "text"))
         .select("word", "source")
-        .distinct()
         .groupBy("word")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("doc_list"),
+        .agg(F.sort_array(F.collect_set("source")).alias("_docs"))
+        .select(
+            "word",
+            F.size("_docs").cast("bigint").alias("doc_count"),
+            F.array_join("_docs", ",").alias("doc_list"),
         )
     )
 
 
+_CONCAT_CAP = 100
+
+
 @query(
     "sorted_concat",
-    oracle="""
+    oracle=f"""
     SELECT lang AS key,
            COUNT(*) AS n_docs,
-           string_agg(source, ' ' ORDER BY source) AS joined
+           array_to_string((list_sort(list(source)))[1:{_CONCAT_CAP}], ' ')
+             AS joined
     FROM documents
     GROUP BY lang
     """,
 )
 def sorted_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted value-concat per key (reference apps A3 crash/nocrash,
-    `mrapps/crash.go:45-55`): reduce = sort values, join with ' '.
-    Keyed on `lang` over the documents fixture; values are the doc
-    sources. sort_array makes collect order irrelevant."""
+    `mrapps/crash.go:45-55`): reduce = sort values, join with ' ' —
+    capped at the {cap} smallest values per key.
+
+    `lang` is low-cardinality, so an unbounded collect_list would
+    buffer an entire language's rows in one aggregation state — the
+    reference's own OOM flaw (`mr/worker.go:160-180`) that SURVEY §7.4
+    says not to reproduce. Scale posture: two-level capped top-K — a
+    salted partial pass keeps each (key, salt)'s {cap} smallest values,
+    the final pass merges 16 bounded arrays per key. Aggregation state
+    is O(cap), never O(group). The K-smallest-per-salt → K-smallest-of-
+    union merge is exact for multisets, so the result equals the
+    single-pass slice the oracle computes. The UNBOUNDED faithful
+    semantics live in the facade (`mr_sorted_concat`,
+    operators/mrparity.py), where the contract requires them."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.col("lang").alias("key"))
+    partial = (
+        docs.groupBy(F.col("lang"), F.pmod(F.col("doc_id"), F.lit(16)).alias("_salt"))
         .agg(
-            F.count("*").alias("n_docs"),
-            F.concat_ws(" ", F.sort_array(F.collect_list("source"))).alias("joined"),
+            F.count("*").alias("_n"),
+            F.slice(F.sort_array(F.collect_list("source")), 1, _CONCAT_CAP)
+            .alias("_vals"),
         )
     )
+    return (
+        partial.groupBy(F.col("lang").alias("key"))
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.concat_ws(" ", F.slice(
+                F.sort_array(F.flatten(F.collect_list("_vals"))), 1, _CONCAT_CAP))
+            .alias("joined"),
+        )
+    )
+
+
+sorted_concat.__doc__ = sorted_concat.__doc__.format(cap=_CONCAT_CAP)

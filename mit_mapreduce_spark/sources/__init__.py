@@ -1,1 +1,101 @@
-"""Sources/sinks."""
+"""Sources and sinks beyond the parquet fixtures.
+
+Reproduces the reference's I/O contract on Spark:
+
+- F1 whole-file text source (`mr/worker.go:116-130`: open + read-all,
+  Map receives (filename, contents)) → ``whole_text_files``.
+- line-granularity text source (`spark.read.text`) with provenance
+  via ``input_file_name()`` → ``read_text_lines``.
+- F8 text sink (`mr/worker.go:182-198`: one ``"<key> <value>\\n"``
+  line per key into ``mr-out-<partition>``) → ``write_kv_text``,
+  including the mr-out-N file naming.
+- JSON / CSV round-trip helpers (ABSENT in the reference — SURVEY.md
+  §2.3 scans/sources/sinks; JSON there is only a shuffle wire format,
+  `mr/worker.go:143`).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def whole_text_files(spark: SparkSession, path_glob: str,
+                     min_partitions: int | None = None) -> DataFrame:
+    """(path, content) — one row per file, whole contents as one value.
+
+    The reference feeds Map one whole file per task
+    (`mr/worker.go:118-130`); ``wholeTextFiles`` is the Spark
+    primitive with the same granularity (one partition per file by
+    default, exactly like the reference's one-map-task-per-file
+    seeding, `mr/master.go:289-296`)."""
+    rdd = spark.sparkContext.wholeTextFiles(
+        path_glob, minPartitions=min_partitions)
+    schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ])
+    return spark.createDataFrame(rdd, schema)
+
+
+def read_text_lines(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(path, line) — line-granularity scan with file provenance."""
+    return (
+        spark.read.text(path_glob)
+        .select(F.input_file_name().alias("path"),
+                F.col("value").alias("line"))
+    )
+
+
+def write_kv_text(df: DataFrame, out_dir: str, n_partitions: int = 10,
+                  key: str = "key", value: str = "value") -> list[str]:
+    """F8 sink: hash-partition by key into ``n_partitions`` files named
+    ``mr-out-<i>``, each holding ``"<key> <value>"`` lines.
+
+    Mirrors `mr/worker.go:182-198` / `main/mrmaster.go:23` (nReduce=10
+    default). Keys are sorted within each output partition, as the
+    reference's reduce loop emits them post-sort (`mr/worker.go:181`).
+    Returns the written file paths."""
+    (
+        df.select(F.col(key).alias("k"), F.col(value).alias("v"))
+        .repartition(n_partitions, F.col("k"))
+        .sortWithinPartitions("k")
+        .select(F.concat_ws(" ", "k", "v").alias("value"))
+        .write.mode("overwrite").text(out_dir)
+    )
+    # Spark names shard files part-<idx>-<uuid>; rename to the
+    # reference's mr-out-<idx> contract (driver-side, local FS).
+    out = []
+    for part in sorted(_glob.glob(os.path.join(out_dir, "part-*"))):
+        idx = int(os.path.basename(part).split("-")[1])
+        dst = os.path.join(out_dir, f"mr-out-{idx}")
+        os.replace(part, dst)
+        out.append(dst)
+    return out
+
+
+def write_json(df: DataFrame, out_dir: str, n_partitions: int | None = None) -> None:
+    d = df.repartition(n_partitions) if n_partitions else df
+    d.write.mode("overwrite").json(out_dir)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    return (r.schema(schema) if schema else r).json(path)
+
+
+def write_csv(df: DataFrame, out_dir: str, sep: str = ",",
+              header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(out_dir)
+
+
+def read_csv(spark: SparkSession, path: str, sep: str = ",",
+             header: bool = True,
+             schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read.option("header", header).option("sep", sep)
+    return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)

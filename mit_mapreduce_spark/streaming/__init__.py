@@ -1,1 +1,68 @@
-"""Structured Streaming operators."""
+"""Structured Streaming harness over the `events` fixture.
+
+The reference is strictly batch (hard map→reduce barrier, SURVEY.md
+§2.3 streaming ABSENT); this package adds the Spark-native streaming
+surface: file-source streams with explicit schemas, watermarks,
+tumbling and session windows, memory-sink collection for tests.
+
+At scale the same plans run unchanged against Kafka/object-store
+sources — the file source here is the fixture-compatible stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    # TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong
+    # (session.tune); converted to a real timestamp below.
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs
+    conversion the batch catalog applies (catalog.load_table)."""
+    # The file stream source requires a directory; stage the fixture
+    # file into scratch once per scale factor (testdata is read-only).
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(_SCRATCH, f"stream_events_{tag}")
+    dst = os.path.join(stage, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy2(src, dst)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(stream_df: DataFrame, mode: str,
+                        name: str | None = None) -> str:
+    """Drain the stream with a single availableNow micro-batch into an
+    in-memory table; returns the table name. Used by tests and the
+    rows-only streaming queries — production deployments swap the sink
+    for kafka/delta/parquet with the identical plan."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

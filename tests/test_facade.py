@@ -1,0 +1,80 @@
+"""Unit tests for the MapReduce facade and the text/JSON/CSV sources."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mit_mapreduce_spark import sources
+from mit_mapreduce_spark.mapreduce import fnv32a, run_job
+
+
+def test_fnv32a_matches_go_fnv(tmp_path):
+    # Known FNV-1a 32-bit digests (Go hash/fnv New32a), & 0x7fffffff.
+    assert fnv32a("hello") == 0x4F9F2CAB
+    assert fnv32a("") == 0x811C9DC5 & 0x7FFFFFFF
+    # 31-bit mask applied (mr/worker.go:42)
+    assert all(fnv32a(s) < 2**31 for s in ("a", "b", "xyzzy", "längère"))
+
+
+def test_run_job_wordcount_tiny(spark, tmp_path):
+    (tmp_path / "f1.txt").write_text("a b a\nc")
+    (tmp_path / "f2.txt").write_text("b a")
+    df = run_job(
+        spark,
+        lambda fn, c: [(w, "1") for w in c.split()],
+        lambda k, vs: str(len(vs)),
+        str(tmp_path / "*.txt"),
+        n_reduce=3,
+    )
+    got = {r.key: r.value for r in df.collect()}
+    assert got == {"a": "3", "b": "2", "c": "1"}
+
+
+def test_run_job_reduce_sees_all_values_of_key(spark, tmp_path):
+    (tmp_path / "x.txt").write_text("ignored")
+    df = run_job(
+        spark,
+        lambda fn, c: [("k", v) for v in ("3", "1", "2")],
+        lambda k, vs: " ".join(sorted(vs)),
+        str(tmp_path / "x.txt"),
+        n_reduce=2,
+    )
+    assert df.collect()[0].value == "1 2 3"
+
+
+def test_write_kv_text_mr_out_contract(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", "3")], ["key", "value"])
+    out = str(tmp_path / "out")
+    files = sources.write_kv_text(df, out, n_partitions=3)
+    names = sorted(os.path.basename(f) for f in files)
+    # Empty partitions produce no file — the reference's F11
+    # empty-partition elision has the same observable behavior.
+    assert names and set(names) <= {"mr-out-0", "mr-out-1", "mr-out-2"}
+    lines = sorted(
+        line
+        for f in files
+        for line in open(f, encoding="utf-8").read().splitlines()
+    )
+    assert lines == ["a 1", "b 2", "c 3"]
+
+
+def test_whole_text_files_roundtrip(spark, tmp_path):
+    (tmp_path / "doc1").write_text("hello\nworld")
+    got = sources.whole_text_files(spark, str(tmp_path / "*")).collect()
+    assert len(got) == 1 and got[0].content == "hello\nworld"
+
+
+def test_json_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    sources.write_json(df, jdir)
+    sources.write_csv(df, cdir)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("s", T.StringType())])
+    back_j = sources.read_json(spark, jdir, schema)
+    back_c = sources.read_csv(spark, cdir, schema=schema)
+    expect = {(1, "x"), (2, "y")}
+    assert {tuple(r) for r in back_j.collect()} == expect
+    assert {tuple(r) for r in back_c.collect()} == expect
