@@ -392,3 +392,76 @@ def scalars_mathstring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_retailprice", 1).alias("price_r1"),
         F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation — verified identical).
+    The multi-quantile array form shares one sort per group. At
+    100 TB prefer approx_percentile for fixed-memory sketches; exact
+    percentile is the oracle-comparable variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, array(0.25, 0.9))").alias("_pq"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        )
+        .select(
+            "l_returnflag", "p50_qty",
+            F.element_at("_pq", 1).alias("p25_qty"),
+            F.element_at("_pq", 2).alias("p90_qty"),
+            "p95_price",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows, {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-key sets — neither a
+    rollup nor a cube): one Expand over the scan, one shuffle."""
+    from mit_mapreduce_spark.catalog import register_views
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows, {sql_dsum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the fixed-memory sketch
+    that replaces exact COUNT(DISTINCT) at 100 TB (no expand, pure
+    partial aggregation). Engine sketches differ, so this is rows-only
+    for the driver; tests/test_relational_extra.py bounds its error
+    against the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+    )
