@@ -122,14 +122,15 @@ def dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH near-dup ----------------------------------------------
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:
-    """(doc_id, s0..s11): column-wise minima of seeded shingle hashes —
-    one aggregation shuffle keyed on doc_id."""
+    """(doc_id, n, s0..s11): shingle count + column-wise minima of
+    seeded shingle hashes — one aggregation shuffle keyed on doc_id
+    (the count rides along free, saving a second scan for set sizes)."""
     mins = [
         F.min(hash60(F.concat(F.col("shingle"), F.lit(f"#{seed}"))))
         .alias(f"s{seed}")
         for seed in range(N_SEEDS)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n"), *mins)
 
 
 def _band_hashes(sigs: DataFrame) -> DataFrame:
@@ -208,7 +209,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only candidate pairs, a vanishing fraction of n²."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs)
-    bands = _band_hashes(_minhash_sigs(sh))
+    sigs = _minhash_sigs(sh)
+    bands = _band_hashes(sigs)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -220,7 +222,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = sigs.select("doc_id", "n")
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (

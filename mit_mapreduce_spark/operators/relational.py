@@ -465,3 +465,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("exact_custs"),
         )
     )
+
+
+_SKEW_SALTS = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted join — the skew-mitigation pattern for when one
+    join key dominates (a hot orderkey at 100 TB): the probe side gets
+    a deterministic salt in [0, 8), the build side is replicated once
+    per salt, and the join key becomes (key, salt), splitting a hot
+    key's rows across 8 tasks. The oracle is the UNSALTED join — the
+    rewrite must be result-identical. (AQE's skewJoin does this
+    automatically for sort-merge joins; the manual form covers
+    aggregation skew and engines/paths AQE doesn't reach.)"""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_linenumber"), F.lit(_SKEW_SALTS)))
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SKEW_SALTS)])))
+    return (
+        li.join(o, (o.o_orderkey == li.l_orderkey) & (o._salt == li._salt))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "sum_price"))
+    )

@@ -60,3 +60,59 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value")
     )
     return spark.table(run_stream_to_table(agg, "complete"))
+
+
+# --- custom stateful operator: applyInPandasWithState ---------------------
+
+_USER_STATE_SCHEMA = "n_events BIGINT, sum_value DOUBLE, last_us BIGINT"
+_USER_OUT_SCHEMA = ("user_id BIGINT, n_events BIGINT, sum_value DOUBLE, "
+                    "last_ts TIMESTAMP")
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Per-user running profile: event count, exact value sum, last
+    event time. The custom-stateful shape for logic session_window
+    can't express (cross-batch counters, model state, CEP). Sums are
+    accumulated in integer 1e-4 units so state merge order can't
+    perturb the result."""
+    import pandas as pd  # local import: runs on Python workers
+
+    (user_id,) = key
+    n, sum_scaled, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sum_scaled += int(round(pdf["value"], 4).mul(10_000).sum())
+        last_us = max(last_us, int(pdf["us"].max()))
+    state.update((n, sum_scaled, last_us))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "n_events": [n],
+        "sum_value": [sum_scaled / 10_000.0],
+        "last_ts": [pd.Timestamp(last_us, unit="us")],
+    })
+
+
+@query("stream_user_stats")
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via applyInPandasWithState: per-user
+    running (count, exact sum, last-seen) maintained in GroupState
+    across micro-batches. State is O(1) per user; the shuffle is the
+    single user_id exchange — the template for bespoke stateful
+    operators the built-in window/session aggregations can't express.
+    Oracle-exempt (stateful custom op); equality with a batch groupBy
+    is asserted in tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tune(spark)
+    ev = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "value", F.unix_micros("ts").alias("us"))
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_USER_OUT_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return spark.table(run_stream_to_table(out, "update"))

@@ -126,3 +126,34 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate",
         (num / den).cast("double").alias("avg3"),
     )
+
+
+@query(
+    "window_rank_variants",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS prnk,
+           first_value(c_custkey) OVER w AS richest_cust,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-function family over one shared window:
+    dense_rank, ntile, percent_rank, first_value, cume_dist. A single
+    partition exchange serves all five (checked in test_plans)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_nationkey", "c_custkey",
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.first("c_custkey").over(w).alias("richest_cust"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+    )

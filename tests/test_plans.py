@@ -64,6 +64,7 @@ def test_topk_is_take_ordered(spark, sf_dir):
     ("agg_matrix", 2),         # grouped aggs + count-distinct expand
     ("sessionize", 2),         # one user_id window exchange + final agg
     ("dedup_exact", 1),
+    ("window_rank_variants", 1),   # five ranking fns share one window
 ])
 def test_shuffle_budget(spark, sf_dir, name, budget):
     """Each operator's shuffle count must not regress past its design
