@@ -15,6 +15,7 @@ def load_all() -> None:
         dedup,
         similarity,
         textstats,
+        temporal,
         multimodal,
         mrparity,
         streaming_queries,
