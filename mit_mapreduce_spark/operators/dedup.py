@@ -304,3 +304,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         recompose = term if recompose is None else recompose + term
     return bits.select("doc_id", recompose.cast("bigint").alias("simhash"))
+
+
+# --- connected components over the near-dup graph -------------------------
+
+MAX_CC_ITERS = 20
+
+
+def _sql_cc() -> str:
+    pairs = f"SELECT doc_a, doc_b FROM ({_sql_minhash_pipeline()})"
+    return f"""
+    WITH RECURSIVE und AS (
+      SELECT doc_a AS a, doc_b AS b FROM ({pairs})
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM ({pairs})
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id,
+                COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
+                         d.doc_id)) AS BIGINT) AS cluster_id
+    FROM documents d
+    """
+
+
+@query("dedup_clusters", oracle=_sql_cc())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components of the verified
+    MinHash pair graph — the step that turns pairs into keep/drop
+    decisions (cluster_id = min doc_id in the component; docs with no
+    near-dup are their own cluster).
+
+    The iterative-algorithm surface: min-label propagation to a
+    fixpoint, driver loop over DataFrame joins with localCheckpoint()
+    per round to truncate lineage (at 100 TB each round is one
+    edge⋈label shuffle; rounds ≈ component diameter, which for dedup
+    graphs is tiny — big components are near-cliques because LSH
+    finds most pairs of a duplicate cluster directly). The oracle is
+    a DuckDB recursive-CTE transitive closure — the iterative Spark
+    computation is checked against declarative reachability."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce("_nbr_min", "cluster_id")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
