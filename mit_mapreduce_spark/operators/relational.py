@@ -499,3 +499,117 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice", "sum_price"))
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+                      for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns. The value list is
+    explicit, so the pivot is one pass (no extra distinct-values job)
+    and compiles to plain conditional aggregation — exactly what the
+    oracle spells out."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot yields NULL for absent combinations; the COUNT(CASE) oracle
+    # yields 0 — normalize, and rename to oracle-matching names.
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns to (key, measure, value)
+    rows — one narrow scan, no shuffle; the inverse of pivot."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey",
+                 F.col("p_size").cast("double").alias("p_size"),
+                 "p_retailprice")
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "val")
+    )
+
+
+_SQL_AVG_PRICE = ("(SELECT CAST(SUM(CAST(ROUND(o_totalprice, 4) AS "
+                  "DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) "
+                  "FROM orders)")
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > {_SQL_AVG_PRICE}
+    GROUP BY o_orderstatus
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global mean
+    price. The subquery executes once and broadcasts as a literal;
+    the mean uses the exact-decimal form so the filter threshold is
+    bit-identical in both engines (a last-ulp difference could flip
+    boundary rows)."""
+    from mit_mapreduce_spark.catalog import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(f"""
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > {_SQL_AVG_PRICE}
+        GROUP BY o_orderstatus
+    """)
+
+
+@query(
+    "scalars_datemath",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                AS INT) AS days_since_epoch_start,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy
+    FROM orders
+    """,
+)
+def scalars_datemath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, day difference, month
+    boundary, day-of-week/year, ISO week — all JVM datetime exprs.
+    (dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday — oracle adds 1; weekofyear: both ISO.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int").alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+    )
