@@ -185,3 +185,88 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+NEARDUP_TAU = 0.35
+
+
+@query(
+    "embed_neardup_blocked",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, label,
+             {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id, label),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             {_SQL_DOT.format(a='a.embedding', b='b.embedding')} AS dot
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY a.vec_id, b.vec_id, a.label),
+    scored AS (
+      SELECT p.vec_a, p.vec_b, p.label,
+             CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+      FROM pairs p
+      JOIN norms na ON na.vec_id = p.vec_a
+      JOIN norms nb ON nb.vec_id = p.vec_b)
+    SELECT vec_a, vec_b, CAST(label AS INT) AS label, cosine
+    FROM scored WHERE cosine >= {NEARDUP_TAU}
+    """,
+)
+def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with semantic BLOCKING:
+    candidate pairs come from an equi-join on the label column (a
+    cluster/topic/partition id), so the pair space is Σ blockᵢ², not
+    n² — the deterministic exact-recall-within-block counterpart to
+    the probabilistic ann_lsh_pairs. Scaled-integer dot products keep
+    the cosines bit-identical to the DuckDB oracle.
+
+    At 100 TB the blocking key is whatever cheap pre-cluster exists
+    (IVF coarse centroid, LSH bucket, shard key); the plan shape —
+    equi-self-join inside blocks, then exact rescoring — is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    # The pair dot-product is the hot loop (blocks² pairs × DIM terms):
+    # higher-order lambdas are interpreted, so explode the zipped pair
+    # into scalar rows and let a codegen'd partial SUM collapse them
+    # map-side — the shuffle carries one row per pair, and the
+    # multiply/round/cast runs in whole-stage codegen (~6× faster here
+    # than the F.aggregate form at sf0.1).
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").cast("int").alias("label"),
+            F.arrays_zip(F.col("a.embedding").alias("x"),
+                         F.col("b.embedding").alias("y")).alias("_z"),
+        )
+        .select("vec_a", "vec_b", "label",
+                F.explode("_z").alias("_p"))
+        .groupBy("vec_a", "vec_b", "label")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    na = norms.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("nsq", "nsq_a")
+    nb = norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("nsq", "nsq_b")
+    return (
+        pairs.join(na, "vec_a").join(nb, "vec_b")
+        .select(
+            "vec_a", "vec_b", "label",
+            (F.col("dot").cast("double")
+             / (F.sqrt(F.col("nsq_a").cast("double"))
+                * F.sqrt(F.col("nsq_b").cast("double")))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= NEARDUP_TAU)
+    )

@@ -1,0 +1,86 @@
+"""Opt-in larger-scale smoke: replicate the documents corpus 8× (with
+distinct doc_ids) and run the heaviest pipelines end-to-end. Not part
+of the default suite — enable with SPARK_GRAFT_SCALE_SMOKE=1.
+
+This checks the property the tiny fixtures can't: runtime grows
+~linearly and no stage buffers the corpus (the capped/salted/banded
+designs in SCALE.md actually engage).
+"""
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+import mit_mapreduce_spark.operators.dedup as dedup
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="set SPARK_GRAFT_SCALE_SMOKE=1 to run the big smoke",
+)
+
+REPLICAS = 8
+
+
+def _blown_up_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rep = spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    return (
+        docs.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * n).alias("doc_id"),
+            "text", "lang",
+            F.concat("source", F.lit("_r"), F.col("_rep")).alias("source"),
+            "n_chars",
+        )
+    )
+
+
+def test_minhash_scales(spark, tmp_path):
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    big = _blown_up_docs(spark, sf_dir)
+    n_docs = big.count()
+
+    t0 = time.monotonic()
+    sh = dedup.shingles_df(big)
+    sigs = dedup._minhash_sigs(sh)
+    bands = dedup._band_hashes(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+    )
+    n_cand = cand.count()
+    elapsed = time.monotonic() - t0
+
+    # every replica of a doc collides with its twins: candidates exist
+    assert n_cand >= n_docs, (n_cand, n_docs)
+    # and the banded pipeline finishes in sane time at 8x volume
+    assert elapsed < 120, f"minhash at {n_docs} docs took {elapsed:.0f}s"
+
+
+def test_sorted_concat_state_stays_bounded(spark):
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    big = _blown_up_docs(spark, sf_dir)
+    big.createOrReplaceTempView("_big_docs")
+    # same two-level capped plan as operators/text.sorted_concat
+    partial = (
+        big.groupBy("lang", F.pmod(F.col("doc_id"), F.lit(16)).alias("_salt"))
+        .agg(F.count("*").alias("_n"),
+             F.slice(F.sort_array(F.collect_list("source")), 1, 100).alias("_v"))
+    )
+    out = (
+        partial.groupBy("lang")
+        .agg(F.sum("_n").alias("n_docs"),
+             F.slice(F.sort_array(F.flatten(F.collect_list("_v"))), 1, 100)
+             .alias("vals"))
+        .collect()
+    )
+    for r in out:
+        assert len(r.vals) == 100  # capped, regardless of group size
