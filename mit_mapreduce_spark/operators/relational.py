@@ -613,3 +613,149 @@ def scalars_datemath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("o_orderdate").cast("int").alias("doy"),
         F.weekofyear("o_orderdate").cast("int").alias("woy"),
     )
+
+
+@query(
+    "join_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: revenue from orders where the
+    supplier and customer share a nation, restricted to one region and
+    a date range. The join-ordering showcase: Catalyst pushes the
+    region filter through nation (broadcast both), prunes columns on
+    every scan, and AQE picks broadcast vs shuffle per join from
+    runtime sizes — exactly the plan a hand-tuned engine would pick
+    at 100 TB, with no manual ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(su, (su.s_suppkey == li.l_suppkey)
+              & (su.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "scalars_string2",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           split_part(p_type, ' ', 1) AS type_head,
+           replace(p_brand, 'Brand', 'B') AS brand_short,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           repeat('*', p_size % 5) AS stars,
+           CAST(strpos(p_type, 'a') AS INT) AS first_a
+    FROM part
+    """,
+)
+def scalars_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string round: regex capture, split_part, replace, lpad,
+    reverse, repeat, position — all codegen JVM expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5)).alias("stars"),
+        F.instr(F.col("p_type"), "a").cast("int").alias("first_a"),
+    )
+
+
+@query(
+    "scalars_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'TOP') AS prio_norm,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           greatest(o_totalprice, 150000.0) AS floor_price,
+           least(o_totalprice, 150000.0) AS cap_price,
+           CAST(o_totalprice IS NULL AS BOOLEAN) AS price_missing
+    FROM orders
+    """,
+)
+def scalars_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/NULL surface: nullif/coalesce/CASE/greatest/least
+    and an IS NULL predicate — deliberately produces NULLs in the
+    output to exercise NULL-safe hashing end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+                   F.lit("TOP")).alias("prio_norm"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small").alias("bucket"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("floor_price"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("cap_price"),
+        F.col("o_totalprice").isNull().alias("price_missing"),
+    )
+
+
+@query(
+    "map_event_profile",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def map_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface: build a per-user event_type→count map
+    with map_from_entries, then read it back with element_at /
+    map_keys. The oracle computes the same scalars relationally, so
+    the map construction/access path is verified without comparing
+    engine-specific map renderings."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))).alias("m"))
+    )
+    return counts.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("m", "error"), F.lit(0)).alias("n_error"),
+        F.size(F.map_keys("m")).cast("int").alias("n_types"),
+    )

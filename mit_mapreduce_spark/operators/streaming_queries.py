@@ -116,3 +116,38 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return spark.table(run_stream_to_table(out, "update"))
+
+
+@query("stream_interval_join")
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's errors from the preceding hour. Both sides carry watermarks
+    and the join condition bounds event-time distance, so state for
+    either side is evicted an hour behind the watermark — bounded
+    regardless of stream length (the canonical funnel/attribution
+    join). Oracle-exempt; batch-join parity asserted in tests."""
+    tune(spark)
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"),
+                F.col("ts").alias("err_ts"),
+                F.col("value").alias("err_value"))
+        .withWatermark("err_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("err_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("err_ts") <= F.col("click_ts")),
+    ).select("click_id", F.col("c_user").alias("user_id"),
+             "click_ts", "err_ts", "err_value")
+    return spark.table(run_stream_to_table(joined, "append"))

@@ -43,3 +43,25 @@ def test_stream_user_stats_equals_batch_groupby(spark, sf_dir):
     )
     cols = ["user_id", "n_events", "sum_value", "last_ts"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join must equal the batch self-join."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    stream = QUERIES["stream_interval_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"),
+        F.col("ts").alias("click_ts"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("err_ts"),
+        F.col("value").alias("err_value"))
+    batch = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("err_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("err_ts") <= F.col("click_ts")),
+    ).select("click_id", "user_id", "click_ts", "err_ts", "err_value")
+    cols = ["click_id", "user_id", "click_ts", "err_ts", "err_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
