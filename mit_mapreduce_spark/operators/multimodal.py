@@ -136,3 +136,55 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_assets"), *agg)
     )
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+    T.StructField("frame_checksum", T.StringType()),
+])
+
+FRAMES_PER_ASSET = 4
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STAND-IN frame sampler (ffmpeg absent): slices the payload into
+    FRAMES_PER_ASSET contiguous chunks standing in for decoded frames.
+    A real deployment replaces the chunking with keyframe extraction;
+    the 1-row-in/N-rows-out Arrow contract is the real part."""
+    for pdf in batches:
+        out = {"asset_id": [], "frame_idx": [], "frame_bytes": [],
+               "frame_checksum": []}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            data = bytes(payload)
+            step = max(1, len(data) // FRAMES_PER_ASSET)
+            for i in range(FRAMES_PER_ASSET):
+                chunk = data[i * step:(i + 1) * step] or b"\x00"
+                out["asset_id"].append(asset_id)
+                out["frame_idx"].append(i)
+                out["frame_bytes"].append(chunk)
+                out["frame_checksum"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_framesample")  # rows-only: fake sampler is not SQL
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one asset row fans out to FRAMES_PER_ASSET
+    frame rows inside mapInPandas (the video shape: frames never
+    transit the driver, partition-local fan-out), then a per-frame-
+    index rollup. Deterministic stand-in sampler; real codecs swap in
+    behind the same schema."""
+    assets = binary_assets(spark, sf_dir)
+    frames = (
+        assets.select("asset_id", "payload")
+        .mapInPandas(_fake_frame_sample, FRAME_SCHEMA)
+    )
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("frame_checksum").alias("nd_checksums"),
+            F.sum(F.length("frame_bytes")).cast("bigint").alias("sum_bytes"),
+        )
+    )

@@ -99,15 +99,25 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms.withColumnRenamed("vec_id", "cid"), "cid")
         .withColumnRenamed("nsq", "cnsq")
     )
-    scored = (
+    # Pair dots via explode + codegen partial SUM (see
+    # embed_neardup_blocked: interpreted lambdas are ~6× slower here).
+    dots = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cid") != F.col("qid"))
-        .select(
-            "qid", "cid",
-            (_dot_scaled(F.col("qe"), F.col("ce")).cast("double")
-             / (F.sqrt(F.col("qnsq").cast("double"))
-                * F.sqrt(F.col("cnsq").cast("double")))).alias("cosine"),
-        )
+        .select("qid", "cid", "qnsq", "cnsq",
+                F.explode(F.arrays_zip(
+                    F.col("qe").alias("x"), F.col("ce").alias("y"))).alias("_p"))
+        .groupBy("qid", "cid", "qnsq", "cnsq")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    scored = dots.select(
+        "qid", "cid",
+        (F.col("dot").cast("double")
+         / (F.sqrt(F.col("qnsq").cast("double"))
+            * F.sqrt(F.col("cnsq").cast("double")))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
