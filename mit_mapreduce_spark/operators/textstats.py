@@ -262,3 +262,33 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.cast("bigint").alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("char4_estimate"),
     )
+
+
+@query("sample_corpus")  # rows-only: sampling is partition-layout-dependent
+def sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli subsample of the corpus (~20%) — the cheap
+    uniform downsample every pipeline applies before expensive stages.
+    Deterministic for a fixed seed AND input layout, but layout is an
+    execution detail, so this is rows-only for the driver; the
+    fraction tolerance is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.2, seed=42).select(
+        "doc_id", "lang", "source", "n_chars")
+
+
+MIX_WEIGHTS = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.2, "zh": 0.2}
+
+
+@query("sample_mix_recipe")  # rows-only: same layout-dependence as above
+def sample_mix_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mixing recipe: per-language sampling rates
+    (sampleBy) — the "data recipe" operator that reweights a corpus
+    mixture before training. Summarized per language so the check is
+    a distribution, not row identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.sampleBy("lang", fractions=MIX_WEIGHTS, seed=42)
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    )
