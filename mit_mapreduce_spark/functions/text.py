@@ -16,10 +16,6 @@ from pyspark.sql import functions as F
 
 NON_LETTER = r"[^\p{L}]+"
 
-# DuckDB twin of `tokens()`: produces one row per non-empty token.
-SQL_TOKENS = ("SELECT *, unnest(regexp_split_to_array(text, '[^\\p{L}]+'))"
-              " AS word FROM {table}")
-
 
 def tokens(text_col: Column | str = "text") -> Column:
     """Array of reference-semantics word tokens (may contain '' at the

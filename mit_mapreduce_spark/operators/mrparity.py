@@ -37,9 +37,20 @@ _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 def _materialize_inputs(spark: SparkSession, sf_dir: str) -> str:
     """One text file per documents.source (named exactly the source
     key), contents = texts in doc_id order joined by newline —
-    the pg-*.txt corpus shape the reference apps consume."""
+    the pg-*.txt corpus shape the reference apps consume.
+
+    The corpus is deterministic per scale factor, so the staging is
+    cached: a marker records the doc count and the rewrite is skipped
+    when it matches (three facade queries share one materialization)."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(_SCRATCH, f"mrinput_{tag}")
+    files_dir = os.path.join(out_dir, "files")
+    marker = os.path.join(out_dir, ".complete")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            if f.read().strip() == str(n_docs):
+                return os.path.join(files_dir, "*")
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("source", "doc_id", "text")
@@ -47,14 +58,16 @@ def _materialize_inputs(spark: SparkSession, sf_dir: str) -> str:
         .collect()
     )
     shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(files_dir, exist_ok=True)
     by_source: dict[str, list[str]] = {}
     for r in docs:
         by_source.setdefault(r.source, []).append(r.text)
     for source, texts in by_source.items():
-        with open(os.path.join(out_dir, source), "w", encoding="utf-8") as f:
+        with open(os.path.join(files_dir, source), "w", encoding="utf-8") as f:
             f.write("\n".join(texts))
-    return os.path.join(out_dir, "*")
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(str(n_docs))
+    return os.path.join(files_dir, "*")
 
 
 # --- A1: word count (mrapps/wc.go:21-44) ----------------------------------
