@@ -730,6 +730,146 @@ def scalars_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer_daily",
+    oracle=f"""
+    SELECT COALESCE(b.day, u.day) AS day,
+           b.n_big, b.big_price, u.n_urgent
+    FROM (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_big,
+                 {sql_dsum('o_totalprice', 'big_price')}
+          FROM orders WHERE o_totalprice > 450000 GROUP BY 1) b
+    FULL JOIN (SELECT CAST(o_orderdate AS DATE) AS day,
+                      COUNT(*) AS n_urgent
+               FROM orders WHERE o_orderpriority = '1-URGENT'
+               GROUP BY 1) u
+      ON u.day = b.day
+    """,
+)
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-day aggregates (rare >450k orders vs
+    common urgent orders): the date sets genuinely differ in both
+    directions, so null extension is exercised on each side. Both
+    inputs are pre-aggregated before the join — at 100 TB the join
+    operates on days, not orders, and the two aggregations share the
+    single scan-shuffle pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        o.where(F.col("o_totalprice") > 450000)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_big"), dsum("o_totalprice", "big_price"))
+    )
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return (
+        big.join(urgent, big.day == urgent.day, "full")
+        .select(F.coalesce(big.day, urgent.day).alias("day"),
+                "n_big", "big_price", "n_urgent")
+    )
+
+
+@query(
+    "join_right_big_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer, paired with each of their
+    >450k orders or a single null-extended row. Physically the mirror
+    of a left join (Spark swaps sides); listed so the full
+    inner/left/right/full/semi/anti matrix is driver-checked."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "cross_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate CROSS JOIN of the two constant-size dimensions
+    (5 x 25 = 125 rows at every SF). This is the one place a cartesian
+    product is correct: both sides are broadcast-tiny, so the plan is
+    a BroadcastNestedLoopJoin with no shuffle. Data-dependent
+    cartesians remain banned (tests/test_plans.py asserts the big
+    operators never contain one)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select("r_name", "n_name",
+                (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"))
+    )
+
+
+_SQL_CORR_AVG = ("(SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice, 4) AS "
+                 "DECIMAL(28,4))) AS DOUBLE) / CAST(COUNT(o2.o_totalprice) "
+                 "AS DOUBLE) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)")
+
+
+@query(
+    "subquery_corr_above_cust_avg",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > {_SQL_CORR_AVG}
+    """,
+)
+def subquery_corr_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each customer's orders above that
+    customer's own mean price. Catalyst de-correlates this into an
+    aggregate + self-join on o_custkey — one extra shuffle, never a
+    per-row subquery execution. The mean uses the exact-decimal form
+    so boundary rows can't flip between engines."""
+    from mit_mapreduce_spark.catalog import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > {_SQL_CORR_AVG}
+    """)
+
+
+@query(
+    "set_union_all_priorities",
+    oracle="""
+    SELECT prio, COUNT(*) AS n
+    FROM (SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000) u
+    GROUP BY prio
+    """,
+)
+def set_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics): the two branches overlap, and the
+    downstream counts double-count the overlap — which is exactly what
+    distinguishes UNION ALL from the distinct UNION above. Physically
+    free: union is plan concatenation, no shuffle until the count."""
+    o = load_table(spark, sf_dir, "orders")
+    f_branch = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("prio"))
+    big_branch = o.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_orderpriority").alias("prio"))
+    return (
+        f_branch.unionAll(big_branch)
+        .groupBy("prio")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "map_event_profile",
     oracle=f"""
     SELECT user_id,
