@@ -197,6 +197,164 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 8       # IVF coarse cells
+N_PROBE = 2       # cells probed per query
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 7 = 0
+      ORDER BY vec_id LIMIT {N_CELLS}),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    adots AS (
+      SELECT e.vec_id, c.cent_id,
+             {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
+      FROM embeddings e, cents c,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY e.vec_id, c.cent_id),
+    ascored AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(ne.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+               AS acos,
+             CAST(row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(ne.nsq AS DOUBLE))
+                       * sqrt(CAST(nc.nsq AS DOUBLE))) DESC,
+                  d.cent_id) AS INT) AS arnk
+      FROM adots d
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.cent_id),
+    assign AS (SELECT vec_id, cent_id FROM ascored WHERE arnk = 1),
+    probes AS (SELECT vec_id AS qid, cent_id FROM ascored
+               WHERE vec_id < {N_QUERIES} AND arnk <= {N_PROBE}),
+    cands AS (
+      SELECT p.qid, a.vec_id AS cid, p.cent_id
+      FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.qid),
+    rdots AS (
+      SELECT k.qid, k.cid, k.cent_id,
+             {_SQL_DOT.format(a='q.embedding', b='c.embedding')} AS dot
+      FROM cands k
+      JOIN embeddings q ON q.vec_id = k.qid
+      JOIN embeddings c ON c.vec_id = k.cid,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY k.qid, k.cid, k.cent_id),
+    rscored AS (
+      SELECT r.qid, r.cid, r.cent_id,
+             CAST(r.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+               AS cosine
+      FROM rdots r
+      JOIN norms nq ON nq.vec_id = r.qid
+      JOIN norms nc ON nc.vec_id = r.cid)
+    SELECT qid, cid, cent_id, cosine,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, cid) AS rnk
+          FROM rscored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the scale path for large query sets.
+
+    Coarse quantization: {N_CELLS} deterministic centroids (the lowest
+    8 vec_ids divisible by 7 — a stand-in for k-means output, chosen
+    SQL-expressibly so the WHOLE pipeline is oracle-checked). Every
+    vector is assigned to its nearest centroid by exact cosine; each
+    query probes its {N_PROBE} nearest cells and rescales only the
+    vectors assigned there.
+
+    Plan shape at 100 TB: the assignment pass is a broadcast of C
+    centroids against the vector table (linear, one pass, map-side
+    only); the probe-join is an equi-join on cent_id, so candidate
+    volume is nprobe/C of the corpus per query, never n². The exact
+    rescore reuses the scaled-integer dot (bit-identical to DuckDB).
+    At real scale the centroids come from a sampled k-means upstream;
+    swapping them changes no plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id").limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    norms = emb.select(
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+
+    # assignment: every vector × C broadcast centroids, codegen dots
+    adots = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id",
+                F.explode(F.arrays_zip(
+                    F.col("embedding").alias("x"),
+                    F.col("ce").alias("y"))).alias("_p"))
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    nc = norms.withColumnRenamed("vec_id", "cent_id").withColumnRenamed("nsq", "cnsq")
+    ascored = (
+        adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
+        .select("vec_id", "cent_id",
+                (F.col("dot").cast("double")
+                 / (F.sqrt(F.col("nsq").cast("double"))
+                    * F.sqrt(F.col("cnsq").cast("double")))).alias("acos"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
+    ranked = ascored.select(
+        "vec_id", "cent_id", F.row_number().over(aw).alias("arnk"))
+    assign = ranked.where(F.col("arnk") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.where((F.col("vec_id") < N_QUERIES) & (F.col("arnk") <= N_PROBE))
+        .select(F.col("vec_id").alias("qid"), "cent_id")
+    )
+
+    # probe: candidates = vectors assigned to a probed cell
+    cands = (
+        F.broadcast(probes).join(assign, "cent_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), "cent_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    ce = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    rdots = (
+        cands.join(F.broadcast(qe), "qid").join(ce, "cid")
+        .select("qid", "cid", "cent_id",
+                F.explode(F.arrays_zip(
+                    F.col("qemb").alias("x"),
+                    F.col("cemb").alias("y"))).alias("_p"))
+        .groupBy("qid", "cid", "cent_id")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    nq = norms.withColumnRenamed("vec_id", "qid").withColumnRenamed("nsq", "qnsq")
+    ncd = norms.withColumnRenamed("vec_id", "cid").withColumnRenamed("nsq", "cnsq")
+    rscored = (
+        rdots.join(F.broadcast(nq), "qid").join(ncd, "cid")
+        .select("qid", "cid", "cent_id",
+                (F.col("dot").cast("double")
+                 / (F.sqrt(F.col("qnsq").cast("double"))
+                    * F.sqrt(F.col("cnsq").cast("double")))).alias("cosine"))
+    )
+    rw = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        rscored.select("qid", "cid", "cent_id", "cosine",
+                       F.row_number().over(rw).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
 NEARDUP_TAU = 0.35
 
 

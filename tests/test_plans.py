@@ -33,6 +33,15 @@ def test_bruteforce_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ivf_probe_is_equijoin(spark, sf_dir):
+    """IVF: the only nested-loop is the broadcast of C centroids /
+    probe pairs; candidate generation must be an equi-join on cent_id
+    (no data-dependent cartesian)."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_broadcast_join_on_small_dim(spark, sf_dir):
     """nation (25 rows) must join broadcast, leaving one shuffle."""
     report = plans.plan_report(QUERIES["join_broadcast_revenue"](spark, sf_dir))
