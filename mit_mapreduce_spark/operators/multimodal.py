@@ -138,6 +138,80 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("orig_w", T.IntegerType()),
+    T.StructField("orig_h", T.IntegerType()),
+    T.StructField("new_w", T.IntegerType()),
+    T.StructField("new_h", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("resized_checksum", T.StringType()),
+])
+
+TARGET_EDGE = 32  # longest output edge of the stand-in resize
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STAND-IN resize kernel (PIL absent): source dimensions are
+    derived deterministically from the payload (w = 64 + md5[0],
+    h = 64 + md5[1]); the 'image' is rescaled to fit TARGET_EDGE
+    preserving aspect ratio, and the resized payload is a byte
+    subsample at the same ratio. A real deployment replaces exactly
+    this body with PIL `Image.open(...).thumbnail(...)`; the Arrow
+    batch contract, schema, and downstream rollup are unchanged."""
+    for pdf in batches:
+        out = {k: [] for k in ("asset_id", "orig_w", "orig_h", "new_w",
+                               "new_h", "resized", "resized_checksum")}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            data = bytes(payload)
+            digest = hashlib.md5(data).digest()
+            w, h = 64 + digest[0], 64 + digest[1]
+            ratio = TARGET_EDGE / max(w, h)
+            nw, nh = max(1, int(w * ratio)), max(1, int(h * ratio))
+            step = max(1, int(len(data) * (1 - ratio)) // TARGET_EDGE + 1)
+            resized = data[::step] or b"\x00"
+            out["asset_id"].append(asset_id)
+            out["orig_w"].append(w)
+            out["orig_h"].append(h)
+            out["new_w"].append(nw)
+            out["new_h"].append(nh)
+            out["resized"].append(resized)
+            out["resized_checksum"].append(hashlib.md5(resized).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def resize_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas resize stage: payload → bounded-size payload with
+    before/after dimension metadata."""
+    return (
+        assets.select("asset_id", "payload")
+        .mapInPandas(_fake_resize_batch, RESIZE_SCHEMA)
+    )
+
+
+@query("multimodal_resize")  # rows-only: the fake resizer is not SQL
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage + shrinkage rollup: per synthetic aspect bucket,
+    how many assets, the dimension totals before/after, and the byte
+    shrinkage. The stage is the third mapInPandas kernel (decode,
+    frame-sample, resize) sharing the one Arrow plumbing pattern."""
+    assets = binary_assets(spark, sf_dir)
+    resized = resize_assets(assets)
+    return (
+        resized.groupBy(
+            (F.col("orig_w") >= F.col("orig_h")).alias("landscape"))
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.col("orig_w").cast("bigint")).alias("sum_orig_w"),
+            F.sum(F.col("new_w").cast("bigint")).alias("sum_new_w"),
+            F.max("new_w").alias("max_new_w"),
+            F.max("new_h").alias("max_new_h"),
+            F.sum(F.length("resized").cast("bigint")).alias("sum_resized_bytes"),
+            F.countDistinct("resized_checksum").alias("nd_checksums"),
+        )
+    )
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
