@@ -65,3 +65,73 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     ).select("click_id", "user_id", "click_ts", "err_ts", "err_value")
     cols = ["click_id", "user_id", "click_ts", "err_ts", "err_value"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data + recovery semantics: the watermark persisted in the
+    checkpoint survives a restart, and an event arriving afterwards
+    that is older than the watermark is dropped from the append-mode
+    windowed aggregate (a batch query over the same files keeps it).
+
+    Two checkpointed availableNow runs model the restart. (Within a
+    SINGLE availableNow run, Spark 4.1 plans all file batches up front
+    and the late-record filter does not apply a watermark advanced by
+    an earlier planned batch — observed empirically; the durable-
+    checkpoint restart is the documented cross-run semantics.)"""
+    import pandas as pd
+
+    d = tmp_path / "late_events"
+    cp = tmp_path / "ckpt"
+    out = tmp_path / "out"
+    d.mkdir()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+            .parquet(str(d))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: three on-time events in the 10:00 window; final watermark
+    # 09:45 is committed to the checkpoint.  datetime64[us]: a NANOS
+    # timestamp would arrive as LONG under nanosAsLong (session.tune).
+    pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:15",
+                              "2024-01-01 10:45"]).astype("datetime64[us]"),
+    }).to_parquet(d / "a.parquet")
+    run_once()
+
+    # run 2 (restart): one event 9h older than the recovered watermark
+    # plus one fresh event that advances the watermark past 11:00.
+    pd.DataFrame({
+        "user_id": [1, 3],
+        "ts": pd.to_datetime(["2024-01-01 00:30",
+                              "2024-01-01 12:30"]).astype("datetime64[us]"),
+    }).to_parquet(d / "b.parquet")
+    run_once()
+
+    got = {(r.ws.hour, r.n) for r in spark.read.parquet(str(out)).collect()}
+    # the 10:00 window finalized with only the on-time rows; the late
+    # 00:30 row was dropped (no 00:00 window); 12:30's window is open
+    assert got == {(10, 3)}, got
+
+    batch = (
+        spark.read.schema("user_id BIGINT, ts TIMESTAMP").parquet(str(d))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    batch_hours = {r.w.start.hour for r in batch.collect()}
+    assert 0 in batch_hours and 12 in batch_hours  # batch keeps both
