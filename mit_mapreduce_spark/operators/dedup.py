@@ -341,10 +341,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The iterative-algorithm surface: min-label propagation to a
     fixpoint, driver loop over DataFrame joins with localCheckpoint()
-    per round to truncate lineage (at 100 TB each round is one
-    edge⋈label shuffle; rounds ≈ component diameter, which for dedup
-    graphs is tiny — big components are near-cliques because LSH
-    finds most pairs of a duplicate cluster directly). The oracle is
+    per round to truncate lineage. The loop runs ONLY over the edge
+    graph's vertex set — every doc outside it is provably its own
+    singleton cluster and joins the result once at the end. At 100 TB
+    this is the difference between iterating over billions of docs
+    and iterating over the near-dup graph (vertices « corpus; each
+    round is one edge⋈label shuffle, rounds ≈ component diameter,
+    tiny for dedup graphs — LSH finds most pairs of a duplicate
+    cluster directly, making components near-cliques). The oracle is
     a DuckDB recursive-CTE transitive closure — the iterative Spark
     computation is checked against declarative reachability."""
     docs = load_table(spark, sf_dir, "documents")
@@ -353,21 +357,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # symmetrized edges ⇒ every component member appears as src
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src").agg(F.min("cluster_id").alias("_nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"),
-                        F.coalesce("_nbr_min", "cluster_id")).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
+        joined = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+        new_labels = joined.select(
+            "doc_id",
+            F.least(F.col("cluster_id"),
+                    F.coalesce("_nbr_min", "cluster_id")).alias("cluster_id"),
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -377,4 +383,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # docs untouched by any near-dup pair: singleton clusters, no loop
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
