@@ -141,3 +141,106 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k.cast("bigint")).alias("max_k"),
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+             AS cohort_week
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_week,
+           CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    activity counted per subsequent week — the standard growth/
+    retention triangle. Two aggregations, both keyed on user_id /
+    (cohort, week): the firsts aggregate and the join shuffle on
+    user_id, then one narrow rollup. At 100 TB `firsts` is a
+    per-user row — orders of magnitude smaller than events — and
+    AQE picks a broadcast for the join when it fits."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort_week",
+                 F.date_trunc("week", F.col("ts")).alias("activity_week"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS ms
+      FROM events),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= ms
+                      AND ts < ms + INTERVAL 24 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS mc
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= mc
+                      AND ts < mc + INTERVAL 24 HOUR THEN ts END)
+                  OVER (PARTITION BY user_id) AS mp
+      FROM s2)
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN ms IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_signup,
+           CAST(COUNT(DISTINCT CASE WHEN mc IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_click_after,
+           CAST(COUNT(DISTINCT CASE WHEN mp IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_purchase_after
+    FROM s3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click at-or-after it → first
+    purchase at-or-after that — each within 24 hours of the prior
+    stage — counted as users reaching each stage.
+    Three chained min-over-user windows SHARE one user_id exchange
+    (same partitioning, consecutive stages — one shuffle total), then
+    a global distinct-count rollup. The event-sequence pattern
+    (attribution, abandonment, CEP precursor) composed from
+    conditional window minima instead of per-user UDF loops."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id", "ts", "event_type",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu)
+        .alias("ms"))
+    s2 = s1.withColumn(
+        "mc",
+        F.min(F.when((F.col("event_type") == "click")
+                     & (F.col("ts") >= F.col("ms"))
+                     & (F.col("ts") < F.col("ms") + F.expr("INTERVAL 24 HOUR")),
+                     F.col("ts"))).over(wu))
+    s3 = s2.withColumn(
+        "mp",
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("ts") >= F.col("mc"))
+                     & (F.col("ts") < F.col("mc") + F.expr("INTERVAL 24 HOUR")),
+                     F.col("ts"))).over(wu))
+    return s3.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(F.when(F.col("ms").isNotNull(), F.col("user_id")))
+        .cast("bigint").alias("n_signup"),
+        F.countDistinct(F.when(F.col("mc").isNotNull(), F.col("user_id")))
+        .cast("bigint").alias("n_click_after"),
+        F.countDistinct(F.when(F.col("mp").isNotNull(), F.col("user_id")))
+        .cast("bigint").alias("n_purchase_after"),
+    )

@@ -157,3 +157,35 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_cust"),
         F.cume_dist().over(w).cast("double").alias("cdist"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(28,4))) OVER w
+                AS DOUBLE) AS sum_30d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame (vs the ROWS frames above): each order's
+    trailing-30-day order value per customer. RANGE frames bound by
+    event-time distance, not row count — same-timestamp peers always
+    share a frame, so the result is deterministic without a row
+    tie-break. Spark range frames take a numeric order key; epoch
+    seconds with a ±30-day offset is exactly DuckDB's INTERVAL frame
+    (both ends inclusive)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-30 * 86400, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.round("o_totalprice", 4).cast(_DEC)).over(w)
+        .cast("double").alias("sum_30d"),
+        F.count("*").over(w).cast("bigint").alias("n_30d"),
+    )
