@@ -292,3 +292,63 @@ def sample_mix_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_chars").cast("bigint").alias("sum_chars"))
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, word),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+             ROUND(t.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                             / d.df), 4) AS tfidf
+      FROM tf t JOIN df d ON d.word = t.word)
+    SELECT doc_id, word, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, word) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF feature extraction: top-3 distinguishing terms per doc.
+
+    tf and df are one aggregation each over the exploded token stream
+    (both map-side combined); df — vocabulary-sized, tiny next to the
+    corpus — is broadcast back onto tf. The score is quantized at 4
+    decimals BEFORE ranking: Spark's Math.log (fdlibm) and DuckDB's
+    ln (libm) differ in the last ulp for some inputs (observed at
+    ln(3.0)), so ranking on the raw double could flip order between
+    engines; round-then-rank with a word tie-break is deterministic
+    everywhere. At 100 TB the same two-aggregate shape holds — df is
+    |vocabulary| rows and stays broadcastable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_spark_tokens()).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # driver scalar: one lightweight count job
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .select(
+            "doc_id", "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+            .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.select("doc_id", "word", "tf", "df", "tfidf",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
