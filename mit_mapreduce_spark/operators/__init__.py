@@ -17,6 +17,7 @@ def load_all() -> None:
         textstats,
         temporal,
         multimodal,
+        profiling,
         mrparity,
         streaming_queries,
     )

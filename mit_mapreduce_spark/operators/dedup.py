@@ -390,3 +390,126 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
+
+
+# --- exact n-gram Jaccard via prefix filtering ----------------------------
+
+NGRAM_T = 0.9   # word-set Jaccard threshold (the synthetic corpus draws
+# from a small shared vocabulary, so moderate thresholds match nearly
+# all pairs; 0.9 keeps the candidate set — and the result — selective)
+NGRAM_MOD = 5   # deterministic 1-in-5 doc sample: this corpus is
+# pathologically self-similar (~8% of ALL pairs pass J>=0.9), so the
+# unscoped result is ~n^2/13 rows at any sf; the sample bounds output
+# volume while exercising the identical plan. Real corpora don't need it.
+
+
+def _sql_ngram_bruteforce() -> str:
+    """Brute-force all-pairs word-set Jaccard — deliberately naive.
+
+    The Spark side uses AllPairs prefix filtering (Bayardo et al.,
+    WWW'07), which is LOSSLESS at the threshold; hashing the filtered
+    result against this exhaustive oracle proves no pair was dropped."""
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                    x -> x <> '')) AS word
+      FROM documents WHERE doc_id % {NGRAM_MOD} = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON b.word = a.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= {NGRAM_T}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_sql_ngram_bruteforce())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set Jaccard near-dup pairs (J >= NGRAM_T) without the
+    all-pairs join: AllPairs prefix + size filtering.
+
+    Unlike MinHash-LSH (probabilistic recall), this is exact: order
+    the vocabulary by ascending document frequency (rarest first; ties
+    broken by word, a total order), and for a doc with n tokens keep
+    only its first n - ceil(t*n) + 1 ordered tokens as its "prefix".
+    Two sets with Jaccard >= t MUST share a prefix token under a
+    common global order, and their sizes must satisfy
+    t*max(|a|,|b|) <= min(|a|,|b|) — both filters are lossless, and
+    the oracle is the NAIVE all-pairs computation, so a hash match
+    certifies that no qualifying pair was dropped.
+
+    Verification joins each candidate pair back to the two per-doc
+    sorted token arrays and takes size(array_intersect(...)) — one
+    codegen expression per pair, no token re-explode and no second
+    aggregation shuffle.
+
+    At 100 TB: df (vocabulary-sized) broadcasts onto the token stream;
+    the per-doc sort is local (docs are short next to partitions); the
+    candidate join keys on prefix words, which the df-ascending order
+    makes maximally selective — rare words first means small join
+    buckets, and the frequent words that would create hot buckets are
+    exactly the ones prefix filtering excludes."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % NGRAM_MOD == 0)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+        )).alias("word"),
+    )
+    dfreq = toks.groupBy("word").agg(F.count("*").alias("df"))
+
+    ordered = (
+        toks.join(F.broadcast(dfreq), "word")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "word"))).alias("o"),
+             F.count("*").alias("n"))
+        .select("doc_id", "n", F.expr("transform(o, s -> s.word)").alias("words"))
+    )
+    prefix = ordered.select(
+        "doc_id", "n",
+        F.explode(F.expr(
+            f"slice(words, 1,"
+            f" cast(n - ceil({NGRAM_T} * n) + 1 as int))")).alias("word"),
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # lossless size filter: J>=t forces t*|big| <= |small|
+               & (F.col("a.n") >= NGRAM_T * F.col("b.n"))
+               & (F.col("b.n") >= NGRAM_T * F.col("a.n")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    wa, wb = ordered.alias("wa"), ordered.alias("wb")
+    verified = (
+        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(wb, F.col("wb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("wa.words", "wb.words"))
+            .cast("bigint").alias("n_inter"),
+            F.col("wa.n").cast("bigint").alias("n_a"),
+            F.col("wb.n").cast("bigint").alias("n_b"),
+        )
+    )
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    return (
+        verified.select("doc_a", "doc_b", "n_inter", "n_a", "n_b",
+                        jac.alias("jaccard"))
+        .where(F.col("jaccard") >= NGRAM_T)
+    )

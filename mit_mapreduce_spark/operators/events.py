@@ -244,3 +244,34 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("mp").isNotNull(), F.col("user_id")))
         .cast("bigint").alias("n_purchase_after"),
     )
+
+
+@query(
+    "snapshot_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-record snapshot: collapse an append-only event
+    log to one current row per key (the upsert/compaction primitive a
+    training-data pipeline uses to materialize "state as of now").
+
+    row_number over (user_id, ts desc) with event_id as a total-order
+    tie-break; one user_id exchange, and each task keeps only its
+    running best row per key. At 100 TB the win over groupBy(max) +
+    self-join is that the whole payload rides the single window pass —
+    no second join to fetch the non-key columns."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

@@ -1,0 +1,157 @@
+"""Data-profiling and deterministic-sampling operators.
+
+North-star pipeline surface (no reference analogue — the reference
+has no schema to profile, SURVEY.md §1.3): the ops a 100 TB ingest
+runs before anything else — per-column statistics to catch schema
+drift, and reproducible stratified sampling to build eval slices and
+data mixes.
+
+Both are single-pass scans. The profiler computes every column's
+stats in ONE aggregation (no per-column re-scan); the sampler is a
+stateless hash predicate, so it needs no shuffle at all and the same
+rows are selected on any engine, any partitioning, any day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators.dedup import hash60, _sql_hash60
+from mit_mapreduce_spark.operators.registry import query
+
+# (column, kind) pairs for the orders profile. Numeric/timestamp stats
+# land in min_num/max_num (timestamps as epoch-µs — engine-neutral,
+# no string-formatting divergence); varchar min/max in min_str/max_str.
+_ORDERS_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _sql_profile() -> str:
+    branches = []
+    for c, kind in _ORDERS_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(MIN({c})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        ms = (f"CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR)"
+              if kind == "str" else
+              "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)")
+        branches.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,\n"
+            f"       COUNT(*) - COUNT({c}) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num,\n"
+            f"       {ms.split(', ')[0]} AS min_str,"
+            f" {ms.split(', ')[1]} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("profile_columns", oracle=_sql_profile())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiler: one row per column of `orders` with row count,
+    null count, exact distinct count, and typed min/max.
+
+    All columns' statistics are computed in a SINGLE aggregation pass
+    (the oracle's UNION-ALL-per-column shape would re-scan the table
+    once per column — wrong at 100 TB); the one wide aggregate row is
+    then exploded driver-free into per-column rows. The count-distincts
+    make Catalyst plan an expand (one shuffle per distinct domain) —
+    the price of exactness; swap in approx_count_distinct when ±2%
+    suffices (see agg_approx_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    aggs, fields = [], []
+    for c, kind in _ORDERS_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+        if kind == "num":
+            aggs += [F.min(c).cast("double").alias(f"{c}__mn"),
+                     F.max(c).cast("double").alias(f"{c}__mx")]
+        elif kind == "ts":
+            # parquet timestamps load as NTZ; cast re-tags the wall-clock
+            # value as UTC (session tz), matching DuckDB's epoch_us on
+            # the same naive value.
+            aggs += [F.unix_micros(F.min(c).cast("timestamp"))
+                     .cast("double").alias(f"{c}__mn"),
+                     F.unix_micros(F.max(c).cast("timestamp"))
+                     .cast("double").alias(f"{c}__mx")]
+        else:
+            aggs += [F.min(c).alias(f"{c}__smn"), F.max(c).alias(f"{c}__smx")]
+
+    for c, kind in _ORDERS_COLS:
+        is_str = kind == "str"
+        fields.append(F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"{c}__mn")).alias("min_num"),
+            (F.lit(None).cast("double") if is_str
+             else F.col(f"{c}__mx")).alias("max_num"),
+            (F.col(f"{c}__smn") if is_str
+             else F.lit(None).cast("string")).alias("min_str"),
+            (F.col(f"{c}__smx") if is_str
+             else F.lit(None).cast("string")).alias("max_str"),
+        ))
+
+    return (
+        orders.agg(*aggs)
+        .select(F.explode(F.array(*fields)).alias("p"))
+        .select("p.*")
+    )
+
+
+# Per-language sampling rates in basis points of 10_000 — a "data mix"
+# recipe: downsample the dominant language, keep the rest denser.
+_MIX_BPS = {"en": 2_000, "de": 5_000, "fr": 5_000, "es": 5_000}
+_DEFAULT_BPS = 3_000
+_SALT = "mix42#"
+
+
+def _sql_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bps}" for lang, bps in _MIX_BPS.items())
+    h = _sql_hash60(f"'{_SALT}' || doc_id::VARCHAR")
+    return f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {h} % 10000 < CASE {cases} ELSE {_DEFAULT_BPS} END
+    """
+
+
+@query("sample_stratified", oracle=_sql_sample())
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) Bernoulli sample — the
+    reproducible data-mixing primitive. Membership is a pure hash
+    predicate on (salt, doc_id): no RNG state, no shuffle, identical
+    selection at any parallelism and on any engine (the DuckDB oracle
+    picks the EXACT same rows — unlike rand()-based sampling, which is
+    rows-only-checkable at best; cf. sample_corpus).
+
+    At 100 TB this is a filter fully fused into the scan: sampling a
+    petabyte corpus costs one pass, and re-running it next month with
+    the same salt yields the same training mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    bps = F.lit(_DEFAULT_BPS)
+    for lang, rate in _MIX_BPS.items():
+        bps = F.when(F.col("lang") == lang, rate).otherwise(bps)
+    keep = (hash60(F.concat(F.lit(_SALT), F.col("doc_id").cast("string")))
+            % 10_000) < bps
+    return docs.where(keep).select("doc_id", "lang", "source", "n_chars")
