@@ -151,3 +151,47 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", F.col("c_user").alias("user_id"),
              "click_ts", "err_ts", "err_value")
     return spark.table(run_stream_to_table(joined, "append"))
+
+
+@query("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication via dropDuplicatesWithinWatermark: first
+    occurrence of each (user_id, event_type) is emitted, repeats are
+    dropped while their key is inside the watermark horizon — the
+    bounded-state streaming dedup (plain dropDuplicates would hold
+    every key forever; the watermark variant evicts keys once no late
+    duplicate can still arrive). Only the key columns are projected so
+    the emitted row set is deterministic (batch twin: DISTINCT —
+    asserted in tests/test_streaming.py). Oracle-exempt (stateful
+    streaming)."""
+    tune(spark)
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return spark.table(run_stream_to_table(ev, "append"))
+
+
+@query("stream_sliding_windows")
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING windows: 2-hour windows advancing every 30
+    minutes, so each event lands in 4 overlapping windows — the
+    hopping-aggregate shape (rate trends, alerting) the tumbling query
+    can't express. Spark expands each row to its 4 windows before the
+    keyed aggregation; state is one row per (window, event_type).
+    Oracle-exempt; equality with the identical batch window expression
+    is asserted in tests/test_streaming.py."""
+    tune(spark)
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+    return spark.table(run_stream_to_table(agg, "complete"))

@@ -99,3 +99,58 @@ def read_csv(spark: SparkSession, path: str, sep: str = ",",
              schema: T.StructType | None = None) -> DataFrame:
     r = spark.read.option("header", header).option("sep", sep)
     return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
+
+
+def write_parquet_partitioned(df: DataFrame, out_dir: str,
+                              partition_cols: list[str],
+                              overwrite_dynamic: bool = True) -> None:
+    """Hive-style partitioned parquet sink (``out/col=value/...``).
+
+    Partition directories are what turn a 100 TB table into prunable
+    slices: a reader filtering on a partition column scans only the
+    matching directories (partition pruning, asserted in
+    tests/test_partition_pruning.py). Dynamic overwrite mode replaces
+    ONLY the partitions present in ``df`` — the idempotent daily-ingest
+    pattern — instead of truncating the whole table."""
+    spark = df.sparkSession
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    if overwrite_dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (df.write.mode("overwrite")
+         .partitionBy(*partition_cols)
+         .parquet(out_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+
+
+def write_orc(df: DataFrame, out_dir: str) -> None:
+    """ORC sink — the second columnar format Spark ships natively."""
+    df.write.mode("overwrite").orc(out_dir)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(input_bytes / target) files. Returns the file count written.
+
+    Streaming sinks and fine-grained ingests leave thousands of tiny
+    files; at 100 TB that is a namenode/listing bottleneck and a
+    per-file task-scheduling tax on every downstream scan. Compaction
+    is a zero-shuffle rewrite when shrinking (coalesce merges read
+    splits without an exchange); the byte-based sizing keeps output
+    files near the row-group sweet spot regardless of row width."""
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_dir)
+        for f in files if f.endswith(".parquet") or f.startswith("part-"))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_dir).coalesce(n_files).write.mode(
+        "overwrite").parquet(out_dir)
+    return n_files

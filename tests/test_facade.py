@@ -78,3 +78,46 @@ def test_json_csv_roundtrip(spark, tmp_path):
     expect = {(1, "x"), (2, "y")}
     assert {tuple(r) for r in back_j.collect()} == expect
     assert {tuple(r) for r in back_c.collect()} == expect
+
+
+def test_partitioned_parquet_dynamic_overwrite(spark, tmp_path):
+    """Dynamic overwrite must replace only the partitions being written."""
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "pt")
+    df1 = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=3)])
+    sources.write_parquet_partitioned(df1, out, ["k"])
+    assert sorted(r.v for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    # overwrite partition a only; partition b must survive untouched
+    df2 = spark.createDataFrame([Row(k="a", v=9)])
+    sources.write_parquet_partitioned(df2, out, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 9), ("b", 3)}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "orc")
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    sources.write_orc(df, out)
+    back = sources.read_orc(spark, out)
+    assert sorted((r.a, r.b) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    frag, compact = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 10_000).withColumn("pad", F.md5(F.col("id").cast("string")))
+    df.repartition(64).write.parquet(frag)  # 64 tiny files
+    n_in = len(glob.glob(frag + "/part-*"))
+    assert n_in == 64
+
+    n_declared = sources.compact_parquet(spark, frag, compact,
+                                         target_file_bytes=10**9)
+    n_out = len(glob.glob(compact + "/part-*"))
+    assert n_declared == n_out == 1
+    assert spark.read.parquet(compact).count() == 10_000

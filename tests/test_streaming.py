@@ -135,3 +135,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     batch_hours = {r.w.start.hour for r in batch.collect()}
     assert 0 in batch_hours and 12 in batch_hours  # batch keeps both
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    """Watermarked streaming dedup must emit exactly the distinct keys."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    stream = QUERIES["stream_dedup"](spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").distinct()
+    cols = ["user_id", "event_type"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_sliding_equals_batch_window(spark, sf_dir):
+    """Hopping-window streaming aggregate must equal the same batch
+    window expression (every event in exactly 4 overlapping windows)."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.functions.numeric import dsum
+
+    stream = QUERIES["stream_sliding_windows"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+    n_events_total = ev.count()
+    per_window_sum = stream.agg(F.sum("n_events")).collect()[0][0]
+    assert per_window_sum == 4 * n_events_total
