@@ -141,7 +141,61 @@ def _planes() -> list[list[float]]:
     return planes
 
 
-@query("ann_lsh_pairs")  # rows-only: LSH recall is probabilistic surface
+def _sql_lsh_pairs() -> str:
+    """Full oracle for the LSH pipeline: the hyperplanes are
+    deterministic md5 constants, so DuckDB can recompute bucket
+    assignment AND the exact cosines — the 'probabilistic' structure
+    is reproducible, leaving nothing rows-only about it."""
+    vals = ",\n      ".join(
+        f"({p}, {d + 1}, {w!r})"
+        for p, row in enumerate(_planes()) for d, w in enumerate(row))
+    return f"""
+    WITH planes(p, d, w) AS (VALUES
+      {vals}),
+    bits AS (
+      SELECT e.vec_id, pl.p,
+             CASE WHEN SUM(CAST(ROUND(pl.w * CAST(e.embedding[pl.d] AS DOUBLE)
+                                      * {SCALE}) AS BIGINT)) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.p),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(bit * (1 << ({N_PLANES - 1} - p))) AS INT) AS bucket
+      FROM bits GROUP BY vec_id),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    cand AS (
+      SELECT ba.vec_id AS vec_a, bb.vec_id AS vec_b, ba.bucket
+      FROM buckets ba JOIN buckets bb
+        ON bb.bucket = ba.bucket AND bb.vec_id <> ba.vec_id),
+    pdots AS (
+      SELECT c.vec_a, c.vec_b, c.bucket,
+             {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')} AS dot
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY c.vec_a, c.vec_b, c.bucket),
+    scored AS (
+      SELECT p.vec_a, p.vec_b, p.bucket,
+             CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+      FROM pdots p
+      JOIN norms na ON na.vec_id = p.vec_a
+      JOIN norms nb ON nb.vec_id = p.vec_b)
+    SELECT vec_a, vec_b, bucket, cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_a
+               ORDER BY cosine DESC, vec_b) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """
+
+
+@query("ann_lsh_pairs", oracle=_sql_lsh_pairs())
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH neighbor pairs: 6 deterministic
     hyperplanes → 64 buckets; per-bucket equi-self-join; per-vector
@@ -150,7 +204,10 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path: bucket count grows with N_PLANES, candidate work
     is Σ bucket² instead of n²; the join key is the bucket id so AQE
     splits oversized buckets. Verified in tests: the physical plan
-    contains no CartesianProduct."""
+    contains no CartesianProduct. All dot products (plane signs and
+    pair cosines) use the scaled-integer form, so bucket membership,
+    cosine values, and ranks are bit-identical to the DuckDB oracle —
+    a fully hash-checked LSH pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = _planes()
     plane_cols = F.array(*[
@@ -161,24 +218,20 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda plane: F.when(
             F.aggregate(
                 F.zip_with(plane, F.col("embedding"),
-                           lambda w, x: w * x.cast("double")),
-                F.lit(0.0), lambda acc, v: acc + v) >= 0, 1).otherwise(0))
+                           lambda w, x: F.round(w * x.cast("double") * SCALE)
+                           .cast("bigint")),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v) >= 0,
+            1).otherwise(0))
     bucket = F.aggregate(
         sign_bits, F.lit(0),
         lambda acc, bit: acc * 2 + bit)
-    norm = F.sqrt(F.aggregate(
-        F.zip_with("embedding", "embedding",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v))
+    nsq = _dot_scaled(F.col("embedding"), F.col("embedding"))
     vecs = emb.select(
         F.col("vec_id"), F.col("embedding"), bucket.alias("bucket"),
-        norm.alias("norm"))
+        nsq.alias("nsq"))
     a = vecs.alias("a")
     b = vecs.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
+    dot = _dot_scaled(F.col("a.embedding"), F.col("b.embedding"))
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") != F.col("b.vec_id")))
@@ -186,7 +239,9 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.bucket").alias("bucket"),
-            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+            (dot.cast("double")
+             / (F.sqrt(F.col("a.nsq").cast("double"))
+                * F.sqrt(F.col("b.nsq").cast("double")))).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cosine").desc(), F.col("vec_b"))

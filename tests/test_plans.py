@@ -96,3 +96,25 @@ def test_window_functions_share_single_exchange(spark, sf_dir):
     reuse one user_id exchange, not stack three."""
     df = QUERIES["window_cumsum"](spark, sf_dir)
     assert plans.shuffle_count(df) <= 1, plans.formatted_plan(df)
+
+
+@pytest.mark.parametrize("name", ["dedup_ngram_jaccard", "embed_neardup_blocked"])
+def test_neardup_joins_are_equijoins(spark, sf_dir, name):
+    """Prefix-filtered Jaccard and blocked-cosine candidate generation
+    must be equi-joins — never a materialized all-pairs product."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profiler_single_scan(spark, sf_dir):
+    """profile_columns computes every column's stats from ONE scan of
+    orders (the oracle's per-column UNION ALL re-scans; the engine
+    must not)."""
+    df = QUERIES["profile_columns"](spark, sf_dir)
+    assert len(plans.scan_columns(df)) == 1, plans.formatted_plan(df)
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    """The hash-predicate sample is a pure filter: zero exchanges."""
+    df = QUERIES["sample_stratified"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
