@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+import unicodedata
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,9 +30,33 @@ from mit_mapreduce_spark.operators.registry import query
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
-# Maximal runs of Unicode letters (Go unicode.IsLetter parity;
-# [^\W\d_] is the re-module idiom for "letter").
+# Maximal runs of Unicode letters (Go unicode.IsLetter parity).
+# [^\W\d_] alone is NOT letter-only: Python's \w covers alnum, so
+# category-N characters outside \d (superscripts '²', roman numerals
+# 'Ⅻ') slip through (found by tests/test_properties.py). The regex is
+# the fast path; tokens containing any non-L rune are re-split
+# character-wise.
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def letter_tokens(text: str) -> list[str]:
+    """Maximal runs of category-L runes — exact `unicode.IsLetter`
+    split semantics (`mrapps/wc.go:23-26`)."""
+    out = []
+    for t in _WORD_RE.findall(text):
+        if all(unicodedata.category(c).startswith("L") for c in t):
+            out.append(t)
+            continue
+        cur = []
+        for c in t:
+            if unicodedata.category(c).startswith("L"):
+                cur.append(c)
+            elif cur:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+    return out
 
 
 def _materialize_inputs(spark: SparkSession, sf_dir: str) -> str:
@@ -73,7 +98,7 @@ def _materialize_inputs(spark: SparkSession, sf_dir: str) -> str:
 # --- A1: word count (mrapps/wc.go:21-44) ----------------------------------
 
 def _wc_map(filename: str, contents: str):
-    return [(w, "1") for w in _WORD_RE.findall(contents)]
+    return [(w, "1") for w in letter_tokens(contents)]
 
 
 def _wc_reduce(key: str, values: list[str]) -> str:
@@ -103,7 +128,7 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A2: inverted index (mrapps/indexer.go:20-39) -------------------------
 
 def _indexer_map(filename: str, contents: str):
-    return [(w, filename) for w in sorted(set(_WORD_RE.findall(contents)))]
+    return [(w, filename) for w in sorted(set(letter_tokens(contents)))]
 
 
 def _indexer_reduce(key: str, values: list[str]) -> str:
