@@ -18,6 +18,7 @@ def load_all() -> None:
         temporal,
         multimodal,
         profiling,
+        udfs,
         mrparity,
         streaming_queries,
     )
