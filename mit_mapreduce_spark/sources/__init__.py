@@ -154,3 +154,30 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
     spark.read.parquet(in_dir).coalesce(n_files).write.mode(
         "overwrite").parquet(out_dir)
     return n_files
+
+
+def read_parquet_evolved(spark: SparkSession, *dirs: str) -> DataFrame:
+    """Schema-evolution read: union parquet directories written with
+    different (compatible) schemas; ``mergeSchema`` reconciles by
+    column name, missing columns surface as NULL. The append-a-column
+    migration every long-lived 100 TB table goes through — readers of
+    old + new partitions must not break."""
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+
+def read_csv_permissive(spark: SparkSession, path: str,
+                        schema: T.StructType,
+                        corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """Malformed-row-tolerant CSV scan: rows that fail the schema land
+    intact in ``corrupt_col`` instead of failing the job — at pipeline
+    scale a handful of bad rows must never kill a million-task read;
+    they get quarantined and audited (filter corrupt_col IS NOT NULL;
+    Spark requires the frame be cached — or other columns referenced —
+    before a query that touches ONLY the corrupt column)."""
+    full = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )

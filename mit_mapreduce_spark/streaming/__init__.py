@@ -84,3 +84,33 @@ def run_stream_to_table(stream_df: DataFrame, mode: str,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     return name
+
+
+def run_stream_foreach_batch(stream_df: DataFrame, out_dir: str,
+                             partition_col: str) -> None:
+    """Drain a stream through foreachBatch into partitioned parquet
+    with dynamic partition overwrite — the idempotent file-lake sink.
+
+    foreachBatch hands each micro-batch to arbitrary batch code; with
+    dynamic overwrite keyed on (partition values present in the batch)
+    a REPLAYED batch — Spark's at-least-once sink contract after a
+    failure — overwrites its own previous output instead of appending
+    duplicates. This is how exactly-once lands on plain parquet
+    without a transaction log."""
+    spark = stream_df.sparkSession
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (batch_df.write.mode("overwrite")
+             .partitionBy(partition_col).parquet(out_dir))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -121,3 +121,37 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n_out = len(glob.glob(compact + "/part-*"))
     assert n_declared == n_out == 1
     assert spark.read.parquet(compact).count() == 10_000
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Old partitions (2 cols) + new partitions (3 cols) must read as
+    one table with NULLs for the column old rows predate."""
+    from pyspark.sql import Row
+
+    old, new = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([Row(id=1, a="x")]).write.parquet(old)
+    spark.createDataFrame([Row(id=2, a="y", b=7)]).write.parquet(new)
+    df = sources.read_parquet_evolved(spark, old, new)
+    got = {(r.id, r.a, r.b) for r in df.collect()}
+    assert got == {(1, "x", None), (2, "y", 7)}
+
+
+def test_permissive_csv_quarantines_bad_rows(spark, tmp_path):
+    """A malformed row must land in _corrupt_record, not kill the scan."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,alpha\nnot_a_number,beta\n2,gamma\n")
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+    ])
+    # Spark disallows queries whose only referenced column is the
+    # internal corrupt-record column on an uncached CSV scan; cache
+    # first (the helper's docstring documents this audit pattern).
+    df = sources.read_csv_permissive(spark, str(p), schema).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]._corrupt_record

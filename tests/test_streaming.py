@@ -170,3 +170,22 @@ def test_stream_sliding_equals_batch_window(spark, sf_dir):
     n_events_total = ev.count()
     per_window_sum = stream.agg(F.sum("n_events")).collect()[0][0]
     assert per_window_sum == 4 * n_events_total
+
+
+def test_foreach_batch_sink_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the drain (same input, fresh run) must not duplicate
+    rows: dynamic partition overwrite makes the sink idempotent."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.streaming import (events_stream,
+                                               run_stream_foreach_batch)
+
+    out = str(tmp_path / "lake")
+    ev = events_stream(spark, sf_dir).withColumn(
+        "day", F.to_date("ts")).select("event_id", "user_id", "value", "day")
+    run_stream_foreach_batch(ev, out, "day")
+    n_expected = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n_expected
+
+    # replay: a second availableNow drain of the same source
+    run_stream_foreach_batch(ev, out, "day")
+    assert spark.read.parquet(out).count() == n_expected
