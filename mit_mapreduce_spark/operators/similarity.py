@@ -226,14 +226,19 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sign_bits, F.lit(0),
         lambda acc, bit: acc * 2 + bit)
     nsq = _dot_scaled(F.col("embedding"), F.col("embedding"))
+    # Materialize the bucketed vectors once: the sign-bit lambdas are
+    # interpreted (N_PLANES × DIM per row), and the self-join would
+    # recompute them for BOTH sides. One row per vector — at any scale
+    # this is the vector table itself, the natural thing to persist.
     vecs = emb.select(
         F.col("vec_id"), F.col("embedding"), bucket.alias("bucket"),
-        nsq.alias("nsq"))
+        nsq.alias("nsq")).localCheckpoint()
     a = vecs.alias("a")
     b = vecs.alias("b")
     dot = _dot_scaled(F.col("a.embedding"), F.col("b.embedding"))
     pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+        a.join(F.broadcast(b),
+               (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") != F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
