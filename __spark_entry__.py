@@ -43,7 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin SQL for each SQL-expressible query; queries absent
-    here (streaming, facade raw output, LSH) get the driver's weaker
-    rows-only check by design.
+    here (stateful streaming, stubbed-codec multimodal kernels,
+    rand()-based sampling demos, engine-specific HLL sketches) get the
+    driver's weaker rows-only check by design — every deterministic
+    operator, including the LSH/MinHash pipelines and all Python-UDF
+    variants, is fully oracle-checked.
     """
     return dict(operators.ORACLES)
