@@ -155,3 +155,88 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (hash60(F.concat(F.lit(_SALT), F.col("doc_id").cast("string")))
             % 10_000) < bps
     return docs.where(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+_PIPE_SALT = "pipe#"
+_MIN_TOKENS = 10
+_MAX_PUNCT = 0.3
+_TOKS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+
+def _sql_pipeline() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bps}" for lang, bps in _MIX_BPS.items())
+    h = _sql_hash60(f"'{_PIPE_SALT}' || doc_id::VARCHAR")
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             length({_TOKS}) AS n_toks
+      FROM documents
+      WHERE length({_TOKS}) >= {_MIN_TOKENS}
+        AND CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+', '', 'g'))
+                 AS DOUBLE) / length(text) <= {_MAX_PUNCT}),
+    kept AS (
+      SELECT * FROM (
+        SELECT q.*, MIN(doc_id) OVER (PARTITION BY
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+               AS keep_id
+        FROM q)
+      WHERE doc_id = keep_id),
+    samp AS (
+      SELECT * FROM kept
+      WHERE {h} % 10000 < CASE {cases} ELSE {_DEFAULT_BPS} END)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM samp
+    GROUP BY lang, source
+    """
+
+
+@query("pipeline_training_mix", oracle=_sql_pipeline())
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end to end in ONE plan:
+    quality gate (token floor + punctuation ceiling) → exact-normalized
+    dedup keep-list (min doc_id per fingerprint) → deterministic
+    stratified sample → per-(lang, source) mix summary.
+
+    This is the flagship shape the individual operators exist for, and
+    every stage is deterministic, so the whole composition hash-checks
+    against DuckDB. Plan-wise: the quality gate is a scan-fused filter,
+    the keep-list is one fingerprint window exchange, the sampler is a
+    free filter, and the summary is one partial-aggregated shuffle —
+    two exchanges total for a four-stage pipeline. At 100 TB each
+    stage's posture is inherited from the operator it composes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    n_toks = F.size(toks)
+    punct_ratio = (F.length(F.regexp_replace("text", r"[\p{L}\s]+", ""))
+                   .cast("double") / F.length("text"))
+    q = (
+        docs.withColumn("n_toks", n_toks)
+        .where((F.col("n_toks") >= _MIN_TOKENS)
+               & (punct_ratio <= _MAX_PUNCT))
+    )
+
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    kept = (
+        q.withColumn("keep_id", F.min("doc_id").over(Window.partitionBy(fp)))
+        .where(F.col("doc_id") == F.col("keep_id"))
+    )
+
+    bps = F.lit(_DEFAULT_BPS)
+    for lang, rate in _MIX_BPS.items():
+        bps = F.when(F.col("lang") == lang, rate).otherwise(bps)
+    samp = kept.where(
+        (hash60(F.concat(F.lit(_PIPE_SALT), F.col("doc_id").cast("string")))
+         % 10_000) < bps)
+
+    return (
+        samp.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_toks").cast("bigint").alias("sum_tokens"),
+             F.sum(F.length("text")).cast("bigint").alias("sum_chars"))
+    )
