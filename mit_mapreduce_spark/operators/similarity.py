@@ -236,8 +236,13 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = vecs.alias("a")
     b = vecs.alias("b")
     dot = _dot_scaled(F.col("a.embedding"), F.col("b.embedding"))
+    # No broadcast hint: both sides are the full vector table, and a
+    # forced broadcast would ship the whole corpus to every executor at
+    # scale. The equi-join on bucket is already shuffle-sized per
+    # bucket; AQE may still *choose* a broadcast when the table is
+    # small enough, which is the right adaptive behavior.
     pairs = (
-        a.join(F.broadcast(b),
+        a.join(b,
                (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") != F.col("b.vec_id")))
         .select(
@@ -361,7 +366,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("_p.y").cast("double") * SCALE)
             .cast("bigint")).alias("dot"))
     )
-    nc = norms.withColumnRenamed("vec_id", "cent_id").withColumnRenamed("nsq", "cnsq")
+    # Centroid norms: computed from the C centroid vectors themselves
+    # (N_CELLS rows), never a broadcast of the full norms table.
+    nc = cents.select(
+        "cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
     ascored = (
         adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
         .select("vec_id", "cent_id",
@@ -384,7 +392,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("cid"), "cent_id")
     )
-    qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    # Broadcast ONLY the query-side slices: filter to vec_id < N_QUERIES
+    # BEFORE the broadcast hint so the build side is the 8-row query
+    # set, not the full embeddings/norms table renamed (which would be
+    # a guaranteed OOM at scale). The candidate-side joins stay as
+    # shuffle equi-joins sized by the probe volume.
+    qe = (emb.where(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")))
     ce = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
     rdots = (
         cands.join(F.broadcast(qe), "qid").join(ce, "cid")
@@ -398,7 +412,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("_p.y").cast("double") * SCALE)
             .cast("bigint")).alias("dot"))
     )
-    nq = norms.withColumnRenamed("vec_id", "qid").withColumnRenamed("nsq", "qnsq")
+    nq = (norms.where(F.col("vec_id") < N_QUERIES)
+          .withColumnRenamed("vec_id", "qid").withColumnRenamed("nsq", "qnsq"))
     ncd = norms.withColumnRenamed("vec_id", "cid").withColumnRenamed("nsq", "cnsq")
     rscored = (
         rdots.join(F.broadcast(nq), "qid").join(ncd, "cid")

@@ -72,6 +72,44 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return cols
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The text of each BroadcastExchange subtree — tree lines plus the
+    per-node details — so tests can assert WHAT gets broadcast (e.g.
+    "the build side is the filtered 8-row query set"), not merely that
+    a broadcast exists. Parsing: the formatted plan's first block is
+    the indented tree with ``NodeName (id)`` labels; a node's subtree
+    is every following line with deeper indentation. Details for the
+    ids found in the subtree are appended from the second block."""
+    plan = formatted_plan(df)
+    blocks = plan.split("\n\n")
+    tree = blocks[0].splitlines()
+    details = "\n\n".join(blocks[1:])
+    id_detail: dict[str, str] = {}
+    for m in re.finditer(r"^\((\d+)\) ([^\n]+)\n((?:(?!^\(\d+\)).*\n?)*)",
+                         details, re.M):
+        id_detail[m.group(1)] = f"({m.group(1)}) {m.group(2)}\n{m.group(3)}"
+
+    def indent(line: str) -> int:
+        m = re.search(r"[A-Za-z=]", line)
+        return m.start() if m else 0
+
+    out: list[str] = []
+    for i, line in enumerate(tree):
+        if "BroadcastExchange" not in line:
+            continue
+        d = indent(line)
+        sub = [line]
+        for nxt in tree[i + 1:]:
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        ids = [m.group(1) for l in sub for m in re.finditer(r"\((\d+)\)", l)]
+        body = "\n".join(sub)
+        detail = "\n".join(id_detail[i_] for i_ in ids if i_ in id_detail)
+        out.append(body + "\n---\n" + detail)
+    return out
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call perf posture summary for a DataFrame plan."""
     plan = formatted_plan(df)

@@ -42,6 +42,44 @@ def test_ivf_probe_is_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+import re
+
+
+@pytest.mark.parametrize("name", [
+    "ann_lsh_pairs", "ann_ivf_topk", "ann_bruteforce_topk"])
+def test_ann_broadcasts_only_bounded_relations(spark, sf_dir, name):
+    """VERDICT r2 #1/#2: no ANN operator may FORCE a broadcast of an
+    unbounded (full-table) relation. With autoBroadcastJoinThreshold
+    disabled, the only BroadcastExchanges left are hint-forced ones —
+    each such build side must carry a vec_id-bounding filter (the 8-row
+    query set `vec_id < 8` or the C-centroid set `vec_id % 7`). Size-
+    based auto-broadcasts remain allowed: they disappear on their own
+    when the table outgrows the threshold."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        for sub in plans.broadcast_subtrees(df):
+            assert re.search(r"vec_id#\d+L?\)* (?:<|%) ", sub), \
+                f"{name}: hint-forced broadcast of an unbounded relation:\n{sub}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lsh_self_join_not_hint_broadcast(spark, sf_dir):
+    """The LSH bucket self-join must shuffle on the bucket key when
+    broadcast is off — both sides are the corpus; a surviving
+    BroadcastExchange would mean a forced full-table ship."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "ann_lsh_pairs")
+        assert "BroadcastExchange" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_broadcast_join_on_small_dim(spark, sf_dir):
     """nation (25 rows) must join broadcast, leaving one shuffle."""
     report = plans.plan_report(QUERIES["join_broadcast_revenue"](spark, sf_dir))
