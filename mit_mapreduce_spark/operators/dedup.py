@@ -55,9 +55,16 @@ def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
     are built with a JVM-side transform over index sequences (no
     explode until the final distinct-shingle rows)."""
     toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    # Short-doc guard: with fewer than k tokens, sequence(1, size-k+1)
+    # would be DESCENDING (e.g. sequence(1, 0) = [1, 0]) and slice at
+    # position 0 throws INVALID_PARAMETER_VALUE.START — any 2-token
+    # document would crash the whole pipeline. Such docs simply have
+    # no k-shingles: emit an empty array.
     arr = F.expr(
-        f"""transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)),
-                      i -> concat_ws(' ', slice(_toks, i, {k})))"""
+        f"""CASE WHEN size(_toks) < {k} THEN array()
+                 ELSE transform(sequence(1, size(_toks) - {k - 1}),
+                                i -> concat_ws(' ', slice(_toks, i, {k})))
+            END"""
     )
     return (
         docs.select("doc_id", toks.alias("_toks"))
@@ -363,6 +370,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -383,6 +391,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > MAX_CC_ITERS would otherwise
+        # return silently-wrong partial labels (the oracle computes the
+        # full transitive closure). Fail loudly instead.
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{MAX_CC_ITERS} rounds ({changed} labels still changing); "
+            f"raise MAX_CC_ITERS for graphs with larger diameters")
     # docs untouched by any near-dup pair: singleton clusters, no loop
     return (
         docs.select("doc_id")

@@ -450,6 +450,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "agg_exact_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — the oracle-checked exact leg
+    of the distinct-counting pair (VERDICT r2 #4); agg_approx_distinct
+    is the fixed-memory HLL swap-in at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    )
+
+
 @query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the fixed-memory sketch

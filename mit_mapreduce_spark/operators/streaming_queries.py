@@ -75,13 +75,22 @@ def _user_stats_fn(key, pdfs, state):
     can't express (cross-batch counters, model state, CEP). Sums are
     accumulated in integer 1e-4 units so state merge order can't
     perturb the result."""
-    import pandas as pd  # local import: runs on Python workers
+    import numpy as np  # local imports: run on Python workers
+    import pandas as pd
 
     (user_id,) = key
     n, sum_scaled, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        sum_scaled += int(round(pdf["value"], 4).mul(10_000).sum())
+        # Each value → int64 1e-4 units BEFORE the (integral) sum, with
+        # HALF_UP floor(x+0.5) rounding — the pandas twin of
+        # functions.numeric.dsum and udfs.sum_scaled4. pandas .round()
+        # would be half-EVEN (divergent from Spark's HALF_UP on dyadic
+        # ties like 0.03125) and a float .sum() could lose integer
+        # precision on large groups before the int() truncation.
+        sum_scaled += int(
+            np.floor(pdf["value"].to_numpy() * 10_000 + 0.5)
+            .astype("int64").sum())
         last_us = max(last_us, int(pdf["us"].max()))
     state.update((n, sum_scaled, last_us))
     yield pd.DataFrame({

@@ -57,18 +57,31 @@ def write_kv_text(df: DataFrame, out_dir: str, n_partitions: int = 10,
     ``mr-out-<i>``, each holding ``"<key> <value>"`` lines.
 
     Mirrors `mr/worker.go:182-198` / `main/mrmaster.go:23` (nReduce=10
-    default). Keys are sorted within each output partition, as the
-    reference's reduce loop emits them post-sort (`mr/worker.go:181`).
-    Returns the written file paths."""
+    default) at PER-FILE fidelity: routing is the reference's own
+    FNV-32a & 0x7fffffff over the key (`mr/worker.go:38-42`), so which
+    key lands in which mr-out-N matches the Go output exactly — a
+    DataFrame ``repartition`` would use Spark's Murmur3 and scatter
+    keys differently. Keys are sorted within each output partition, as
+    the reference's reduce loop emits them post-sort
+    (`mr/worker.go:181`). RDD-based like the facade itself (this is
+    the byte-faithful compat sink, not a scale data path). Returns the
+    written file paths."""
+    import shutil
+
+    from mit_mapreduce_spark.mapreduce import fnv32a
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
     (
-        df.select(F.col(key).alias("k"), F.col(value).alias("v"))
-        .repartition(n_partitions, F.col("k"))
-        .sortWithinPartitions("k")
-        .select(F.concat_ws(" ", "k", "v").alias("value"))
-        .write.mode("overwrite").text(out_dir)
+        df.select(F.col(key).cast("string").alias("k"),
+                  F.col(value).cast("string").alias("v"))
+        .rdd.map(tuple)
+        .partitionBy(n_partitions, fnv32a)   # partitionFunc(k) % n
+        .mapPartitions(lambda it: (f"{k} {v}" for k, v in sorted(it)))
+        .saveAsTextFile(out_dir)
     )
-    # Spark names shard files part-<idx>-<uuid>; rename to the
-    # reference's mr-out-<idx> contract (driver-side, local FS).
+    # Spark names shard files part-00000...; rename to the reference's
+    # mr-out-<idx> contract (driver-side, local FS).
     out = []
     for part in sorted(_glob.glob(os.path.join(out_dir, "part-*"))):
         idx = int(os.path.basename(part).split("-")[1])

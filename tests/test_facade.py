@@ -49,15 +49,20 @@ def test_write_kv_text_mr_out_contract(spark, tmp_path):
     out = str(tmp_path / "out")
     files = sources.write_kv_text(df, out, n_partitions=3)
     names = sorted(os.path.basename(f) for f in files)
-    # Empty partitions produce no file — the reference's F11
-    # empty-partition elision has the same observable behavior.
-    assert names and set(names) <= {"mr-out-0", "mr-out-1", "mr-out-2"}
+    # One mr-out-N per reduce partition, like the reference's per-task
+    # ofile creation (possibly empty).
+    assert names == ["mr-out-0", "mr-out-1", "mr-out-2"]
     lines = sorted(
         line
         for f in files
         for line in open(f, encoding="utf-8").read().splitlines()
     )
     assert lines == ["a 1", "b 2", "c 3"]
+    # PER-FILE fidelity: each key must land in the file the reference's
+    # FNV-32a routing picks (mr/worker.go:38-42,132).
+    for k, v in (("a", "1"), ("b", "2"), ("c", "3")):
+        want = os.path.join(out, f"mr-out-{fnv32a(k) % 3}")
+        assert f"{k} {v}" in open(want, encoding="utf-8").read().splitlines()
 
 
 def test_whole_text_files_roundtrip(spark, tmp_path):
