@@ -15,6 +15,7 @@ def load_all() -> None:
         dedup,
         similarity,
         textstats,
+        curation,
         temporal,
         multimodal,
         profiling,

@@ -1,0 +1,313 @@
+"""Corpus-curation operators over `documents`: repetition-quality
+signals, fixed-size chunking, benchmark-contamination detection, and
+PII redaction.
+
+North-star LLM-training-pipeline surface (no reference equivalent; the
+reference's text processing stops at tokenize/count, `mrapps/wc.go:21-44`).
+Like textstats.py, everything is JVM-side expression work — split /
+regexp / higher-order array functions riding whole-stage codegen:
+
+- ``quality_repetition``: Gopher-style repetition filters (duplicate
+  n-gram fractions, type-token ratio) computed entirely inside array
+  expressions — one scan, zero shuffles, no explode (no row blowup).
+- ``chunk_documents``: overlapping fixed-token-count windows (the
+  training-example chunker). One scan + one controlled posexplode
+  whose fan-out is ceil(n_tokens/stride) per doc — bounded and linear.
+- ``contamination_ngrams``: n-gram overlap of the corpus against a
+  designated eval/benchmark set — the decontamination step every
+  training pipeline runs. The eval side is tiny by construction
+  (benchmarks are), so it is broadcast; the probe is an equi-join on
+  the n-gram string followed by one per-doc aggregation.
+- ``pii_redact``: regex scrubbing (emails, IPv4s) with match counts.
+  The synthetic corpus carries no PII, so the query seeds
+  deterministic PII derived from doc_id before scrubbing — proving
+  the redaction really fires, with a DuckDB oracle agreeing on every
+  byte of the redacted output.
+
+All four are fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators.registry import query
+
+# whitespace tokens (chunker/PII operate on raw whitespace words;
+# the repetition signals use reference-semantics letter runs like
+# textstats, so both tokenizations stay exercised)
+_WS_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_LTR_TOKS_SQL = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+
+def _ws_tokens() -> Column:
+    return F.filter(F.split("text", r"\s+"), lambda x: x != "")
+
+
+def _letter_tokens() -> Column:
+    return F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+
+
+def _ngram_arr(k: int) -> Column:
+    """All k-word n-grams of the letter-token array ``_toks`` (with
+    duplicates — repetition signals need multiplicity). Short-doc
+    guard: < k tokens ⇒ empty array (sequence(1, 0) would descend and
+    slice would throw — see dedup.shingles_df)."""
+    return F.expr(
+        f"""CASE WHEN size(_toks) < {k} THEN array()
+                 ELSE transform(sequence(1, size(_toks) - {k - 1}),
+                                i -> concat_ws(' ', slice(_toks, i, {k})))
+            END"""
+    )
+
+
+def _sql_ngram_arr(k: int) -> str:
+    """DuckDB twin of _ngram_arr (range(a, b) is empty when b <= a, so
+    no short-doc guard is needed)."""
+    return (f"list_transform(range(1, greatest(len(_toks) - {k - 1}, 0) + 1), "
+            f"i -> array_to_string(list_slice(_toks, i, i + {k - 1}), ' '))")
+
+
+# --- repetition-quality signals ------------------------------------------
+
+MAX_DUP_BIGRAM_FRAC = 0.2   # Gopher-style thresholds (Rae et al. 2021
+MIN_TTR = 0.2               # use top-2/3/4-gram + dup-5..10-gram
+                            # fractions; one bigram + one trigram
+                            # fraction is the same machinery)
+
+
+@query(
+    "quality_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_LTR_TOKS_SQL} AS _toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(len(_toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(_toks)) AS BIGINT) AS n_distinct,
+             {_sql_ngram_arr(2)} AS bi,
+             {_sql_ngram_arr(3)} AS tri
+      FROM t)
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(n_distinct AS DOUBLE) / n_tokens END AS DOUBLE)
+             AS ttr,
+           CAST(CASE WHEN len(bi) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                END AS DOUBLE) AS dup_bigram_frac,
+           CAST(CASE WHEN len(tri) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                END AS DOUBLE) AS dup_trigram_frac,
+           (CASE WHEN len(bi) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                 END) <= {MAX_DUP_BIGRAM_FRAC}
+             AND (CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(n_distinct AS DOUBLE) / n_tokens END) >= {MIN_TTR}
+             AS passes
+    FROM g
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals per document (Gopher-rule family):
+    type-token ratio and duplicate bigram/trigram fractions, plus the
+    combined keep/drop verdict. Every signal is an array expression
+    over the token array — one scan, zero shuffles, zero explodes, so
+    the filter costs exactly one pass over the corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", _letter_tokens().alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("bigint").alias("n_distinct"),
+        _ngram_arr(2).alias("bi"),
+        _ngram_arr(3).alias("tri"),
+    )
+
+    def dup_frac(arr: str) -> Column:
+        n = F.size(F.col(arr))
+        nd = F.size(F.array_distinct(F.col(arr)))
+        return (F.when(n == 0, F.lit(0.0))
+                .otherwise(F.lit(1.0) - nd.cast("double") / n))
+
+    ttr = (F.when(F.col("n_tokens") == 0, F.lit(0.0))
+           .otherwise(F.col("n_distinct").cast("double") / F.col("n_tokens")))
+    bi_frac = dup_frac("bi")
+    return staged.select(
+        "doc_id", "n_tokens", "n_distinct",
+        ttr.cast("double").alias("ttr"),
+        bi_frac.cast("double").alias("dup_bigram_frac"),
+        dup_frac("tri").cast("double").alias("dup_trigram_frac"),
+        ((bi_frac <= MAX_DUP_BIGRAM_FRAC)
+         & (ttr >= MIN_TTR)).alias("passes"),
+    )
+
+
+# --- fixed-size overlapping chunking -------------------------------------
+
+CHUNK_TOKENS = 40   # tokens per training chunk
+CHUNK_STRIDE = 30   # 10-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WS_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}))
+               AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, start, start + {CHUNK_TOKENS - 1}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start, start + {CHUNK_TOKENS - 1}),
+                           ' ') AS chunk_text
+    FROM s
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example chunker: overlapping CHUNK_TOKENS-word windows
+    every CHUNK_STRIDE tokens (the standard fixed-context-window prep
+    step). The only fan-out is a posexplode over the per-doc start
+    offsets — ceil(n_tokens/stride) rows per doc, linear in corpus
+    size; the token array is built once per doc and sliced per chunk
+    JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _ws_tokens().alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        staged.select(
+            "doc_id", "toks",
+            F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS)))
+            .cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice("toks", F.col("start"), F.lit(CHUNK_TOKENS)), " ")
+            .alias("chunk_text"),
+        )
+    )
+
+
+# --- benchmark-contamination detection -----------------------------------
+
+EVAL_MOD = 97       # docs with doc_id % EVAL_MOD == 0 stand in for the
+                    # held-out benchmark set
+CONTAM_NGRAM = 3    # shared-n-gram size
+
+
+@query(
+    "contamination_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_LTR_TOKS_SQL} AS _toks FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, unnest({_sql_ngram_arr(CONTAM_NGRAM)}) AS gram
+      FROM t),
+    eval_grams AS (
+      SELECT doc_id AS eval_id, gram FROM grams
+      WHERE doc_id % {EVAL_MOD} = 0),
+    hits AS (
+      SELECT g.doc_id, g.gram, e.eval_id
+      FROM grams g JOIN eval_grams e ON e.gram = g.gram
+      WHERE g.doc_id % {EVAL_MOD} <> 0)
+    SELECT doc_id,
+           COUNT(DISTINCT gram) AS n_shared_ngrams,
+           COUNT(DISTINCT eval_id) AS n_eval_docs
+    FROM hits
+    GROUP BY doc_id
+    """,
+)
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc, how many
+    distinct CONTAM_NGRAM-grams it shares with the eval set (docs with
+    doc_id % EVAL_MOD == 0) and how many eval docs it collides with.
+    The eval side is broadcast — benchmark suites are tiny next to a
+    100 TB corpus — so the probe is a broadcast equi-join on the gram
+    string over one corpus scan, then a single per-doc aggregation.
+    No all-pairs comparison at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", _letter_tokens().alias("_toks"))
+        .select("doc_id",
+                F.explode(F.array_distinct(_ngram_arr(CONTAM_NGRAM)))
+                .alias("gram"))
+    )
+    eval_grams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+    )
+    return (
+        grams.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_ngrams"),
+             F.countDistinct("eval_id").alias("n_eval_docs"))
+    )
+
+
+# --- PII redaction --------------------------------------------------------
+
+# ASCII-explicit patterns: identical semantics under Java regex (Spark)
+# and RE2 (DuckDB).
+EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
+IP_RE = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+
+# The synthetic corpus has no PII, so seed deterministic PII from
+# doc_id; the scrubber then provably fires on every row.
+_SQL_PAYLOAD = ("text || ' contact user' || doc_id || "
+                "'@mail.example from 10.' || (doc_id % 200) || '.0.' || "
+                "(doc_id % 250 + 1)")
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, {_SQL_PAYLOAD} AS payload FROM documents),
+    red AS (
+      SELECT doc_id, payload,
+             regexp_replace(regexp_replace(payload,
+                 '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{IP_RE}', '<IP>', 'g') AS redacted
+      FROM seeded)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(payload, '{EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(payload, '{IP_RE}')) AS BIGINT)
+             AS n_ips,
+           CAST(length(payload) - length(redacted) AS BIGINT)
+             AS n_chars_removed,
+           md5(redacted) AS redacted_md5
+    FROM red
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and IPv4s
+    (regexp_replace → '<EMAIL>'/'<IP>' placeholders). Pure regex
+    expressions in one projection — codegen'd, zero shuffles; the md5
+    of the redacted text keeps the checked output compact while still
+    pinning every redacted byte against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example from 10."), (F.col("doc_id") % 200),
+        F.lit(".0."), (F.col("doc_id") % 250 + 1))
+    seeded = docs.select("doc_id", payload.alias("payload"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("payload", EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>")
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("payload", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("payload", F.lit(IP_RE), F.lit(0)))
+        .cast("bigint").alias("n_ips"),
+        (F.length("payload") - F.length(redacted))
+        .cast("bigint").alias("n_chars_removed"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -156,3 +156,20 @@ def test_stratified_sample_no_shuffle(spark, sf_dir):
     """The hash-predicate sample is a pure filter: zero exchanges."""
     df = QUERIES["sample_stratified"](spark, sf_dir)
     assert plans.shuffle_count(df) == 0, plans.formatted_plan(df)
+
+
+def test_curation_single_pass_ops_do_not_shuffle(spark, sf_dir):
+    """quality_repetition / pii_redact are advertised as one-scan,
+    zero-shuffle projections; chunk_documents adds only its controlled
+    posexplode (still no exchange)."""
+    for name in ("quality_repetition", "pii_redact", "chunk_documents"):
+        df = QUERIES[name](spark, sf_dir)
+        assert plans.shuffle_count(df) == 0, (name, plan_of(spark, sf_dir, name))
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The decontamination probe must broadcast the (tiny) eval-gram
+    side and never cartesian: the corpus side streams once."""
+    plan = plan_of(spark, sf_dir, "contamination_ngrams")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
