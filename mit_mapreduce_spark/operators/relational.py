@@ -918,3 +918,50 @@ def map_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "error"), F.lit(0)).alias("n_error"),
         F.size(F.map_keys("m")).cast("int").alias("n_types"),
     )
+
+
+@query(
+    "join_profit_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'profit')},
+           COUNT(*) AS n_items
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def join_profit_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: five-table star join (lineitem
+    fact against part/supplier/orders/nation dims) with a LIKE filter
+    on the part dimension, grouped by supplier nation and order year.
+
+    Scale posture: the p_name predicate prunes part BEFORE the join
+    (pushed to the scan), the filtered part set and nation broadcast,
+    and lineitem — the 100 TB fact — is never shuffled except for the
+    final (nation, year) aggregation, which partial-aggregates
+    map-side. Catalyst + AQE order the remaining joins from runtime
+    sizes, the same plan a hand-tuned engine would pick."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"),
+            F.count("*").alias("n_items"),
+        )
+    )

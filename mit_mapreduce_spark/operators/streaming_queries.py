@@ -204,3 +204,29 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n_events", "sum_value")
     )
     return spark.table(run_stream_to_table(agg, "complete"))
+
+
+@query("stream_static_enrich")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined against the
+    static `customer` dimension (user_id = c_custkey) and rolled up
+    per customer nation and market segment. The dimension side is a
+    plain batch DataFrame — Spark re-plans it per micro-batch and
+    broadcasts it under AQE, the canonical pattern for enriching a
+    100 TB/day stream with slowly-changing reference data (no state
+    store involvement for the join itself; state is only the final
+    windowless aggregation). Oracle-exempt (streaming); equality with
+    the identical batch join+rollup is asserted in
+    tests/test_streaming.py."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    tune(spark)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    enriched = ev.join(customers, ev.user_id == customers.c_custkey)
+    agg = (
+        enriched.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+    return spark.table(run_stream_to_table(agg, "complete"))

@@ -189,3 +189,24 @@ def test_foreach_batch_sink_is_idempotent(spark, sf_dir, tmp_path):
     # replay: a second availableNow drain of the same source
     run_stream_foreach_batch(ev, out, "day")
     assert spark.read.parquet(out).count() == n_expected
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """Stream-static join + rollup must equal the same batch join."""
+    from pyspark.sql import functions as F
+
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.functions.numeric import dsum
+    from mit_mapreduce_spark.operators.streaming_queries import (
+        stream_static_enrich)
+
+    got = {tuple(r) for r in stream_static_enrich(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    want = {tuple(r) for r in (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    ).collect()}
+    assert got == want
