@@ -16,6 +16,7 @@ def load_all() -> None:
         similarity,
         textstats,
         curation,
+        sketches,
         temporal,
         multimodal,
         profiling,

@@ -240,3 +240,57 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_toks").cast("bigint").alias("sum_tokens"),
              F.sum(F.length("text")).cast("bigint").alias("sum_chars"))
     )
+
+
+TOP_SKEW_KEYS = 10
+
+
+@query(
+    "skew_report",
+    oracle=f"""
+    WITH counts AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_suppkey),
+    tot AS (
+      SELECT key, n_rows,
+             SUM(n_rows) OVER () AS total_rows,
+             COUNT(*) OVER () AS n_keys,
+             row_number() OVER (ORDER BY n_rows DESC, key) AS rnk
+      FROM counts)
+    SELECT key, n_rows,
+           CAST(rnk AS INT) AS rnk,
+           CAST(n_rows AS DOUBLE) / total_rows AS share,
+           CAST(n_rows AS DOUBLE) * n_keys / total_rows AS skew_ratio
+    FROM tot
+    WHERE rnk <= {TOP_SKEW_KEYS}
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the TOP_SKEW_KEYS hottest values of a
+    fact-side join key with their row share and skew ratio
+    (count x n_keys / total — 1.0 = perfectly uniform). This is the
+    operational pre-check behind the salted join (join_salted_skew):
+    run it on the key you're about to shuffle on; ratios ≫ 1 mean the
+    straggler partition exists before you pay for it. One groupBy
+    shuffle on the key, then a single-partition window over the
+    key-count table (|keys| rows, tiny next to the fact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    from pyspark.sql import Window
+    wall = Window.partitionBy()
+    wrank = Window.partitionBy().orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        counts.select(
+            "key", "n_rows",
+            F.row_number().over(wrank).cast("int").alias("rnk"),
+            (F.col("n_rows").cast("double")
+             / F.sum("n_rows").over(wall)).alias("share"),
+            (F.col("n_rows").cast("double")
+             * F.count("*").over(wall) / F.sum("n_rows").over(wall))
+            .alias("skew_ratio"),
+        )
+        .where(F.col("rnk") <= TOP_SKEW_KEYS)
+    )

@@ -147,3 +147,56 @@ def rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (date_trunc('day', ts)),
                                 (date_trunc('month', ts)))
     """)
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM events),
+    flagged AS (
+      SELECT user_id, state, ts, event_id,
+             lag(state) OVER w AS prev_state
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM flagged
+      WHERE prev_state IS NULL OR state <> prev_state)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER w AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history derivation (the CDC/warehouse surface): the
+    event stream per user collapsed into validity intervals of its
+    tracked state — consecutive repeats merged, [valid_from, valid_to)
+    intervals closed by the next change, open interval flagged
+    current, monotone version numbers.
+
+    Two ordered windows over one user_id exchange (change detection,
+    then interval closing — Catalyst reuses the partitioning, so ONE
+    shuffle total). Ties on ts are broken by event_id so the history
+    is deterministic on any engine and any partitioning. At 100 TB
+    this is the standard log→dimension compaction; the same plan
+    incrementalizes per partition-of-users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("state").over(w))
+        .where(F.col("prev_state").isNull()
+               | (F.col("state") != F.col("prev_state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
