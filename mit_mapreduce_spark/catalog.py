@@ -41,6 +41,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow scan across all cores before CPU-heavy
+    per-row work (tokenize/shingle/hash pipelines).
+
+    The fixture files are single-row-group parquet, so their scans can
+    never exceed one task no matter how small
+    ``spark.sql.files.maxPartitionBytes`` is — Spark assigns a row
+    group to exactly one split. Without this, a shingling pipeline
+    runs serially on 1 of 32 cores (measured 3x slower end-to-end on
+    dedup_minhash at sf0.1).
+
+    Gated: a no-op whenever the scan already fans out to >= the
+    cluster's default parallelism — i.e. on any real multi-file,
+    multi-row-group table at 100 TB the repartition (and its shuffle)
+    disappears, while locally it costs one tiny shuffle of raw text.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = TABLES) -> SparkSession:
     """Register each fixture table as a temp view (idempotent) and apply

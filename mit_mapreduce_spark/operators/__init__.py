@@ -10,6 +10,7 @@ def load_all() -> None:
     from mit_mapreduce_spark.operators import (  # noqa: F401
         text,
         relational,
+        analytics,
         windows,
         events,
         dedup,

@@ -1,0 +1,370 @@
+"""Decision-support app queries over the TPC-H-ish fixture tables.
+
+The reference ships three MapReduce apps (`mrapps/wc.go`,
+`mrapps/indexer.go`, `mrapps/crash.go`) and no relational app tier at
+all (SURVEY.md §2.3 ABSENT list); this module is the app-level
+counterpart a warehouse user expects, shaped after the classic
+public TPC-H decision-support patterns (Q4/Q7/Q8/Q13/Q18) plus an
+iterative graph analytic (PageRank) the reference's DAG-less engine
+could never express.
+
+Scale notes (100 TB posture):
+- Every filter is expressed on the base table before the join so it
+  reaches the parquet scan (PushedFilters), and every dimension join
+  (`nation`, `region`) is an explicit broadcast.
+- Fact⋈fact joins shuffle on their natural keys; AQE handles skew.
+- Double aggregates go through functions.numeric dsum (exact decimal
+  partial aggregation) so results are bit-identical under any
+  parallelism.
+- PageRank runs in fixed-point integer arithmetic (see below), so
+  even an iterative float-free algorithm is exactly oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
+from mit_mapreduce_spark.operators.registry import query
+
+
+# --- Q4-shaped: EXISTS decorrelated to a left-semi join -------------------
+
+@query(
+    "exists_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders in a 6-month window having at least one
+    returned lineitem, counted by priority. The EXISTS is a left-semi
+    join — Catalyst never materializes the full orders⋈lineitem
+    product, and both filters reach their scans."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- Q7-shaped: bidirectional two-nation trade volume by year -------------
+
+@query(
+    "volume_shipping_pair",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 'revenue')}
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+             OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate < TIMESTAMP '2002-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipped revenue between a pair of nations, both
+    directions, per ship-year. The two nation lookups are broadcast;
+    the disjunctive nation predicate runs after them (25-row dims make
+    it nearly free), while the shipdate range is pushed to the
+    lineitem scan — the one filter that matters at 100 TB."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2002-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                              F.col("n_name").alias("supp_nation")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                              F.col("n_name").alias("cust_nation")))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .select("supp_nation", "cust_nation",
+                F.year("l_shipdate").cast("int").alias("l_year"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", "revenue"))
+    )
+
+
+# --- Q8-shaped: national market share within a region's market ------------
+
+@query(
+    "market_share_yearly",
+    oracle=f"""
+    SELECT o_year,
+           nation_rev / total_rev AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             {sql_dsum("CASE WHEN ns.n_name = 'NATION_3' "
+                       "THEN l.l_extendedprice * (1 - l.l_discount) "
+                       "ELSE 0.0 END", 'nation_rev')},
+             {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_rev')}
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ncust ON ncust.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = ncust.n_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      GROUP BY o_year
+    ) shares
+    """,
+)
+def market_share_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: NATION_3 suppliers' share of the ASIA-customer
+    PROMO-part market per order-year — a 7-table join with conditional
+    aggregation. `part` is filtered then joined on partkey (at 100 TB
+    the selective p_type filter makes it the natural broadcast/semi
+    reduction of lineitem); dims are broadcast. The share is one IEEE
+    division of two exact decimal sums — deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    ncust = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"),
+                                 F.col("n_regionkey").alias("c_rk")))
+    nsupp = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"),
+                                 F.col("n_name").alias("supp_nation")))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    grouped = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(ncust, F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(nsupp, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0),
+                 "nation_rev"),
+            dsum(vol, "total_rev"),
+        )
+    )
+    return grouped.select(
+        "o_year", (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"))
+
+
+# --- Q13-shaped: distribution of orders-per-customer ----------------------
+
+@query(
+    "custdist_order_counts",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: how many customers placed how many (non-urgent)
+    orders, zero included. The filtered LEFT join keeps every customer;
+    COUNT(o_orderkey) counts only matches. Two shuffles (custkey join,
+    c_count re-agg) — the second is over at most |distinct counts|
+    groups, trivially small at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --- Q18-shaped: large-volume orders (HAVING over a fact agg) -------------
+
+LARGE_QTY = 300.0
+
+
+@query(
+    "having_large_orders",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           t.sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, {sql_dsum('l_quantity', 'sum_qty')}
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > {LARGE_QTY}) t
+      ON t.l_orderkey = o.o_orderkey
+    """,
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds
+    {LARGE_QTY}. The HAVING aggregation reduces lineitem to a tiny
+    keyset FIRST (map-side combined), and only that keyset joins back
+    to orders/customer — at 100 TB the selective aggregate, not the
+    join, carries the cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"),
+             F.sum("l_quantity").alias("_raw"))
+        .where(F.col("_raw") > LARGE_QTY)
+        .drop("_raw")
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                "sum_qty")
+    )
+
+
+# --- fixed-point PageRank over the nation trade graph ---------------------
+
+PR_SCALE = 1_000_000_000_000   # rank unit: parts-per-10^12
+PR_SHARE = 1_000_000           # edge-share unit: parts-per-10^6
+PR_ITERS = 3
+
+
+def _sql_pagerank() -> str:
+    tele = f"(15 * ({PR_SCALE} // nn)) // 100"
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.v,
+             CAST({tele} + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n CROSS JOIN cnt
+      LEFT JOIN (
+        SELECT sh.dst AS v,
+               CAST(SUM((p.r * sh.p) // {PR_SHARE}) AS BIGINT) AS contrib
+        FROM {prev} p JOIN share sh ON sh.src = p.v
+        GROUP BY sh.dst) c ON c.v = n.v)""")
+        prev = f"r{k}"
+    return f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY src, dst),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+    share AS (SELECT e.src, e.dst, (e.w * {PR_SHARE}) // o.ow AS p
+              FROM edges e JOIN outw o ON o.src = e.src),
+    nodes AS (SELECT n_nationkey AS v FROM nation),
+    cnt AS (SELECT COUNT(*) AS nn FROM nation),
+    r0 AS (SELECT v, CAST({PR_SCALE} // nn AS BIGINT) AS r FROM nodes, cnt),
+    {','.join(iters)}
+    SELECT n.n_name AS nation, p.r AS rank_ppt
+    FROM r{PR_ITERS} p JOIN nation n ON n.n_nationkey = p.v
+    """
+
+
+@query("pagerank_trade", oracle=_sql_pagerank())
+def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (edge cust_nation →
+    supp_nation weighted by lineitem count), {PR_ITERS} iterations,
+    damping 0.85 — an iterative graph algorithm the reference's
+    one-shot MapReduce model cannot express.
+
+    Exactly oracle-checked despite being iterative: ranks are
+    fixed-point integers (parts-per-10^12) and edge shares are
+    parts-per-10^6, so every update is integer multiply/floor-divide —
+    bit-identical in any engine and under any execution order, with no
+    float accumulation drift. The share pre-scaling also bounds
+    products at rank×share ≈ 10^18 < 2^63 regardless of absolute edge
+    weights, so the arithmetic never overflows at any data scale.
+
+    100 TB posture: the expensive part is the edge derivation — two
+    key-partitioned fact joins aggregated (map-side combined) down to
+    ≤ |nations|² = 625 edges; the iteration itself runs on that tiny
+    aggregated graph via broadcast joins. For billion-node graphs the
+    identical loop is the standard DataFrame-Pregel shape used by
+    dedup_clusters (per-round localCheckpoint, edge-restricted
+    updates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"),
+                 F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
+    share = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.expr(f"(w * {PR_SHARE}) div ow").alias("p"))
+        .localCheckpoint()  # cut the fact-join lineage before iterating
+    )
+    nodes = n.select(F.col("n_nationkey").alias("v"))
+    cnt = F.broadcast(n.agg(F.count("*").alias("nn")))
+    base = nodes.crossJoin(cnt)
+    r = base.select("v", F.expr(f"{PR_SCALE} div nn").cast("bigint").alias("r"))
+    tele = F.expr(f"(15 * ({PR_SCALE} div nn)) div 100")
+    for _ in range(PR_ITERS):
+        contrib = (
+            r.join(F.broadcast(share), r.v == share.src)
+            .select("dst", F.expr(f"(r * p) div {PR_SHARE}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        r = (
+            base.join(contrib, base.v == contrib.dst, "left")
+            .select("v",
+                    (tele + F.expr("(85 * COALESCE(contrib, 0)) div 100"))
+                    .cast("bigint").alias("r"))
+        )
+    return (
+        r.join(F.broadcast(n), r.v == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_ppt"))
+    )

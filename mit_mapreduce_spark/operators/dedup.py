@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.operators.registry import query
 
 N_SEEDS = 12          # minhash permutations
@@ -67,7 +67,8 @@ def shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
             END"""
     )
     return (
-        docs.select("doc_id", toks.alias("_toks"))
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("_toks"))
         .select("doc_id", F.explode(F.array_distinct(arr)).alias("shingle"))
     )
 
@@ -285,16 +286,14 @@ def _sql_simhash() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_sql_simhash())
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document: bit j of the signature is the
-    majority vote of bit j across the doc's distinct token hashes.
-    One aggregation pass (60 integer partial sums — map-side combined);
-    near-dup candidates are then signature-hamming neighbors, found by
-    banding the signature exactly like MinHash."""
-    docs = load_table(spark, sf_dir, "documents")
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash per document: bit j of the
+    signature is the majority vote of bit j across the doc's distinct
+    token hashes. One aggregation pass (60 integer partial sums —
+    map-side combined)."""
     toks = (
-        docs.select("doc_id", F.explode(
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(
             F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
         ).alias("word"))
         .distinct()
@@ -311,6 +310,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         recompose = term if recompose is None else recompose + term
     return bits.select("doc_id", recompose.cast("bigint").alias("simhash"))
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature table; near-dup candidates are then
+    signature-hamming neighbors, found by banding the signature
+    exactly like MinHash (see dedup_simhash_pairs)."""
+    return _simhash_sigs(load_table(spark, sf_dir, "documents"))
+
+
+# --- SimHash near-dup pairs (banded Hamming join) -------------------------
+
+SH_BANDS = 4                      # 4 bands x 15 bits
+SH_BAND_BITS = N_BITS // SH_BANDS
+SH_HAM_MAX = 3                    # <= 3 differing bits of 60
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+    WITH sigs AS ({_sql_simhash()}),
+    bands AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> (b * {SH_BAND_BITS})) & {(1 << SH_BAND_BITS) - 1} AS bv
+      FROM sigs, (SELECT unnest(generate_series(0, {SH_BANDS - 1})) AS b)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sa, y.simhash AS sb
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {SH_HAM_MAX}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_sql_simhash_pairs())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found without
+    any all-pairs comparison: the 60-bit signature is cut into
+    {SH_BANDS} bands of {SH_BAND_BITS} bits and candidates come from an
+    equi-self-join on (band, band_value).
+
+    LOSSLESS for this radius: {SH_HAM_MAX} differing bits can touch at
+    most {SH_HAM_MAX} of the {SH_BANDS} bands (pigeonhole), so every
+    pair within Hamming {SH_HAM_MAX} shares at least one unchanged
+    band and is guaranteed to surface as a candidate — banding here is
+    an exact index, not an approximation.
+
+    100 TB posture: signature build is one agg pass; the pair search
+    is a key-equi-join on band value (shuffle bounded by band-bucket
+    sizes, never n^2), then a per-candidate popcount filter — the
+    same plan shape as dedup_minhash, which plan tests assert is
+    CartesianProduct-free."""
+    sigs = _simhash_sigs(load_table(spark, sf_dir, "documents"))
+    mask = (1 << SH_BAND_BITS) - 1
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SH_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id", "simhash", "b",
+        F.expr(f"shiftright(simhash, b * {SH_BAND_BITS}) & {mask}")
+        .alias("bv"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.b") == F.col("y.b"))
+               & (F.col("x.bv") == F.col("y.bv"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("sa"),
+                F.col("y.simhash").alias("sb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SH_HAM_MAX)
+    )
 
 
 # --- connected components over the near-dup graph -------------------------

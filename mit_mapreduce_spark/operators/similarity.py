@@ -617,3 +617,143 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_max("errs").cast("double") / float(_Q_ERR))
         .alias("max_abs_err"),
     )
+
+
+# --- semantic dedup: keep one representative per coarse cell --------------
+
+SEM_TAU = 0.3     # cosine-to-representative at/above which a vector is a dup
+
+
+@query(
+    "semantic_dedup_cells",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 7 = 0
+      ORDER BY vec_id LIMIT {N_CELLS}),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    adots AS (
+      SELECT e.vec_id, c.cent_id,
+             {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
+      FROM embeddings e, cents c,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY e.vec_id, c.cent_id),
+    ascored AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(ne.nsq AS DOUBLE))
+                       * sqrt(CAST(nc.nsq AS DOUBLE))) DESC,
+                  d.cent_id) AS INT) AS arnk
+      FROM adots d
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.cent_id),
+    assign AS (SELECT vec_id, cent_id FROM ascored WHERE arnk = 1),
+    reps AS (SELECT cent_id, MIN(vec_id) AS rep_id FROM assign GROUP BY cent_id),
+    members AS (
+      SELECT a.vec_id, a.cent_id, r.rep_id
+      FROM assign a JOIN reps r ON r.cent_id = a.cent_id
+      WHERE a.vec_id <> r.rep_id),
+    pdots AS (
+      SELECT m.vec_id, m.cent_id, m.rep_id,
+             {_SQL_DOT.format(a='v.embedding', b='w.embedding')} AS dot
+      FROM members m
+      JOIN embeddings v ON v.vec_id = m.vec_id
+      JOIN embeddings w ON w.vec_id = m.rep_id,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY m.vec_id, m.cent_id, m.rep_id)
+    SELECT p.vec_id, p.cent_id, p.rep_id,
+           CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nr.nsq AS DOUBLE)))
+             AS cos_rep,
+           CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nr.nsq AS DOUBLE)))
+             < {SEM_TAU} AS keep
+    FROM pdots p
+    JOIN norms nv ON nv.vec_id = p.vec_id
+    JOIN norms nr ON nr.vec_id = p.rep_id
+    """,
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style: assign
+    every vector to its nearest coarse centroid, elect one
+    representative per cell (min vec_id — deterministic; production
+    uses the vector nearest the centroid), and drop members whose
+    cosine to their representative is >= {SEM_TAU}. Non-representative
+    rows are emitted with their verdict; representatives are always
+    kept.
+
+    100 TB posture: identical skeleton to ann_ivf_topk — a broadcast
+    centroid pass (linear, map-side) for assignment, a per-cell MIN
+    aggregation for representatives, then an equi-join on cent_id so
+    each vector is compared against exactly ONE other vector (its
+    rep), total exact-cosine work O(n), never O(n²). The centroids
+    are the deterministic oracle-checkable stand-ins documented on
+    ann_ivf_topk; swapping in sampled k-means changes no plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id").limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    norms = emb.select(
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+    adots = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id",
+                F.explode(F.arrays_zip(
+                    F.col("embedding").alias("x"),
+                    F.col("ce").alias("y"))).alias("_p"))
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    nc = cents.select("cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
+    ascored = (
+        adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
+        .select("vec_id", "cent_id",
+                (F.col("dot").cast("double")
+                 / (F.sqrt(F.col("nsq").cast("double"))
+                    * F.sqrt(F.col("cnsq").cast("double")))).alias("acos"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
+    assign = (
+        ascored.select("vec_id", "cent_id",
+                       F.row_number().over(aw).alias("arnk"))
+        .where(F.col("arnk") == 1).select("vec_id", "cent_id")
+    )
+    reps = assign.groupBy("cent_id").agg(F.min("vec_id").alias("rep_id"))
+    members = (
+        assign.join(F.broadcast(reps), "cent_id")
+        .where(F.col("vec_id") != F.col("rep_id"))
+    )
+    ve = emb.select(F.col("vec_id"), F.col("embedding").alias("vemb"))
+    re_ = emb.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("remb"))
+    pdots = (
+        members.join(ve, "vec_id").join(F.broadcast(re_), "rep_id")
+        .select("vec_id", "cent_id", "rep_id",
+                F.explode(F.arrays_zip(
+                    F.col("vemb").alias("x"),
+                    F.col("remb").alias("y"))).alias("_p"))
+        .groupBy("vec_id", "cent_id", "rep_id")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    nv = norms.withColumnRenamed("nsq", "vnsq")
+    nr = (norms.withColumnRenamed("vec_id", "rep_id")
+          .withColumnRenamed("nsq", "rnsq"))
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("vnsq").cast("double"))
+              * F.sqrt(F.col("rnsq").cast("double"))))
+    return (
+        pdots.join(nv, "vec_id").join(F.broadcast(nr), "rep_id")
+        .select("vec_id", "cent_id", "rep_id", cos.alias("cos_rep"),
+                (cos < SEM_TAU).alias("keep"))
+    )

@@ -352,3 +352,81 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+# --- collocation mining (PMI-style lift) ----------------------------------
+
+COLL_MIN_COUNT = 5
+COLL_TOP = 50
+
+
+@query(
+    "collocations_lift",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    big AS (
+      SELECT arr[i] AS w1, arr[i+1] AS w2
+      FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr FROM toks)
+      WHERE i + 1 <= length(arr)),
+    uni AS (SELECT unnest(arr) AS w FROM toks),
+    bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    unic AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM big) AS BIGINT) AS nb,
+                   CAST((SELECT COUNT(*) FROM uni) AS BIGINT) AS nu)
+    SELECT w1, w2, c12, lift
+    FROM (
+      SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+             ROUND(((((CAST(b.c12 AS DOUBLE) * CAST(t.nu AS DOUBLE))
+                      * CAST(t.nu AS DOUBLE)) / CAST(u1.c AS DOUBLE))
+                    / CAST(u2.c AS DOUBLE)) / CAST(t.nb AS DOUBLE), 4) AS lift
+      FROM bigc b
+      JOIN unic u1 ON u1.w = b.w1
+      JOIN unic u2 ON u2.w = b.w2
+      CROSS JOIN tot t
+      WHERE b.c12 >= {COLL_MIN_COUNT})
+    ORDER BY lift DESC, w1, w2
+    LIMIT {COLL_TOP}
+    """,
+)
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{COLL_TOP} bigrams by PMI-style lift,
+    P(w1,w2) / (P(w1)·P(w2)) — the corpus's statistically-bound word
+    pairs (PMI itself is log2(lift); ranking by lift avoids the
+    cross-engine last-ulp hazards of ln, so the score is exact given
+    identical IEEE operation order, which both expression texts pin).
+
+    Plan shape: one bigram explode + count, one unigram explode +
+    count (both map-side combined), then bigram⋈unigram equi-joins —
+    the unigram side is |vocabulary| rows, broadcast-scale even at
+    100 TB corpora. The two corpus totals ride along as a broadcast
+    1-row cross join, and the top-{COLL_TOP} is a
+    TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _spark_tokens().alias("arr"))
+    bigrams = toked.select(F.explode(F.expr(
+        """CASE WHEN size(arr) < 2 THEN array()
+                ELSE transform(sequence(1, size(arr) - 1),
+                               i -> struct(arr[i-1] AS w1, arr[i] AS w2))
+           END""")).alias("bg")).select("bg.w1", "bg.w2")
+    unigrams = toked.select(F.explode("arr").alias("w"))
+    bigc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    unic = unigrams.groupBy("w").agg(F.count("*").alias("c"))
+    tot = F.broadcast(
+        bigrams.agg(F.count("*").cast("bigint").alias("nb"))
+        .crossJoin(unigrams.agg(F.count("*").cast("bigint").alias("nu"))))
+    u1 = F.broadcast(unic.select(F.col("w").alias("_w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(unic.select(F.col("w").alias("_w2"), F.col("c").alias("c2")))
+    lift = F.round(
+        ((((F.col("c12").cast("double") * F.col("nu").cast("double"))
+           * F.col("nu").cast("double")) / F.col("c1").cast("double"))
+         / F.col("c2").cast("double")) / F.col("nb").cast("double"), 4)
+    return (
+        bigc.where(F.col("c12") >= COLL_MIN_COUNT)
+        .join(u1, F.col("w1") == F.col("_w1"))
+        .join(u2, F.col("w2") == F.col("_w2"))
+        .crossJoin(tot)
+        .select("w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+                lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(COLL_TOP)
+    )

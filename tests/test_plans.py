@@ -173,3 +173,32 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "contamination_ngrams")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_simhash_pairs", "semantic_dedup_cells", "collocations_lift"])
+def test_round3_candidate_generation_is_equijoin(spark, sf_dir, name):
+    """Round-3 operators: banded SimHash pairs, per-cell semantic
+    dedup, and collocation mining must all be equi-join based — the
+    only nested-loop allowed is the bounded centroid broadcast in
+    semantic_dedup_cells (same contract as ann_ivf_topk)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_iterates_on_aggregated_graph(spark, sf_dir):
+    """pagerank_trade must derive the edge list by aggregation BEFORE
+    the iteration: the iterating joins run on the <=625-edge share
+    table (localCheckpoint leaf), never re-joining the fact tables
+    each round. Detectable as: the final plan contains no lineitem
+    scan (the lineage was cut after derivation)."""
+    df = QUERIES["pagerank_trade"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "lineitem" not in plan, "iteration re-derives the edge list:\n" + plan
+
+
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    """The top-50 collocation cut must be TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "collocations_lift")
+    assert "TakeOrderedAndProject" in plan, plan
