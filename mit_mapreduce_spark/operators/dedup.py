@@ -608,3 +608,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         jac.alias("jaccard"))
         .where(F.col("jaccard") >= NGRAM_T)
     )
+
+
+# --- substring-level duplicate passages -----------------------------------
+
+P_LEN = 15   # passage window, in tokens
+
+
+@query(
+    "dup_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                         x -> x <> '') AS arr
+      FROM documents),
+    pas AS (
+      SELECT doc_id,
+             {_sql_hash60(f"array_to_string(list_slice(arr, i, i + {P_LEN - 1}), ' ')")}
+               AS phash
+      FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr FROM toks)
+      WHERE i + {P_LEN - 1} <= length(arr))
+    SELECT phash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           MIN(doc_id) AS first_doc
+    FROM pas
+    GROUP BY phash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication: every {P_LEN}-token window
+    that recurs across documents, with its document and occurrence
+    counts — the passage-granular dedup signal (C4 / RefinedWeb style)
+    that document-level MinHash misses (boilerplate headers, quoted
+    chunks, licence blocks shared by otherwise-distinct docs).
+
+    The rolling windows are built JVM-side with the same
+    transform-over-index-sequence shape as shingles_df (no explode
+    until the hash rows), hashed to 60-bit ints so the shuffle carries
+    8-byte keys, never the passage text. One groupBy shuffle; at
+    100 TB this is the canonical map-side-combined agg. Downstream,
+    cutting the spans out of the docs is a join back on phash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    arr = F.expr(
+        f"""CASE WHEN size(_toks) < {P_LEN} THEN array()
+                 ELSE transform(sequence(1, size(_toks) - {P_LEN - 1}),
+                                i -> concat_ws(' ', slice(_toks, i, {P_LEN})))
+            END"""
+    )
+    pas = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(arr).alias("passage"))
+        .select("doc_id", hash60(F.col("passage")).alias("phash"))
+    )
+    return (
+        pas.groupBy("phash")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+             F.count("*").cast("bigint").alias("n_occ"),
+             F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )

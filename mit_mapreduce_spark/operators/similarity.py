@@ -757,3 +757,109 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cent_id", "rep_id", cos.alias("cos_rep"),
                 (cos < SEM_TAU).alias("keep"))
     )
+
+
+# --- k-means update step (the IVF centroid trainer) -----------------------
+
+@query(
+    "kmeans_update_step",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 7 = 0
+      ORDER BY vec_id LIMIT {N_CELLS}),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    adots AS (
+      SELECT e.vec_id, c.cent_id,
+             {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
+      FROM embeddings e, cents c,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY e.vec_id, c.cent_id),
+    ascored AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(ne.nsq AS DOUBLE))
+                       * sqrt(CAST(nc.nsq AS DOUBLE))) DESC,
+                  d.cent_id) AS INT) AS arnk
+      FROM adots d
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.cent_id),
+    assign AS (SELECT vec_id, cent_id FROM ascored WHERE arnk = 1)
+    SELECT a.cent_id, CAST(i AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)
+                                * {SCALE}) AS BIGINT)) AS DOUBLE)
+             / {SCALE}.0 / CAST(COUNT(*) AS DOUBLE) AS mean_val
+    FROM assign a
+    JOIN embeddings e ON e.vec_id = a.vec_id,
+         (SELECT unnest(generate_series(1, {DIM})) AS i)
+    GROUP BY a.cent_id, i
+    """,
+)
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-iteration centroid update — the trainer that turns
+    ann_ivf_topk's documented stand-in centroids into learned ones:
+    assign every vector to its nearest centroid (broadcast pass, same
+    plan as IVF assignment), then recompute each centroid as the
+    per-dimension mean of its members.
+
+    Exactly oracle-checked despite the float mean: components are
+    lifted to a 1e-9 integer grid, summed as BIGINT (exact, order-
+    independent), and divided back out as one pinned IEEE expression.
+    Emitted row-per-(cell, dim) — {N_CELLS}x{DIM} rows — so the hash
+    gate covers every coordinate; repacking to array<float> for the
+    next round is a collect_list away and changes no aggregation.
+
+    100 TB posture: one broadcast-assignment pass + one map-side-
+    combined agg per iteration — the canonical distributed k-means;
+    iterating it under a driver loop with localCheckpoint per round
+    is exactly the dedup_clusters/pagerank_trade fixpoint shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id").limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    norms = emb.select(
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+    adots = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id",
+                F.explode(F.arrays_zip(
+                    F.col("embedding").alias("x"),
+                    F.col("ce").alias("y"))).alias("_p"))
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    nc = cents.select("cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
+    ascored = (
+        adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
+        .select("vec_id", "cent_id",
+                (F.col("dot").cast("double")
+                 / (F.sqrt(F.col("nsq").cast("double"))
+                    * F.sqrt(F.col("cnsq").cast("double")))).alias("acos"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
+    assign = (
+        ascored.select("vec_id", "cent_id",
+                       F.row_number().over(aw).alias("arnk"))
+        .where(F.col("arnk") == 1).select("vec_id", "cent_id")
+    )
+    return (
+        assign.join(emb, "vec_id")
+        .select("cent_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cent_id", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.count("*").cast("bigint").alias("n_members"),
+             F.sum(F.round(F.col("x").cast("double") * SCALE).cast("bigint"))
+             .alias("_s"))
+        .select("cent_id", "dim", "n_members",
+                (F.col("_s").cast("double") / float(SCALE)
+                 / F.col("n_members").cast("double")).alias("mean_val"))
+    )

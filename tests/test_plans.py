@@ -202,3 +202,29 @@ def test_collocations_topk_is_take_ordered(spark, sf_dir):
     """The top-50 collocation cut must be TakeOrderedAndProject."""
     plan = plan_of(spark, sf_dir, "collocations_lift")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_into_shuffle_joins(spark, sf_dir):
+    """100 TB posture: because every join is declared (never hand-
+    wired), Spark's runtime row-level filtering can inject bloom
+    filters from the selective side of a shuffle join into the fact
+    scans — the cluster-scale defense when the dimension outgrows the
+    broadcast threshold. Verified on the Q3-shaped query with
+    broadcast off: the probe sides gain might_contain() conditions
+    fed by bloom_filter_agg subqueries."""
+    keep = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0")
+        plan = plan_of(spark, sf_dir, "join_shipping_priority")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
