@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.operators.registry import query
 
 N_FEATURES = 8
@@ -142,9 +142,12 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_features(assets: DataFrame) -> DataFrame:
     """mapInPandas decode stage: payload → feature vector. Arrow
-    batches stream through the Python worker partition-locally."""
+    batches stream through the Python worker partition-locally;
+    fan_out spreads a narrow local scan across every core so the
+    Python kernels run in parallel (no-op on real multi-split
+    tables)."""
     return (
-        assets.select("asset_id", "payload")
+        fan_out(assets.select("asset_id", "payload"))
         .mapInPandas(_decode_batch, FEATURE_SCHEMA)
     )
 
@@ -236,7 +239,7 @@ def resize_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas resize stage: payload → bounded-size payload with
     before/after dimension metadata."""
     return (
-        assets.select("asset_id", "payload")
+        fan_out(assets.select("asset_id", "payload"))
         .mapInPandas(_resize_batch, RESIZE_SCHEMA)
     )
 
@@ -303,7 +306,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the same schema."""
     assets = binary_assets(spark, sf_dir)
     frames = (
-        assets.select("asset_id", "payload")
+        fan_out(assets.select("asset_id", "payload"))
         .mapInPandas(_fake_frame_sample, FRAME_SCHEMA)
     )
     return (

@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.operators.registry import query
 
 DIM = 64
@@ -85,7 +85,7 @@ _SQL_DOT = ("SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{k}: broadcast the 8 query vectors against all
     candidates, one pass, per-query row_number for the top-5."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     norms = emb.select(
         "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
     q = (
@@ -208,7 +208,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair cosines) use the scaled-integer form, so bucket membership,
     cosine values, and ranks are bit-identical to the DuckDB oracle —
     a fully hash-checked LSH pipeline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     planes = _planes()
     plane_cols = F.array(*[
         F.array(*[F.lit(w) for w in row]) for row in planes
@@ -344,7 +344,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescore reuses the scaled-integer dot (bit-identical to DuckDB).
     At real scale the centroids come from a sampled k-means upstream;
     swapping them changes no plan shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = (
         emb.where(F.col("vec_id") % 7 == 0)
         .orderBy("vec_id").limit(N_CELLS)
@@ -471,7 +471,7 @@ def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the blocking key is whatever cheap pre-cluster exists
     (IVF coarse centroid, LSH bucket, shard key); the plan shape —
     equi-self-join inside blocks, then exact rescoring — is unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     norms = emb.select(
         "vec_id",
         _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
@@ -576,7 +576,7 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; ROUND ties go away from zero in both engines), so the
     driver's value-hash gate applies to every column including the
     doubles."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     e = F.transform("embedding", lambda x: x.cast("double"))
     staged = emb.select("vec_id", "label", e.alias("e")).select(
         "vec_id", "label", "e",
@@ -693,7 +693,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep), total exact-cosine work O(n), never O(n²). The centroids
     are the deterministic oracle-checkable stand-ins documented on
     ann_ivf_topk; swapping in sampled k-means changes no plan shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = (
         emb.where(F.col("vec_id") % 7 == 0)
         .orderBy("vec_id").limit(N_CELLS)
@@ -818,7 +818,7 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined agg per iteration — the canonical distributed k-means;
     iterating it under a driver loop with localCheckpoint per round
     is exactly the dedup_clusters/pagerank_trade fixpoint shape."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = (
         emb.where(F.col("vec_id") % 7 == 0)
         .orderBy("vec_id").limit(N_CELLS)
