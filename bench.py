@@ -42,6 +42,14 @@ def main() -> None:
     # query, not session startup.
     operators.QUERIES["wordcount"](spark, SF_DIR).write.format("noop").mode(
         "overwrite").save()
+    # Warm the Arrow/pandas Python worker pool: the first pandas-UDF
+    # query otherwise absorbs ~32 simultaneous `import pandas` worker
+    # spawns (measured ~7 s attributed to whichever query runs first).
+    # Workers are reused afterwards (spark.python.worker.reuse).
+    spark.range(spark.sparkContext.defaultParallelism * 4) \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in sorted(operators.QUERIES):

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_mapreduce_spark.catalog import load_table
-from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
+from mit_mapreduce_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from mit_mapreduce_spark.operators.registry import query
 
 
@@ -367,4 +367,101 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.join(F.broadcast(n), r.v == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank_ppt"))
+    )
+
+
+# --- Q11-shaped: groups exceeding a global-share threshold ----------------
+
+SHARE_MIN = 0.004
+
+
+@query(
+    "important_stock_share",
+    oracle=f"""
+    SELECT supp_nation, p_brand, brand_rev
+    FROM (
+      SELECT n.n_name AS supp_nation, p.p_brand,
+             {sql_dsum('l.l_extendedprice * l.l_quantity', 'brand_rev')}
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY supp_nation, p.p_brand)
+    WHERE brand_rev > {SHARE_MIN} * (
+      SELECT {sql_dsum('l2.l_extendedprice * l2.l_quantity', 'x')}
+      FROM lineitem l2)
+    """,
+)
+def important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: (supplier-nation, brand) groups holding more
+    than {SHARE_MIN:.1%} of global inventory value — a grouped
+    aggregate HAVING-filtered against a global scalar aggregate. The
+    global total is a 1-row broadcast cross join; both aggregations
+    are map-side combined, so at 100 TB this is two passes over
+    lineitem (Catalyst cannot share them across the differing keys)
+    and nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    grouped = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("supp_nation"), "p_brand")
+        .agg(dsum(val, "brand_rev"))
+    )
+    total = F.broadcast(li.agg(dsum(val, "_total")))
+    return (
+        grouped.crossJoin(total)
+        .where(F.col("brand_rev") > SHARE_MIN * F.col("_total"))
+        .select("supp_nation", "p_brand", "brand_rev")
+    )
+
+
+# --- Q22-shaped: anti join + global-average scalar subquery ---------------
+
+@query(
+    "global_sales_opportunity",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c.c_acctbal', 'totacctbal')}
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT {sql_davg('c2.c_acctbal', 'x')}
+                         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY n.n_name
+    """,
+)
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: per nation, the count and balance-mass of
+    above-average-balance customers gone DORMANT (no order in the
+    fixture's final year — the synthetic data gives every customer at
+    least one all-time order, so the classic never-ordered predicate
+    would be vacuously empty). The average is
+    an uncorrelated scalar (1-row broadcast); the "never ordered" is
+    a left-anti join against orders — at 100 TB the anti join
+    shuffles on custkey like any fact join and AQE handles its skew;
+    no correlated per-row subquery survives planning."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = F.broadcast(
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "_avg")))
+    return (
+        c.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(o.where(F.col("o_orderdate")
+                      >= F.lit("2000-07-01").cast("timestamp")),
+              c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("bigint").alias("numcust"),
+             dsum("c_acctbal", "totacctbal"))
     )

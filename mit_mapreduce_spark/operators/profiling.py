@@ -294,3 +294,47 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= TOP_SKEW_KEYS)
     )
+
+
+# --- deterministic per-key reservoir --------------------------------------
+
+RESERVOIR_K = 20
+
+
+@query(
+    "reservoir_per_key",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_hash60('CAST(doc_id AS VARCHAR)')}, doc_id)
+               AS rnk
+      FROM documents)
+    WHERE rnk <= {RESERVOIR_K}
+    """,
+)
+def reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per key (the distributed stand-in for
+    per-group reservoir sampling): rank each document inside its
+    source by a 60-bit hash of its id — a deterministic uniform
+    permutation — and keep the first {RESERVOIR_K}. Rerunning on any
+    partitioning, engine, or day selects the SAME rows (unlike
+    rand()-seeded reservoirs, whose output depends on partition
+    layout), which is what makes eval-slice construction auditable.
+
+    100 TB posture: one hash + one window shuffle on the key. When a
+    single key is too hot for one partition, the standard refinement
+    is a two-level cut — per-partition hash-top-K (map-side), then
+    top-K of the K·P survivors — same result by associativity of
+    min-K under a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("source")
+         .orderBy(hash60(F.col("doc_id").cast("string")), "doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars",
+                    F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= RESERVOIR_K)
+    )
