@@ -230,3 +230,77 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
     )
     return spark.table(run_stream_to_table(agg, "complete"))
+
+
+# --- streaming heavy hitters (space-saving sketch in GroupState) ----------
+
+HH_CAPACITY = 64    # sketch slots per key; error bound n/CAPACITY
+HH_TOP = 10
+
+_HH_STATE_SCHEMA = "users ARRAY<BIGINT>, counts ARRAY<BIGINT>"
+_HH_OUT_SCHEMA = "event_type STRING, user_id BIGINT, n_events BIGINT, rnk INT"
+
+
+def _heavy_hitters_fn(key, pdfs, state):
+    """Space-saving (Metwally et al.) heavy-hitter sketch per
+    event_type, carried across micro-batches in GroupState: at most
+    HH_CAPACITY counters; an unseen user evicts the current minimum
+    counter and inherits its count (the classic overestimate-bounded
+    replacement, error <= n/HH_CAPACITY). Eviction victim is chosen by
+    (count, user_id) so the sketch is deterministic under any arrival
+    order of equal-count ties."""
+    import pandas as pd
+
+    (event_type,) = key
+    if state.exists:
+        users, counts = state.get
+        d = dict(zip(users, counts))
+    else:
+        d = {}
+    for pdf in pdfs:
+        for user, c in pdf.groupby("user_id").size().items():
+            u = int(user)
+            if u in d:
+                d[u] += int(c)
+            elif len(d) < HH_CAPACITY:
+                d[u] = int(c)
+            else:
+                victim, vmin = min(d.items(), key=lambda kv: (kv[1], kv[0]))
+                del d[victim]
+                d[u] = vmin + int(c)
+    state.update((list(d.keys()), list(d.values())))
+    top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_TOP]
+    yield pd.DataFrame({
+        "event_type": [event_type] * len(top),
+        "user_id": [u for u, _ in top],
+        "n_events": [c for _, c in top],
+        "rnk": list(range(1, len(top) + 1)),
+    })
+
+
+@query("stream_heavy_hitters")
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-{HH_TOP} heavy hitters per event type via a
+    space-saving sketch in applyInPandasWithState: O(HH_CAPACITY)
+    state per key regardless of user cardinality — the bounded-memory
+    answer to "who is hammering this event right now" that an exact
+    streaming groupBy (O(users) state) cannot give at 100 TB.
+
+    On the fixture the capacity exceeds the distinct-user count, so
+    the sketch is EXACT and tests/test_streaming.py asserts equality
+    with the batch groupBy top-{HH_TOP}; at production cardinalities
+    the same operator degrades gracefully to the ε = n/capacity
+    overestimate guarantee. Oracle-exempt (stateful custom op) per
+    the __spark_entry__ contract."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tune(spark)
+    ev = events_stream(spark, sf_dir).select("event_type", "user_id")
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        _heavy_hitters_fn,
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return spark.table(run_stream_to_table(out, "update"))

@@ -194,3 +194,36 @@ def read_csv_permissive(spark: SparkSession, path: str,
         .schema(full)
         .csv(path)
     )
+
+
+def merge_upsert(spark: SparkSession, base_dir: str, updates: DataFrame,
+                 key_cols: list[str]) -> int:
+    """MERGE INTO semantics on a plain parquet table: rows of
+    ``updates`` replace base rows with matching keys (WHEN MATCHED
+    UPDATE) and insert otherwise (WHEN NOT MATCHED INSERT). Returns
+    the merged row count.
+
+    Plan shape: one left-anti join of base against the update keyset
+    plus a union — the update side is typically tiny relative to the
+    table, so at 100 TB the anti join runs as a broadcast (or
+    bloom-filtered shuffle) against the full scan: one pass over the
+    base. The rewrite is staged to a sibling directory and swapped in
+    atomically at the filesystem level (write-audit-publish) — the
+    base is never read and overwritten in the same job, which Spark
+    forbids, and a crashed merge leaves the base intact. Table formats
+    with transactional metadata (Iceberg/Delta/Hudi) replace the
+    directory swap with a metadata commit; the dataframe plan is
+    identical."""
+    import shutil
+    import uuid
+
+    base = spark.read.parquet(base_dir)
+    merged = base.join(updates, key_cols, "left_anti").unionByName(updates)
+    n = merged.count()
+    stage = base_dir.rstrip("/") + f"__stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(stage)
+    old = base_dir.rstrip("/") + f"__old_{uuid.uuid4().hex[:8]}"
+    os.rename(base_dir, old)
+    os.rename(stage, base_dir)
+    shutil.rmtree(old)
+    return n

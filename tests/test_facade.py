@@ -160,3 +160,26 @@ def test_permissive_csv_quarantines_bad_rows(spark, tmp_path):
     assert sorted(r.id for r in good.collect()) == [1, 2]
     assert bad.count() == 1
     assert "not_a_number" in bad.collect()[0]._corrupt_record
+
+
+def test_merge_upsert_matched_and_inserted(spark, sf_dir, tmp_path):
+    """MERGE semantics: matched keys take the update's values, new
+    keys are inserted, untouched rows survive byte-for-byte."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.sources import merge_upsert
+
+    base_dir = str(tmp_path / "nation_tbl")
+    load_table(spark, sf_dir, "nation").write.parquet(base_dir)
+
+    updates = spark.createDataFrame(
+        [(0, "NATION_0_RENAMED", 9), (99, "NATION_99_NEW", 9)],
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+    n = merge_upsert(spark, base_dir, updates, ["n_nationkey"])
+    assert n == 26  # 25 original + 1 insert
+
+    back = {r.n_nationkey: (r.n_name, r.n_regionkey)
+            for r in spark.read.parquet(base_dir).collect()}
+    assert back[0] == ("NATION_0_RENAMED", 9)       # matched → updated
+    assert back[99] == ("NATION_99_NEW", 9)         # not matched → inserted
+    assert back[7][0] == "NATION_7"                 # untouched row intact
+    assert len(back) == 26

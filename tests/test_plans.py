@@ -228,3 +228,26 @@ def test_runtime_bloom_filter_injects_into_shuffle_joins(spark, sf_dir):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """100 TB posture: joining a date-partitioned fact to a filtered
+    dimension on the partition column must trigger dynamic partition
+    pruning — the fact scan waits for the dim's build side and reads
+    only the surviving partitions (the run-time analogue of the static
+    pruning asserted in test_partition_pruning.py)."""
+    out = str(tmp_path / "orders_by_year")
+    from mit_mapreduce_spark.catalog import load_table
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate"))
+    o.write.partitionBy("o_year").mode("overwrite").parquet(out)
+
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == 1997 else "drop") for y in range(1995, 2002)],
+        "yr INT, tag STRING").where(F.col("tag") == "keep")
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim, fact.o_year == dim.yr).groupBy("yr").count()
+    plan = plans.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["yr"] == 1997

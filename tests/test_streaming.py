@@ -210,3 +210,28 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
     ).collect()}
     assert got == want
+
+
+def test_stream_heavy_hitters_equals_batch_topk(spark, sf_dir):
+    """With capacity > distinct users the space-saving sketch is exact:
+    the streamed top-10 per event type must equal the batch groupBy
+    top-10 (same (count desc, user) total order)."""
+    from pyspark.sql import Window
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.streaming_queries import (
+        HH_TOP, stream_heavy_hitters)
+
+    got = stream_heavy_hitters(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id"))
+    want = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("event_type", "user_id", "n_events",
+                F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= HH_TOP)
+    )
+    gs = {tuple(r) for r in got.collect()}
+    ws = {tuple(r) for r in want.collect()}
+    assert gs == ws, (gs - ws, ws - gs)
