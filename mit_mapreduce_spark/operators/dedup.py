@@ -672,3 +672,44 @@ def dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").alias("first_doc"))
         .where(F.col("n_docs") > 1)
     )
+
+
+# --- triangle count over the near-dup graph -------------------------------
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_sql_minhash_pipeline()}))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pairs p1
+    JOIN pairs p2 ON p2.doc_a = p1.doc_b
+    JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the verified near-dup graph — the clustering-
+    coefficient signal that distinguishes tight duplicate cliques
+    (boilerplate families) from chain-like false-positive paths.
+
+    The edge list is oriented (doc_a < doc_b holds for every
+    dedup_minhash pair), so each triangle a<b<c matches exactly one
+    (p1=(a,b), p2=(b,c), p3=(a,c)) join chain — the standard
+    distributed triangle enumeration, two equi-join shuffles over the
+    edge relation, no direction dedup pass needed. The edge list is
+    localCheckpointed once so the LSH pipeline is not re-derived per
+    join leg; at 100 TB the orientation step (by degree, not id) is
+    the wedge-explosion guard and changes nothing else."""
+    edges = (
+        dedup_minhash(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    p1 = edges.alias("p1")
+    p2 = edges.alias("p2")
+    p3 = edges.alias("p3")
+    return (
+        p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b"))
+        .join(p3, (F.col("p3.doc_a") == F.col("p1.doc_a"))
+              & (F.col("p3.doc_b") == F.col("p2.doc_b")))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

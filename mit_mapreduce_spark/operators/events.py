@@ -275,3 +275,120 @@ def snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+# --- calendar gap-fill ----------------------------------------------------
+
+@query(
+    "gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.h AS window_start, e.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) e),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT s.window_start, s.event_type,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+    FROM spine s
+    LEFT JOIN actual a ON a.window_start = s.window_start
+                      AND a.event_type = s.event_type
+    """,
+)
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: emit EVERY (hour, event_type) cell of the
+    observed range with an explicit zero where no events landed —
+    downstream anomaly detection and charting must distinguish "no
+    data" from "not computed". The hour spine is generated with
+    sequence() from a 1-row min/max aggregate (broadcast), crossed
+    with the distinct type dimension, then left-joined to the actual
+    rollup. At 100 TB the spine is |hours|x|types| rows — trivially
+    small next to the events — and the only real shuffle is the
+    rollup's own aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = F.broadcast(ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi")))
+    hours = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("window_start"))
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    actual = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                   "event_type")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        spine.join(actual, ["window_start", "event_type"], "left")
+        .select("window_start", "event_type",
+                F.coalesce(F.col("_n"), F.lit(0)).cast("bigint")
+                .alias("n_events"))
+    )
+
+
+# --- z-score anomaly flagging ---------------------------------------------
+
+Z_SCALE = 100          # event values carry 2 decimals: exact int grid
+Z_THRESHOLD = 3.0
+
+
+@query(
+    "anomaly_events",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * {Z_SCALE}) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * {Z_SCALE}) AS BIGINT)
+                      * CAST(ROUND(value * {Z_SCALE}) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / {Z_SCALE}.0 / CAST(n AS DOUBLE) AS mean,
+             sqrt((CAST(s2 AS DOUBLE) / ({Z_SCALE}.0 * {Z_SCALE}.0)
+                   / CAST(n AS DOUBLE))
+                  - (CAST(s1 AS DOUBLE) / {Z_SCALE}.0 / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / {Z_SCALE}.0 / CAST(n AS DOUBLE)))
+               AS sd
+      FROM stats)
+    SELECT e.event_id, e.event_type, e.value, m.mean, m.sd
+    FROM events e JOIN m ON m.event_type = e.event_type
+    WHERE abs(e.value - m.mean) > {Z_THRESHOLD} * m.sd
+    """,
+)
+def anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging per event type: events whose value sits
+    more than {Z_THRESHOLD}σ from the type mean. Mean and population
+    σ come from exact integer moments (values lifted to a 1e-2 grid,
+    s1/s2 summed as BIGINT — order-independent), then one pinned IEEE
+    expression per statistic, so the flag set is hash-exact across
+    engines. Plan: one moments aggregation ({Z_SCALE}-scaled, map-side
+    combined) broadcast back onto a second streaming pass — two scans,
+    no window, the standard shape when the stats must see ALL rows
+    before any row can be judged."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * Z_SCALE).cast("bigint")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum(v).cast("bigint").alias("s1"),
+             F.sum(v * v).cast("bigint").alias("s2"))
+    )
+    mean = F.col("s1").cast("double") / float(Z_SCALE) / F.col("n").cast("double")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") / float(Z_SCALE * Z_SCALE)
+         / F.col("n").cast("double")) - mean * mean)
+    m = F.broadcast(stats.select("event_type", mean.alias("mean"), sd.alias("sd")))
+    return (
+        ev.join(m, "event_type")
+        .where(F.abs(F.col("value") - F.col("mean"))
+               > Z_THRESHOLD * F.col("sd"))
+        .select("event_id", "event_type", "value", "mean", "sd")
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 from mit_mapreduce_spark.operators.dedup import hash60, _sql_hash60
 from mit_mapreduce_spark.operators.registry import query
 
@@ -337,4 +338,50 @@ def reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", "n_chars",
                     F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= RESERVOIR_K)
+    )
+
+
+# --- equi-width histogram -------------------------------------------------
+
+HIST_BUCKETS = 20
+
+
+@query(
+    "histogram_totalprice",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    b AS (
+      SELECT CAST(LEAST(FLOOR((o.o_totalprice - mm.lo)
+                              / ((mm.hi - mm.lo) / {HIST_BUCKETS}.0)),
+                        {HIST_BUCKETS - 1}.0) AS INT) AS bucket,
+             o.o_totalprice
+      FROM orders o CROSS JOIN mm)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width {HIST_BUCKETS}-bucket histogram of order totals —
+    the profiler's distribution view. Two passes: a global min/max
+    (1-row broadcast cross join) and one bucketing aggregation; the
+    bucket index is pinned IEEE arithmetic (identical expression
+    order cross-engine, max clamped into the last bucket), so even
+    the bucket boundaries are hash-exact. At 100 TB both passes are
+    map-side-combined scans; the histogram itself is {HIST_BUCKETS}
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = F.broadcast(o.agg(F.min("o_totalprice").alias("lo"),
+                           F.max("o_totalprice").alias("hi")))
+    width = (F.col("hi") - F.col("lo")) / float(HIST_BUCKETS)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(float(HIST_BUCKETS - 1))).cast("int")
+    return (
+        o.crossJoin(mm)
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             dsum("o_totalprice", "sum_price"))
     )
