@@ -11,6 +11,7 @@ def load_all() -> None:
         text,
         relational,
         analytics,
+        decision,
         windows,
         events,
         dedup,
