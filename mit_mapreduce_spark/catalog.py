@@ -52,14 +52,24 @@ def fan_out(df: DataFrame) -> DataFrame:
     runs serially on 1 of 32 cores (measured 3x slower end-to-end on
     dedup_minhash at sf0.1).
 
-    Gated: a no-op whenever the scan already fans out to >= the
-    cluster's default parallelism — i.e. on any real multi-file,
-    multi-row-group table at 100 TB the repartition (and its shuffle)
-    disappears, while locally it costs one tiny shuffle of raw text.
+    Gated: a no-op whenever the plan's file sources already list >=
+    defaultParallelism files — i.e. on any real multi-file table at
+    100 TB the repartition (and its shuffle) disappears, while locally
+    it costs one tiny shuffle of raw text. The gate reads the scan's
+    file metadata (``inputFiles``) rather than ``df.rdd`` — the RDD
+    conversion forced plan materialization at query-construction time
+    (ADVICE r3). A table with few files but many row groups would
+    split further than the gate estimates; that only makes the
+    repartition redundant, never wrong, and cannot happen on the
+    single-row-group fixtures this exists for.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-based plan: nothing to rebalance
+        return df
+    if n_files >= n:
         return df
     return df.repartition(n)
 

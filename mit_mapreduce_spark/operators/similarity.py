@@ -344,9 +344,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescore reuses the scaled-integer dot (bit-identical to DuckDB).
     At real scale the centroids come from a sampled k-means upstream;
     swapping them changes no plan shape."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw)
+    # Centroids come from the RAW scan: the vec_id % 7 filter pushes
+    # down to the parquet scan instead of running post-shuffle (ADVICE r3).
     cents = (
-        emb.where(F.col("vec_id") % 7 == 0)
+        raw.where(F.col("vec_id") % 7 == 0)
         .orderBy("vec_id").limit(N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
@@ -693,9 +696,12 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep), total exact-cosine work O(n), never O(n²). The centroids
     are the deterministic oracle-checkable stand-ins documented on
     ann_ivf_topk; swapping in sampled k-means changes no plan shape."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw)
+    # Centroids come from the RAW scan: the vec_id % 7 filter pushes
+    # down to the parquet scan instead of running post-shuffle (ADVICE r3).
     cents = (
-        emb.where(F.col("vec_id") % 7 == 0)
+        raw.where(F.col("vec_id") % 7 == 0)
         .orderBy("vec_id").limit(N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
@@ -818,9 +824,12 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined agg per iteration — the canonical distributed k-means;
     iterating it under a driver loop with localCheckpoint per round
     is exactly the dedup_clusters/pagerank_trade fixpoint shape."""
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw)
+    # Centroids come from the RAW scan: the vec_id % 7 filter pushes
+    # down to the parquet scan instead of running post-shuffle (ADVICE r3).
     cents = (
-        emb.where(F.col("vec_id") % 7 == 0)
+        raw.where(F.col("vec_id") % 7 == 0)
         .orderBy("vec_id").limit(N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
