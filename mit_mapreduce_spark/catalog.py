@@ -31,13 +31,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS): surfaced as long nanos under
-        # nanosAsLong (session.tune); convert with exact integer math
-        # (a double division would lose precision above 2^53 ns) to the
-        # same µs truncation DuckDB applies when it reads the file.
-        from pyspark.sql import functions as F
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a real timestamp across fixture vintages.
+
+    Older fixtures store parquet TIMESTAMP(NANOS), surfaced as long
+    nanos under nanosAsLong (session.tune): convert with exact integer
+    math (a double division would lose precision above 2^53 ns) to the
+    same µs truncation DuckDB applies. Newer fixtures store
+    TIMESTAMP(MICROS), which both engines read natively — no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    field = df.schema["ts"].dataType
+    if isinstance(field, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(field, T.TimestampNTZType):
+        # Session tz is UTC (session.tune), so this cast reinterprets
+        # the same wall-clock instant; watermarks need TIMESTAMP.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

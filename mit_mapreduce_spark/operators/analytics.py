@@ -344,7 +344,7 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = (
         edges.join(outw, "src")
         .select("src", "dst", F.expr(f"(w * {PR_SHARE}) div ow").alias("p"))
-        .localCheckpoint()  # cut the fact-join lineage before iterating
+        .localCheckpoint(eager=False)  # cut the fact-join lineage before iterating
     )
     nodes = n.select(F.col("n_nationkey").alias("v"))
     cnt = F.broadcast(n.agg(F.count("*").alias("nn")))
@@ -464,4 +464,168 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").cast("bigint").alias("numcust"),
              dsum("c_acctbal", "totacctbal"))
+    )
+
+
+# --- Q12-shaped: conditional priority counts over late shipments ----------
+
+@query(
+    "late_line_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '2000-01-01'
+      AND l.l_shipdate < TIMESTAMP '2001-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: lines shipped >60 days after their order date
+    in one year, counted by line status and split into urgent-vs-other
+    order priorities (the fixture schema has no l_shipmode /
+    l_commitdate, so l_linestatus stands in for the grouping column
+    and order-to-ship lag for the late-delivery predicate — the plan
+    shape is identical: fact⋈fact equi-join with a non-equi residual,
+    CASE-WHEN conditional aggregation).
+
+    100 TB posture: the shipdate year-window is pushed to the lineitem
+    scan; the lag predicate (spanning both sides) evaluates as the
+    join residual; both conditional sums are map-side combined
+    long partials — no second pass, no distinct."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate")
+               > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint")
+             .alias("high_line_count"),
+             F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint")
+             .alias("low_line_count"))
+    )
+
+
+# --- Q16-shaped: supplier variety per part class, bad suppliers excluded --
+
+@query(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: how many distinct suppliers ship each
+    (brand, type, size) part class, excluding a blacklisted supplier
+    set (negative account balance stands in for the complaints LIKE —
+    the fixture has no partsupp/s_comment, so lineitem is the
+    part⋈supplier relation). Shape preserved: NOT IN decorrelated to
+    a left-anti join + COUNT(DISTINCT) grouped aggregate.
+
+    100 TB posture: part filters (brand/size) reach the part scan and
+    prune the join's build side; the blacklist is a tiny broadcast
+    anti join; the count-distinct runs as Spark's two-phase
+    partial-distinct aggregation (dedup before the final shuffle), so
+    the wide fact never funnels through one reducer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
+
+
+# --- Q20-shaped: dominant suppliers of a part family ----------------------
+
+@query(
+    "excess_stock_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT d.l_suppkey
+      FROM (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS BIGINT)) AS sup_qty
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l.l_partkey IN (
+            SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'small%')
+        GROUP BY l.l_partkey, l.l_suppkey) d
+      JOIN (
+        SELECT l2.l_partkey,
+               SUM(CAST(l2.l_quantity AS BIGINT)) AS part_qty
+        FROM lineitem l2
+        WHERE l2.l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l2.l_partkey IN (
+            SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'small%')
+        GROUP BY l2.l_partkey) t ON t.l_partkey = d.l_partkey
+      WHERE 10 * d.sup_qty > 3 * t.part_qty)
+    """,
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers shipping >30% of the recent volume
+    of any 'small%'-named part (the fixture has no partsupp, so
+    "availqty > half a year's shipments" becomes "dominant share of a
+    part's shipments" — the same nested-subquery pyramid: part-family
+    filter → per-(part,supplier) aggregate → compare against a
+    per-part aggregate → IN-list into the supplier table).
+
+    Quantities are integral doubles; both engines sum them as BIGINT
+    and the share test is exact integer cross-multiplication
+    (10·sup > 3·part) — no float threshold ambiguity.
+
+    100 TB posture: the name LIKE prunes part before a broadcast
+    semi-join onto the filtered lineitem scan; ONE shuffle on
+    (partkey, suppkey) computes the fine grain, the per-part total is
+    a map-side-combined re-aggregation of that (already tiny) result
+    — not a second lineitem pass; the final IN is a semi join
+    broadcast into supplier."""
+    small = (load_table(spark, sf_dir, "part")
+             .where(F.col("p_name").like("small%"))
+             .select("p_partkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+          .join(F.broadcast(small),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi"))
+    fine = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sup_qty")))
+    part_tot = (fine.groupBy("l_partkey")
+                .agg(F.sum("sup_qty").alias("part_qty")))
+    dominant = (
+        fine.join(part_tot, "l_partkey")
+        .where(10 * F.col("sup_qty") > 3 * F.col("part_qty"))
+        .select("l_suppkey").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey,
+               "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
     )

@@ -441,13 +441,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint()
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint(eager=False)
 
     # symmetrized edges ⇒ every component member appears as src
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(MAX_CC_ITERS):
@@ -460,7 +460,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.least(F.col("cluster_id"),
                     F.coalesce("_nbr_min", "cluster_id")).alias("cluster_id"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -702,7 +702,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         dedup_minhash(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     p1 = edges.alias("p1")
     p2 = edges.alias("p2")

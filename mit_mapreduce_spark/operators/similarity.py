@@ -232,7 +232,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is the vector table itself, the natural thing to persist.
     vecs = emb.select(
         F.col("vec_id"), F.col("embedding"), bucket.alias("bucket"),
-        nsq.alias("nsq")).localCheckpoint()
+        nsq.alias("nsq")).localCheckpoint(eager=False)
     a = vecs.alias("a")
     b = vecs.alias("b")
     dot = _dot_scaled(F.col("a.embedding"), F.col("b.embedding"))

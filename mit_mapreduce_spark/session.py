@@ -35,6 +35,10 @@ def tune(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS), which the vectorized
     # reader rejects; read as long and convert in catalog.load_table.
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Newer fixtures store TIMESTAMP(MICROS) without the UTC-adjusted
+    # flag; read as TIMESTAMP (LTZ, session tz = UTC) rather than NTZ
+    # so event-time ops (watermarks require TIMESTAMP) work unchanged.
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Runtime re-planning: partition coalescing, skew-join splitting.
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

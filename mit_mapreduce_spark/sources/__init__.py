@@ -207,21 +207,40 @@ def merge_upsert(spark: SparkSession, base_dir: str, updates: DataFrame,
     plus a union — the update side is typically tiny relative to the
     table, so at 100 TB the anti join runs as a broadcast (or
     bloom-filtered shuffle) against the full scan: one pass over the
-    base. The rewrite is staged to a sibling directory and swapped in
-    atomically at the filesystem level (write-audit-publish) — the
-    base is never read and overwritten in the same job, which Spark
-    forbids, and a crashed merge leaves the base intact. Table formats
-    with transactional metadata (Iceberg/Delta/Hudi) replace the
-    directory swap with a metadata commit; the dataframe plan is
-    identical."""
+    base. The rewrite is staged to a sibling directory
+    (write-audit-publish): a failed stage write is cleaned up with the
+    base untouched. The publish itself is two renames; a crash in the
+    window between them leaves the table renamed aside rather than
+    truly lost (``<base>__old_*`` is the intact pre-merge table, and
+    recovery is renaming it back). Table formats with transactional
+    metadata (Iceberg/Delta/Hudi) close that window with an atomic
+    metadata commit; the dataframe plan is identical.
+
+    ``updates`` rows must be unique on ``key_cols`` — MERGE semantics
+    are undefined when two update rows hit the same target key, so
+    duplicates raise instead of being inserted verbatim.
+
+    The merged row count is computed from the staged parquet footers
+    (a metadata-only scan), not a separate ``count()`` action that
+    would recompute the whole merge."""
     import shutil
     import uuid
 
+    dup = (updates.groupBy(*key_cols).count().where(F.col("count") > 1))
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate keys on {key_cols}")
+
     base = spark.read.parquet(base_dir)
     merged = base.join(updates, key_cols, "left_anti").unionByName(updates)
-    n = merged.count()
     stage = base_dir.rstrip("/") + f"__stage_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(stage)
+    try:
+        merged.write.mode("overwrite").parquet(stage)
+        # Row count from parquet footers of what was actually published.
+        n = spark.read.parquet(stage).count()
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     old = base_dir.rstrip("/") + f"__old_{uuid.uuid4().hex[:8]}"
     os.rename(base_dir, old)
     os.rename(stage, base_dir)

@@ -22,21 +22,13 @@ from pyspark.sql import types as T
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    # TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong
-    # (session.tune); converted to a real timestamp below.
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns→µs
-    conversion the batch catalog applies (catalog.load_table)."""
+    """readStream over the events parquet with the same ts
+    normalization the batch catalog applies (catalog.load_table).
+
+    The stream schema is taken from a batch scan of the staged file so
+    the source works across fixture vintages (TIMESTAMP(NANOS)-as-long
+    under nanosAsLong, or native TIMESTAMP(MICROS))."""
     # The file stream source requires a directory; stage the fixture
     # file into scratch once per scale factor (testdata is read-only).
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -46,8 +38,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         os.makedirs(stage, exist_ok=True)
         shutil.copy2(src, dst)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from mit_mapreduce_spark.catalog import _normalize_event_ts
+    schema = spark.read.parquet(stage).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return _normalize_event_ts(raw)
 
 
 STATE_PARTITIONS = 8
