@@ -311,3 +311,65 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_chars_removed"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# --- sequence packing: fixed-token training windows -----------------------
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER
+               (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM toks)
+    SELECT doc_id, source, n_tokens,
+           cum_excl // {PACK_BUDGET} AS pack_id,
+           cum_excl % {PACK_BUDGET} AS pack_offset
+    FROM cum
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign each document a
+    (pack_id, pack_offset) inside its source shard so the corpus
+    concatenates into back-to-back {PACK_BUDGET}-token training
+    sequences (documents straddle pack boundaries exactly as a
+    causal-LM data loader concatenates with EOS separators — this
+    computes the deterministic placement, the loader slices bytes).
+
+    The placement is a running exclusive prefix-sum of token counts in
+    a canonical order (doc_id) WITHIN each source shard — packing is
+    per-shard in every real pipeline precisely so the prefix-sum never
+    becomes a global sequential dependency. The window partitions by
+    source and parallelizes across shards; all arithmetic is integer,
+    so the oracle match is exact.
+
+    100 TB posture: one shuffle keyed by source. Shards are bounded
+    (a crawl dump, a book collection), so per-partition state is one
+    running long; if a single shard were pathologically large, the
+    standard fix is sub-sharding the partition key — the plan shape
+    is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    n_tok = F.size(F.filter(F.split("text", r"\s+"),
+                            lambda x: x != "")).cast("bigint")
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("cum_excl",
+                    F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select("doc_id", "source", "n_tokens",
+                F.expr(f"cum_excl div {PACK_BUDGET}").alias("pack_id"),
+                (F.col("cum_excl") % PACK_BUDGET).alias("pack_offset"))
+    )

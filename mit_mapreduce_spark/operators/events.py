@@ -392,3 +392,51 @@ def anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                > Z_THRESHOLD * F.col("sd"))
         .select("event_id", "event_type", "value", "mean", "sd")
     )
+
+
+# --- OHLC bar resample (min_by/max_by aggregates) -------------------------
+
+@query(
+    "ohlc_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bar_ts, event_type,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM events
+    GROUP BY bar_ts, event_type
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample to hourly OHLC bars per event type —
+    the canonical financial/metrics resample, expressed with
+    min_by/max_by selector aggregates so open/close come from the SAME
+    single aggregation pass as high/low/volume (no window, no
+    self-join, no per-bar sort).
+
+    Open/close ties are impossible by construction: the selector key
+    is the zero-padded (epoch µs, event_id) string, a total order
+    both engines compare identically (arg_min/arg_max in DuckDB,
+    min_by/max_by in Spark) — first/last is deterministic even when
+    two events share a timestamp.
+
+    100 TB posture: one hash aggregation keyed (hour, type), map-side
+    combined — each partial keeps 4 doubles + 2 (key,value) selector
+    pairs per open bar, so a year of nanosecond ticks reduces to
+    8760·|types| rows in a single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bar_ts"), "event_type")
+        .agg(F.min_by("value", key).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", key).alias("close"),
+             F.count("*").cast("bigint").alias("volume"))
+    )

@@ -251,3 +251,4 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["yr"] == 1997
+
