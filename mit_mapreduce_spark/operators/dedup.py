@@ -216,8 +216,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH collision groups (AQE splits the rare hot bucket); verification
     touches only candidate pairs, a vanishing fraction of n²."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_df(docs)
-    sigs = _minhash_sigs(sh)
+    # Materialize the shingle set and signatures once (lazily): sh
+    # feeds the signature agg AND both verification join legs, sigs
+    # feeds both band-join sides and the size lookup — without the
+    # checkpoint the tokenize→shingle→md5 pipeline re-executes up to
+    # six times per run (measured 2× end-to-end on dedup_clusters at
+    # sf0.1). At cluster scale the same role is played by
+    # persist(MEMORY_AND_DISK) with recompute lineage.
+    sh = shingles_df(docs).localCheckpoint(eager=False)
+    sigs = _minhash_sigs(sh).localCheckpoint(eager=False)
     bands = _band_hashes(sigs)
 
     a = bands.alias("a")
@@ -456,18 +463,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src").agg(F.min("cluster_id").alias("_nbr_min"))
         )
         joined = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-        new_labels = joined.select(
+        # Carry the changed flag out of the SAME join that computes the
+        # new label — the convergence check then reads the checkpointed
+        # result instead of re-joining new labels against old (which
+        # cost one extra shuffle join per round).
+        stepped = joined.select(
             "doc_id",
             F.least(F.col("cluster_id"),
-                    F.coalesce("_nbr_min", "cluster_id")).alias("cluster_id"),
+                    F.coalesce("_nbr_min", "cluster_id")).alias("new_cluster"),
+            (F.least(F.col("cluster_id"),
+                     F.coalesce("_nbr_min", "cluster_id"))
+             != F.col("cluster_id")).cast("int").alias("_chg"),
         ).localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = stepped.select(
+            "doc_id", F.col("new_cluster").alias("cluster_id"))
         if changed == 0:
             break
     if changed != 0:
