@@ -373,3 +373,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"cum_excl div {PACK_BUDGET}").alias("pack_id"),
                 (F.col("cum_excl") % PACK_BUDGET).alias("pack_offset"))
     )
+
+
+# --- per-language length-band outlier trim --------------------------------
+
+BAND_LO, BAND_HI = 0.05, 0.95
+
+
+@query(
+    "length_band_filter",
+    oracle=f"""
+    WITH bands AS (
+      SELECT lang,
+             quantile_cont(n_chars, {BAND_LO}) AS lo,
+             quantile_cont(n_chars, {BAND_HI}) AS hi
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN bands b ON b.lang = d.lang
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    """,
+)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation trim: keep documents inside the [P5, P95] length band
+    OF THEIR OWN LANGUAGE — absolute length cutoffs mis-trim
+    high-entropy scripts (Chinese chars ≠ English chars), so every
+    serious pipeline bands per language (or per source).
+
+    Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont) keep this oracle-checkable; the band table is
+    |langs| rows and broadcast back onto the corpus scan — at 100 TB
+    this is one grouped-sort pass to learn the bands plus one
+    broadcast-joined filter pass, and the approx_percentile swap for
+    the first pass is a one-line change when exactness stops
+    mattering."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {BAND_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars, {BAND_HI})").alias("hi"))
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .where((F.col("n_chars") >= F.col("lo"))
+               & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -965,3 +965,31 @@ def join_profit_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --- SQL front door -------------------------------------------------------
+
+_SQL_FRONTDOOR = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+@query("sql_frontdoor_revenue", oracle=_SQL_FRONTDOOR)
+def sql_frontdoor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface itself: ONE query string executed verbatim by
+    both engines — ``spark.sql`` over the registered fixture views on
+    the Spark side, DuckDB on the oracle side. Proves a reference user
+    can bring plain ANSI SQL to this engine (no DataFrame code at all)
+    and get hash-identical results; Catalyst plans it exactly like the
+    DataFrame twin (broadcast nation, one agg shuffle, map-side
+    combined exact-decimal sums)."""
+    from mit_mapreduce_spark.catalog import register_views
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_SQL_FRONTDOOR)

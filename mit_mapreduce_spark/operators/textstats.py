@@ -430,3 +430,60 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(COLL_TOP)
     )
+
+
+# --- BPE merge-candidate mining: adjacent-pair frequencies ----------------
+
+BPE_TOPK = 50
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS w
+      FROM documents),
+    pairs AS (
+      SELECT w[i] || w[i+1] AS pair
+      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words))
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: the frequency table of adjacent symbol
+    pairs inside words — exactly the statistic the first BPE merge
+    step maximizes (Sennrich et al. 2016's count table, at character
+    level). A full BPE trainer iterates this count→merge loop; each
+    iteration is this same job over the re-segmented corpus.
+
+    Pairs are produced JVM-side (transform over an index sequence —
+    the same no-UDF pattern as shingles_df) and the single-char guard
+    mirrors the shingle guard: sequence(1, 0) is DESCENDING in Spark,
+    so length-1 words must emit an empty array, not crash.
+
+    100 TB posture: one scan, the explode fans out to ~word_len rows
+    per word, and the count is a map-side-combined hash aggregation
+    whose key space is bounded (≤ alphabet² distinct pairs) — the
+    final top-k is a TakeOrderedAndProject, never a global sort of
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                           lambda x: x != "")).alias("w"))
+    pair_arr = F.expr(
+        "CASE WHEN length(w) < 2 THEN array() "
+        "ELSE transform(sequence(1, length(w) - 1), "
+        "               i -> substring(w, i, 2)) END")
+    return (
+        words.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOPK)
+    )

@@ -235,3 +235,67 @@ def test_stream_heavy_hitters_equals_batch_topk(spark, sf_dir):
     gs = {tuple(r) for r in got.collect()}
     ws = {tuple(r) for r in want.collect()}
     assert gs == ws, (gs - ws, ws - gs)
+
+
+def test_stream_foreach_batch_merge_upsert(spark, sf_dir, tmp_path):
+    """Streaming CDC into a keyed table: foreachBatch + merge_upsert
+    maintains per-user running aggregates across micro-batches — the
+    production stream→warehouse-table pattern (Delta/Iceberg MERGE
+    INTO; here the parquet write-audit-publish merge). Multiple
+    micro-batches are forced with maxFilesPerTrigger=1 over a 4-file
+    staging of the events fixture; the final table must equal the
+    batch group-by exactly."""
+    import os
+
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.sources import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+
+    stage = str(tmp_path / "ev_files")
+    ev.repartition(4).write.parquet(stage)
+
+    base_dir = str(tmp_path / "user_counts")
+    (spark.createDataFrame([], "user_id bigint, n bigint, sum_value double")
+     .write.parquet(base_dir))
+
+    def upsert_batch(batch_df, batch_id):
+        batch_agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 4).cast("decimal(28,4)"))
+            .alias("_sv"))
+        cur = batch_df.sparkSession.read.parquet(base_dir)
+        combined = (
+            cur.select("user_id", "n",
+                       F.round("sum_value", 4).cast("decimal(28,4)")
+                       .alias("_sv"))
+            .unionByName(batch_agg)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("_sv").cast("double").alias("sum_value"))
+            # merge replaces matched keys verbatim, so updates must
+            # carry the already-combined row, computed BEFORE the
+            # merge rewrites base_dir underneath this plan
+            .localCheckpoint()
+        )
+        merge_upsert(batch_df.sparkSession, base_dir, combined, ["user_id"])
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.user_id: (r.n, round(r.sum_value, 4))
+           for r in spark.read.parquet(base_dir).collect()}
+    want = {r.user_id: (r.n, round(r.sum_value, 4))
+            for r in ev.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.sum(F.round("value", 4).cast("decimal(28,4)"))
+                .cast("double").alias("sum_value")).collect()}
+    assert got == want
