@@ -252,3 +252,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["yr"] == 1997
 
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("ohlc_hourly", 1),        # one hash agg keyed (hour, type)
+    ("pack_sequences", 1),     # one exchange keyed by source shard
+    ("bpe_pair_counts", 1),    # explode → single map-side-combined agg
+    ("length_band_filter", 1), # band learn; apply side is broadcast
+    ("late_line_priority", 1), # fact⋈fact join + conditional agg
+])
+def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-4 operators hold the same discipline as the originals: a
+    new Exchange in any of these plans is a scale regression even if
+    results stay correct."""
+    n = plans.shuffle_count(QUERIES[name](spark, sf_dir))
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_length_band_filter_broadcasts_bands(spark, sf_dir):
+    """The per-language band table (|langs| rows) must broadcast back
+    onto the corpus scan — the apply pass may never shuffle the corpus."""
+    plan = plan_of(spark, sf_dir, "length_band_filter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
