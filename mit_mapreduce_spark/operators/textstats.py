@@ -487,3 +487,74 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_TOPK)
     )
+
+
+# --- cross-source overlap matrix ------------------------------------------
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+      FROM (SELECT source, generate_subscripts(arr, 1) AS i, arr
+            FROM (SELECT source,
+                         list_filter(regexp_split_to_array(text,
+                                     '[^\\p{L}]+'), x -> x <> '') AS arr
+                  FROM documents))
+      WHERE i <= len(arr) - 2),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, i.n_inter,
+           za.n AS n_a, zb.n AS n_b,
+           CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.source = i.source_a
+    JOIN sizes zb ON zb.source = i.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diagnostics: shingle-level Jaccard overlap between every
+    PAIR of sources — the signal that tells you two crawls/dumps are
+    near-copies before you pay to dedup them doc-by-doc (and the
+    leakage check between a training source and a held-out one).
+
+    Plan: distinct (source, 3-gram shingle) → self-join on the
+    shingle string → per-pair counts joined with per-source set
+    sizes. The self-join's fan-out per shingle key is bounded by
+    |sources|² — NOT document-pair blow-up — so at 100 TB the
+    exchange carries (shingle → ≤|sources|) rows and the output is
+    exactly |sources|·(|sources|−1)/2 rows. Reuses dedup's shingle
+    builder (one tokenize path to maintain)."""
+    from mit_mapreduce_spark.operators.dedup import shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (shingles_df(docs.select(F.col("source").alias("doc_id"), "text"))
+          .withColumnRenamed("doc_id", "source")
+          .distinct()
+          .localCheckpoint(eager=False))  # feeds sizes + both join legs
+    sizes = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(F.broadcast(za), F.col("za.source") == F.col("source_a"))
+        .join(F.broadcast(zb), F.col("zb.source") == F.col("source_b"))
+        .select("source_a", "source_b", "n_inter",
+                F.col("za.n").alias("n_a"), F.col("zb.n").alias("n_b"),
+                (F.col("n_inter").cast("double")
+                 / (F.col("za.n") + F.col("zb.n") - F.col("n_inter")))
+                .alias("jaccard"))
+    )
