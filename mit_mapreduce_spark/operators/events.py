@@ -440,3 +440,53 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max_by("value", key).alias("close"),
              F.count("*").cast("bigint").alias("volume"))
     )
+
+
+# --- LOCF: last observation carried forward -------------------------------
+
+@query(
+    "locf_fill",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type IN ('view', 'click') THEN NULL
+                  ELSE value END AS v
+      FROM events),
+    filled AS (
+      SELECT event_id, user_id, ts, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM sparse)
+    SELECT event_id, user_id, v_filled
+    FROM filled
+    WHERE v IS NULL AND v_filled IS NOT NULL
+    """,
+)
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: fill gaps in a per-user
+    metric with the latest preceding non-null reading — the standard
+    sensor/price-series repair (the fixture has no nulls, so sparsity
+    is seeded deterministically by nulling two event types; rows
+    emitted are exactly the repaired gaps).
+
+    `last_value(..., ignorenulls=True)` over a running frame is the
+    whole algorithm — one window, one exchange on user_id, ordered by
+    the (ts, event_id) total order so engines agree under timestamp
+    ties. The naive alternative (self-join each null row to its
+    latest predecessor) is a range join per gap; the window form is
+    what survives 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type").isin("view", "click"), F.lit(None))
+        .otherwise(F.col("value")).alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        sparse.withColumn(
+            "v_filled", F.last("v", ignorenulls=True).over(w))
+        .where(F.col("v").isNull() & F.col("v_filled").isNotNull())
+        .select("event_id", "user_id", "v_filled")
+    )

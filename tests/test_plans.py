@@ -275,3 +275,29 @@ def test_length_band_filter_broadcasts_bands(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "length_band_filter")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter can come from parquet footers
+    alone — at 100 TB that is reading a few KB of metadata per file
+    instead of the column data. The v1 parquet source Spark defaults
+    to doesn't implement it, so the engine's stance: flip to the DSv2
+    reader for metadata-only aggregations (`PushedAggregation` must
+    appear in the scan), keep v1 (bucketing etc.) everywhere else."""
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .agg(F.min("l_quantity").alias("mn"),
+                   F.max("l_quantity").alias("mx"),
+                   F.count("*").alias("n")))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(l_quantity), MAX(l_quantity), COUNT(*)]" \
+            in plan, plan
+        row = df.collect()[0]
+        assert row.n > 0 and row.mn <= row.mx
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
