@@ -417,3 +417,121 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --- composed pipeline v2: curation → pack-ready training corpus ----------
+
+def _sql_pack_ready() -> str:
+    bi = _sql_ngram_arr(2)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             {_LTR_TOKS_SQL} AS _toks,
+             {_WS_TOKS_SQL} AS _ws
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             CAST(len(_ws) AS BIGINT) AS n_tokens
+      FROM (SELECT *, len(_toks) AS nt,
+                   len(list_distinct(_toks)) AS nd,
+                   {bi} AS bi
+            FROM t)
+      WHERE (CASE WHEN len(bi) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+             END) <= {MAX_DUP_BIGRAM_FRAC}
+        AND (CASE WHEN nt = 0 THEN 0.0
+             ELSE CAST(nd AS DOUBLE) / nt END) >= {MIN_TTR}),
+    bands AS (
+      SELECT lang,
+             quantile_cont(n_chars, {BAND_LO}) AS lo,
+             quantile_cont(n_chars, {BAND_HI}) AS hi
+      FROM documents GROUP BY lang),
+    banded AS (
+      SELECT q.* FROM q JOIN bands b ON b.lang = q.lang
+      WHERE q.n_chars >= b.lo AND q.n_chars <= b.hi),
+    kept AS (
+      SELECT * FROM (
+        SELECT banded.*, MIN(doc_id) OVER (PARTITION BY
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+               AS keep_id
+        FROM banded)
+      WHERE doc_id = keep_id),
+    cum AS (
+      SELECT doc_id, source, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER
+               (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM kept)
+    SELECT doc_id, source, lang, n_tokens,
+           cum_excl // {PACK_BUDGET} AS pack_id,
+           cum_excl % {PACK_BUDGET} AS pack_offset
+    FROM cum
+    """
+
+
+@query("pipeline_pack_ready", oracle=_sql_pack_ready())
+def pipeline_pack_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2, end to end in ONE plan: repetition-quality
+    gate (Gopher rules) → per-language [P5,P95] length band → exact
+    normalized dedup keep-one → per-shard sequence packing. The output
+    IS the training manifest: every surviving document with its
+    (pack_id, pack_offset) slot.
+
+    Every stage is deterministic, so the four-stage composition
+    hash-checks against DuckDB end to end. Exchanges: the quality gate
+    fuses into the scan (array expressions, no shuffle), the band
+    table is a broadcast join (|langs| rows), the keep-list is one
+    fingerprint window exchange, the packing one source-shard window
+    exchange, plus the tiny band aggregation itself — the plan's
+    shuffle count is asserted in test_plans. At 100 TB each stage
+    inherits the posture of the operator it composes
+    (quality_repetition / length_band_filter / dedup_exact_norm /
+    pack_sequences)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "source", "lang", "n_chars", "text",
+        _letter_tokens().alias("_toks"),
+        F.size(_ws_tokens()).cast("bigint").alias("n_tokens"),
+    ).select(
+        "doc_id", "source", "lang", "n_chars", "text", "n_tokens",
+        F.size("_toks").alias("nt"),
+        F.size(F.array_distinct("_toks")).alias("nd"),
+        _ngram_arr(2).alias("bi"),
+    )
+    n_bi = F.size("bi")
+    dup_bi = (F.when(n_bi == 0, F.lit(0.0))
+              .otherwise(F.lit(1.0)
+                         - F.size(F.array_distinct("bi")).cast("double")
+                         / n_bi))
+    ttr = (F.when(F.col("nt") == 0, F.lit(0.0))
+           .otherwise(F.col("nd").cast("double") / F.col("nt")))
+    q = staged.where((dup_bi <= MAX_DUP_BIGRAM_FRAC) & (ttr >= MIN_TTR))
+
+    bands = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {BAND_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars, {BAND_HI})").alias("hi"))
+    banded = (
+        q.join(F.broadcast(bands), "lang")
+        .where((F.col("n_chars") >= F.col("lo"))
+               & (F.col("n_chars") <= F.col("hi")))
+    )
+
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    kept = (
+        banded.withColumn("keep_id", F.min("doc_id").over(W.partitionBy(fp)))
+        .where(F.col("doc_id") == F.col("keep_id"))
+    )
+
+    wpack = (W.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+    return (
+        kept.select("doc_id", "source", "lang", "n_tokens")
+        .withColumn("cum_excl",
+                    F.coalesce(F.sum("n_tokens").over(wpack), F.lit(0)))
+        .select("doc_id", "source", "lang", "n_tokens",
+                F.expr(f"cum_excl div {PACK_BUDGET}").alias("pack_id"),
+                (F.col("cum_excl") % PACK_BUDGET).alias("pack_offset"))
+    )

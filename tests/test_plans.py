@@ -260,6 +260,8 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     ("bpe_pair_counts", 1),    # explode → single map-side-combined agg
     ("length_band_filter", 1), # band learn; apply side is broadcast
     ("late_line_priority", 1), # fact⋈fact join + conditional agg
+    ("pipeline_pack_ready", 6), # 4-stage curation composition: band agg
+                                # + fingerprint window + pack window
 ])
 def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-4 operators hold the same discipline as the originals: a
