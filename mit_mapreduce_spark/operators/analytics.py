@@ -629,3 +629,45 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", F.col("n_name").alias("nation"))
     )
+
+
+# --- recursive CTE surface: month spine with zero-filled revenue ----------
+
+_SQL_RECURSIVE_MONTHS = f"""
+WITH RECURSIVE spine(month_start, mx) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP),
+         CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP)
+  FROM orders
+  UNION ALL
+  SELECT month_start + INTERVAL '1' MONTH, mx
+  FROM spine WHERE month_start < mx),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+         {sql_dsum('o_totalprice', 'rev')},
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY 1)
+SELECT s.month_start,
+       COALESCE(mo.rev, 0.0) AS revenue,
+       COALESCE(mo.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN monthly mo ON mo.m = s.month_start
+"""
+
+
+@query("recursive_month_revenue", oracle=_SQL_RECURSIVE_MONTHS)
+def recursive_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE surface (Spark 4's WITH RECURSIVE): a month spine
+    generated by bounded UNION ALL recursion — anchor carries the max
+    bound as a column, so the recursion terminates without the
+    UNION-distinct form Spark doesn't support yet — left-joined with
+    monthly revenue, zero-filled. ONE SQL string runs verbatim on both
+    engines (like sql_frontdoor_revenue), so the recursion itself is
+    under the hash gate; gapfill_hourly is the sequence()-based
+    DataFrame twin of the same spine idea.
+
+    100 TB posture: the recursion materializes |months| rows — driver-
+    trivial; the real work (the monthly aggregate) is one map-side-
+    combined shuffle of orders, and the spine join broadcasts."""
+    from mit_mapreduce_spark.catalog import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_RECURSIVE_MONTHS)
