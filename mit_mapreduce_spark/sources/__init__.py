@@ -246,3 +246,23 @@ def merge_upsert(spark: SparkSession, base_dir: str, updates: DataFrame,
     os.rename(stage, base_dir)
     shutil.rmtree(old)
     return n
+
+
+def write_xml(df: DataFrame, out_dir: str, row_tag: str = "row",
+              root_tag: str = "rows") -> None:
+    """Native XML sink (built into Spark 4 — no external package):
+    one <row_tag> element per record under <root_tag> per file."""
+    (df.write.format("xml")
+     .option("rootTag", root_tag).option("rowTag", row_tag)
+     .mode("overwrite").save(out_dir))
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: T.StructType | None = None) -> DataFrame:
+    """Native XML source; pass an explicit schema in production — XML
+    inference is a full extra pass over the data, the same rule as
+    JSON/CSV at scale."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

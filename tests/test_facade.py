@@ -183,3 +183,24 @@ def test_merge_upsert_matched_and_inserted(spark, sf_dir, tmp_path):
     assert back[99] == ("NATION_99_NEW", 9)         # not matched → inserted
     assert back[7][0] == "NATION_7"                 # untouched row intact
     assert len(back) == 26
+
+
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """Spark 4 native XML source/sink: nation survives an XML round
+    trip with an explicit read schema (no inference pass)."""
+    from pyspark.sql import types as T
+
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.sources import read_xml, write_xml
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    out = str(tmp_path / "nation_xml")
+    write_xml(n, out, row_tag="nation", root_tag="nations")
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ])
+    back = read_xml(spark, out, row_tag="nation", schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
