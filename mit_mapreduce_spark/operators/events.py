@@ -490,3 +490,38 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("v").isNull() & F.col("v_filled").isNotNull())
         .select("event_id", "user_id", "v_filled")
     )
+
+
+# --- VARIANT semi-structured surface --------------------------------------
+
+@query(
+    "variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NULL THEN NULL ELSE 1 END) AS BIGINT)
+             AS n_with_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface v2: VARIANT (Spark 4's binary-encoded
+    JSON type) — ``parse_json`` once, ``variant_get`` per path. Unlike
+    get_json_object (json_props), which re-parses the JSON string for
+    every extraction, a VARIANT column parses once and every probe is
+    a binary traversal — at 100 TB with many probed paths, that's the
+    difference between P parses and one. Absent paths return NULL
+    (counted here to pin that semantic against the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("variant_get(v, '$.k', 'bigint')"))
+             .cast("bigint").alias("sum_k"),
+             F.count(F.expr("variant_get(v, '$.missing', 'string')"))
+             .cast("bigint").alias("n_with_missing"))
+    )
