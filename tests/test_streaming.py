@@ -299,3 +299,30 @@ def test_stream_foreach_batch_merge_upsert(spark, sf_dir, tmp_path):
                 F.sum(F.round("value", 4).cast("decimal(28,4)"))
                 .cast("double").alias("sum_value")).collect()}
     assert got == want
+
+
+def test_stream_tumbling_on_rocksdb_state_store(spark, sf_dir):
+    """The production state-store: RocksDB provider (bundled in Spark
+    4) instead of the default in-memory HDFS-backed store — at 100 TB
+    streaming state must spill off-heap and checkpoint incrementally.
+    Same tumbling aggregation, same exact batch parity, state held in
+    RocksDB."""
+    from mit_mapreduce_spark.operators.events import tumbling_hourly
+    from mit_mapreduce_spark.operators.streaming_queries import (
+        stream_tumbling_hourly,
+    )
+
+    provider = ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        # drains the stream internally with the RocksDB provider active
+        streamed = stream_tumbling_hourly(spark, sf_dir)
+        got = sorted(map(tuple, streamed.collect()))
+        cols = streamed.columns
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    want = sorted(map(tuple, tumbling_hourly(spark, sf_dir)
+                      .select(*cols).collect()))
+    assert got == want
