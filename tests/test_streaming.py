@@ -326,3 +326,38 @@ def test_stream_tumbling_on_rocksdb_state_store(spark, sf_dir):
     want = sorted(map(tuple, tumbling_hourly(spark, sf_dir)
                       .select(*cols).collect()))
     assert got == want
+
+
+def test_python_streaming_datasource_counter(spark, tmp_path):
+    """The streaming half of the Python Data Source API: the counter
+    source drains under availableNow into exactly its configured row
+    range — offsets advance step-wise, the aggregate over all
+    micro-batches equals the closed form, proving no batch was lost
+    or double-read."""
+    from mit_mapreduce_spark.sources.counter_stream_source import (
+        CounterStreamDataSource,
+    )
+
+    import time
+
+    spark.dataSource.register(CounterStreamDataSource)
+    q = (
+        spark.readStream.format("counterstream")
+        .option("step", 7).option("limit", 50).load()
+        .writeStream.format("memory").queryName("counter_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # the source reaches its limit after ceil(50/7) micro-batches;
+        # poll the sink instead of guessing a sleep
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("counter_sink").count() >= 50:
+                break
+            time.sleep(0.5)
+        rows = spark.table("counter_sink").collect()
+    finally:
+        q.stop()
+    assert sorted(r.n for r in rows) == list(range(50))
+    assert sum(r.n for r in rows) == 49 * 50 // 2
