@@ -86,12 +86,19 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hash60(F.concat(seed_col.cast("string"), F.lit(":"), word_col)) \
             % CMS_WIDTH
 
+    exact = (toks.groupBy("word").agg(F.count("*").alias("exact_n"))
+             .localCheckpoint(eager=False))  # one explode pass feeds all
+    # Cell counts derived from the per-word counts: Σ exact_n over the
+    # words hashing into a cell ≡ counting token instances directly
+    # (what a streaming CMS does), but hashes |vocab|×D keys instead of
+    # |tokens|×D — the same partial-aggregation Spark would apply to
+    # the instance stream, made explicit.
     cells = (
-        toks.select("word", F.explode(seeds).alias("seed"))
+        exact.select("exact_n", F.explode(seeds).alias("seed"),
+                     F.col("word"))
         .groupBy("seed", bucket(F.col("seed"), F.col("word")).alias("bucket"))
-        .agg(F.count("*").alias("cell_n"))
+        .agg(F.sum("exact_n").alias("cell_n"))
     )
-    exact = toks.groupBy("word").agg(F.count("*").alias("exact_n"))
     probes = exact.select(
         "word", "exact_n", F.explode(seeds).alias("seed")
     ).withColumn("bucket", bucket(F.col("seed"), F.col("word")))
