@@ -409,11 +409,16 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                i -> struct(arr[i-1] AS w1, arr[i] AS w2))
            END""")).alias("bg")).select("bg.w1", "bg.w2")
     unigrams = toked.select(F.explode("arr").alias("w"))
-    bigc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    unic = unigrams.groupBy("w").agg(F.count("*").alias("c"))
+    bigc = (bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+            .localCheckpoint(eager=False))
+    unic = (unigrams.groupBy("w").agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=False))
+    # Corpus totals = sums of the grouped counts — re-aggregating the
+    # tiny count tables instead of re-exploding the corpus (this and
+    # the checkpoints above cut the tokenize passes from 4 to 2).
     tot = F.broadcast(
-        bigrams.agg(F.count("*").cast("bigint").alias("nb"))
-        .crossJoin(unigrams.agg(F.count("*").cast("bigint").alias("nu"))))
+        bigc.agg(F.sum("c12").cast("bigint").alias("nb"))
+        .crossJoin(unic.agg(F.sum("c").cast("bigint").alias("nu"))))
     u1 = F.broadcast(unic.select(F.col("w").alias("_w1"), F.col("c").alias("c1")))
     u2 = F.broadcast(unic.select(F.col("w").alias("_w2"), F.col("c").alias("c2")))
     lift = F.round(
