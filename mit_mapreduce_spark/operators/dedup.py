@@ -370,7 +370,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes, never n^2), then a per-candidate popcount filter — the
     same plan shape as dedup_minhash, which plan tests assert is
     CartesianProduct-free."""
-    sigs = _simhash_sigs(load_table(spark, sf_dir, "documents"))
+    # Checkpoint: the signature build (tokenize + distinct + 60 partial
+    # sums) feeds BOTH legs of the band self-join; without reuse it
+    # executes twice.
+    sigs = (_simhash_sigs(load_table(spark, sf_dir, "documents"))
+            .localCheckpoint(eager=False))
     mask = (1 << SH_BAND_BITS) - 1
     bands = sigs.select(
         "doc_id", "simhash",
@@ -579,6 +583,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("df", "word"))).alias("o"),
              F.count("*").alias("n"))
         .select("doc_id", "n", F.expr("transform(o, s -> s.word)").alias("words"))
+        # Checkpoint: the per-doc ordered-token build feeds the prefix
+        # explode (self-joined, 2 legs) AND both verification legs —
+        # five executions without reuse.
+        .localCheckpoint(eager=False)
     )
     prefix = ordered.select(
         "doc_id", "n",
