@@ -184,6 +184,17 @@ def test_merge_upsert_matched_and_inserted(spark, sf_dir, tmp_path):
     assert back[7][0] == "NATION_7"                 # untouched row intact
     assert len(back) == 26
 
+    # duplicate keys in updates: MERGE is undefined — must raise, and
+    # a failed merge must leave the base untouched
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(1, "A", 1), (1, "B", 1)],
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, base_dir, dup, ["n_nationkey"])
+    assert spark.read.parquet(base_dir).count() == 26
+
 
 def test_xml_round_trip(spark, sf_dir, tmp_path):
     """Spark 4 native XML source/sink: nation survives an XML round
