@@ -114,8 +114,10 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined keep/drop verdict. Every signal is an array expression
     over the token array — one scan, zero shuffles, zero explodes, so
     the filter costs exactly one pass over the corpus at any scale."""
+    from mit_mapreduce_spark.catalog import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
+    staged = fan_out(docs).select(
         "doc_id", _letter_tokens().alias("_toks")
     ).select(
         "doc_id",
@@ -490,8 +492,13 @@ def pipeline_pack_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_sequences)."""
     from pyspark.sql import Window as W
 
+    from mit_mapreduce_spark.catalog import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
+    # fan_out: the quality stage's array work (tokens + bigram arrays +
+    # distinct) would otherwise run on ONE core — single-row-group
+    # fixture scans get exactly one task (see catalog.fan_out).
+    staged = fan_out(docs).select(
         "doc_id", "source", "lang", "n_chars", "text",
         _letter_tokens().alias("_toks"),
         F.size(_ws_tokens()).cast("bigint").alias("n_tokens"),
@@ -508,7 +515,19 @@ def pipeline_pack_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / n_bi))
     ttr = (F.when(F.col("nt") == 0, F.lit(0.0))
            .otherwise(F.col("nd").cast("double") / F.col("nt")))
-    q = staged.where((dup_bi <= MAX_DUP_BIGRAM_FRAC) & (ttr >= MIN_TTR))
+    # Materialization barrier: predicate pushdown would inline the
+    # bigram-array expressions into the Filter condition, where
+    # higher-order functions run INTERPRETED — measured ~25x slower
+    # than the same expressions in a codegen projection (10.2s vs
+    # 0.4s for this gate at sf0.1). Compute the two scalars in a
+    # projection, checkpoint, filter on plain columns.
+    metrics = staged.select(
+        "doc_id", "source", "lang", "n_chars", "text", "n_tokens",
+        dup_bi.alias("_dup_bi"), ttr.alias("_ttr"),
+    ).localCheckpoint(eager=False)
+    q = (metrics.where((F.col("_dup_bi") <= MAX_DUP_BIGRAM_FRAC)
+                       & (F.col("_ttr") >= MIN_TTR))
+         .drop("_dup_bi", "_ttr"))
 
     bands = docs.groupBy("lang").agg(
         F.expr(f"percentile(n_chars, {BAND_LO})").alias("lo"),

@@ -477,8 +477,10 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose key space is bounded (≤ alphabet² distinct pairs) — the
     final top-k is a TakeOrderedAndProject, never a global sort of
     the corpus."""
+    from mit_mapreduce_spark.catalog import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
+    words = fan_out(docs).select(
         F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
                            lambda x: x != "")).alias("w"))
     pair_arr = F.expr(

@@ -257,7 +257,8 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
 @pytest.mark.parametrize("name,budget", [
     ("ohlc_hourly", 1),        # one hash agg keyed (hour, type)
     ("pack_sequences", 1),     # one exchange keyed by source shard
-    ("bpe_pair_counts", 1),    # explode → single map-side-combined agg
+    ("bpe_pair_counts", 2),    # fan_out (no-op on multi-file tables)
+                               # + single map-side-combined agg
     ("length_band_filter", 1), # band learn; apply side is broadcast
     ("late_line_priority", 1), # fact⋈fact join + conditional agg
     ("pipeline_pack_ready", 6), # 4-stage curation composition: band agg
