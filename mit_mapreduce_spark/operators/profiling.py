@@ -211,16 +211,23 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's posture is inherited from the operator it composes."""
     from pyspark.sql import Window
 
+    from mit_mapreduce_spark.catalog import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
     n_toks = F.size(toks)
     punct_ratio = (F.length(F.regexp_replace("text", r"[\p{L}\s]+", ""))
                    .cast("double") / F.length("text"))
-    q = (
-        docs.withColumn("n_toks", n_toks)
-        .where((F.col("n_toks") >= _MIN_TOKENS)
-               & (punct_ratio <= _MAX_PUNCT))
-    )
+    # Metrics in a projection behind a lazy-checkpoint barrier:
+    # pushdown would inline the size(filter(split)) HOF into the
+    # Filter, which runs interpreted (see SCALE.md, round-4 find);
+    # fan_out parallelizes the single-row-group fixture scan.
+    metrics = fan_out(docs).select(
+        "*", n_toks.alias("n_toks"), punct_ratio.alias("_punct"),
+    ).localCheckpoint(eager=False)
+    q = (metrics.where((F.col("n_toks") >= _MIN_TOKENS)
+                       & (F.col("_punct") <= _MAX_PUNCT))
+         .drop("_punct"))
 
     fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     kept = (
