@@ -159,12 +159,16 @@ def test_stratified_sample_no_shuffle(spark, sf_dir):
 
 
 def test_curation_single_pass_ops_do_not_shuffle(spark, sf_dir):
-    """quality_repetition / pii_redact are advertised as one-scan,
-    zero-shuffle projections; chunk_documents adds only its controlled
-    posexplode (still no exchange)."""
-    for name in ("quality_repetition", "pii_redact", "chunk_documents"):
+    """pii_redact is a one-scan zero-shuffle projection;
+    chunk_documents adds only its controlled posexplode (still no
+    exchange); quality_repetition's single allowed exchange is the
+    fan_out repartition (a no-op on real multi-file tables) — its
+    aggregation-free body still never shuffles data by key."""
+    for name, budget in (("quality_repetition", 1), ("pii_redact", 0),
+                         ("chunk_documents", 0)):
         df = QUERIES[name](spark, sf_dir)
-        assert plans.shuffle_count(df) == 0, (name, plan_of(spark, sf_dir, name))
+        n = plans.shuffle_count(df)
+        assert n <= budget, (name, n, plan_of(spark, sf_dir, name))
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
