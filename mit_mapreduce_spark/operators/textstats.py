@@ -565,3 +565,48 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (F.col("za.n") + F.col("zb.n") - F.col("n_inter")))
                 .alias("jaccard"))
     )
+
+
+# --- ordered array aggregation: top-N docs per group ----------------------
+
+TOPDOCS_N = 5
+
+
+@query(
+    "top_docs_per_lang",
+    oracle=f"""
+    SELECT lang,
+           (list(doc_id ORDER BY n_chars DESC, doc_id))[1:{TOPDOCS_N}]
+             AS top_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ARRAY aggregation: the {TOPDOCS_N} longest documents per
+    language as an ordered array column — the shape used for per-group
+    exemplar lists (few-shot pools, per-domain samples). Spark has no
+    ORDER BY inside collect_list, so the order is imposed by
+    collecting (sort-key, value) structs and sort_array-ing the result
+    — deterministic under any partitioning, matched against DuckDB's
+    native ordered list() aggregate.
+
+    100 TB posture: the window top-N prunes per group BEFORE the
+    collect (WindowGroupLimit pushes the rank filter into the sort),
+    so per-group state is N structs, never the whole group — the
+    bounded-aggregation-state rule (SCALE.md) applied to arrays."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    top = (docs.select("lang", "doc_id", "n_chars",
+                       F.row_number().over(w).alias("rn"))
+           .where(F.col("rn") <= TOPDOCS_N))
+    # sort key: descending n_chars then ascending doc_id — encoded so
+    # one ascending sort_array reproduces it ((-n_chars, doc_id))
+    return (
+        top.groupBy("lang")
+        .agg(F.expr(
+            "transform(sort_array(collect_list(struct(-n_chars AS k, "
+            "doc_id AS d))), s -> s.d) AS top_docs"))
+    )
