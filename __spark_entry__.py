@@ -61,6 +61,23 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "global_sales_opportunity", "forecast_revenue",
     "returned_item_customers", "promo_revenue_share",
     "top_supplier_revenue", "small_qty_revenue",
+    # r04-green rows (CORRECTNESS_r04.json; lang_dist stayed red and
+    # dedup_ngram_jaccard was re-optimized in r05, so both rotate fresh)
+    "sql_frontdoor_revenue", "late_line_priority", "supplier_part_variety",
+    "excess_stock_suppliers", "recursive_month_revenue",
+    "disjunctive_revenue", "min_cost_supplier", "sole_return_suppliers",
+    "window_rank_topn", "window_lag_delta", "window_cumsum",
+    "window_moving_avg", "window_rank_variants", "window_range_frame",
+    "sessionize", "tumbling_hourly", "json_props", "retention_cohorts",
+    "funnel_conversion", "snapshot_latest", "gapfill_hourly",
+    "anomaly_events", "ohlc_hourly", "locf_fill", "variant_props",
+    "dedup_exact", "dedup_exact_norm", "dedup_minhash", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_clusters", "dup_passages",
+    "graph_triangles", "ann_bruteforce_topk", "ann_lsh_pairs",
+    "ann_ivf_topk", "embed_neardup_blocked", "embed_quantize",
+    "semantic_dedup_cells", "kmeans_update_step", "doc_stats",
+    "quality_score", "lang_id", "fingerprint", "token_counts",
+    "tfidf_top_terms", "collocations_lift", "bpe_pair_counts",
 })
 
 

@@ -82,10 +82,10 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_dist",
     oracle=f"""
     SELECT lang,
-           COUNT(*) AS n_docs,
-           COUNT(DISTINCT source) AS nd_sources,
-           SUM(CAST(length(text) AS BIGINT)) AS sum_chars,
-           SUM(CAST(length({_TOKS}) AS BIGINT)) AS sum_tokens
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_sources,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(length({_TOKS}) AS BIGINT)) AS BIGINT) AS sum_tokens
     FROM documents
     GROUP BY lang
     """,
