@@ -590,18 +590,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ordered.select(
         "doc_id", "n",
-        F.explode(F.expr(
+        F.posexplode(F.expr(
             f"slice(words, 1,"
-            f" cast(n - ceil({NGRAM_T} * n) + 1 as int))")).alias("word"),
+            f" cast(n - ceil({NGRAM_T} * n) + 1 as int))")).alias("pos", "word"),
     )
 
+    # PPJoin positional filter (Xiao et al., WWW'08): a prefix token
+    # matched at 0-based positions (pa, pb) of the two df-ordered
+    # arrays bounds the overlap by
+    #   1 + min(pa, pb) + min(n_a-pa-1, n_b-pb-1)
+    # (tokens globally ordered before the match sit left of it in BOTH
+    # arrays; tokens after it sit right of it in both). J >= t needs
+    # overlap >= t/(1+t)*(n_a+n_b); rows whose bound already fails are
+    # pruned BEFORE the distinct shuffle. Lossless: the bound is valid
+    # for EVERY shared token of a qualifying pair, so such a pair keeps
+    # all its candidate rows — certified by the brute-force oracle.
     a, b = prefix.alias("a"), prefix.alias("b")
+    ubound = (1 + F.least(F.col("a.pos"), F.col("b.pos"))
+              + F.least(F.col("a.n") - F.col("a.pos") - 1,
+                        F.col("b.n") - F.col("b.pos") - 1))
+    need = (F.col("a.n") + F.col("b.n")) * (NGRAM_T / (1.0 + NGRAM_T))
     cand = (
         a.join(b, (F.col("a.word") == F.col("b.word"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
                # lossless size filter: J>=t forces t*|big| <= |small|
                & (F.col("a.n") >= NGRAM_T * F.col("b.n"))
-               & (F.col("b.n") >= NGRAM_T * F.col("a.n")))
+               & (F.col("b.n") >= NGRAM_T * F.col("a.n"))
+               & (ubound >= need))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -267,6 +267,10 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     ("late_line_priority", 1), # fact⋈fact join + conditional agg
     ("pipeline_pack_ready", 6), # 4-stage curation composition: band agg
                                 # + fingerprint window + pack window
+    ("dedup_ngram_jaccard", 4), # ordered-doc agg + prefix self-join
+                                # + pair distinct + verify join; the
+                                # PPJoin positional filter must prune
+                                # inside the join, not add an Exchange
 ])
 def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-4 operators hold the same discipline as the originals: a
