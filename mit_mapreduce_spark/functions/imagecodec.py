@@ -1,0 +1,232 @@
+"""Pure-stdlib image codecs for the multimodal decode path.
+
+The container has no PIL/ffmpeg, but "no third-party codec" does not
+have to mean "fake decode": PPM is a header plus raw bytes, BMP's
+common uncompressed forms are a fixed-offset pixel array, and PNG's
+DEFLATE stream is stdlib ``zlib`` plus the five scanline filters from
+the spec. This module implements honest decoders for all three —
+enough to make the Spark-side decode kernels parse real pixels — and
+a PPM encoder for building payloads and fixtures.
+
+Formats:
+- PPM  P6 (binary, maxval <= 255) — decode + encode
+- BMP  BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit — decode
+- PNG  8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+  RGBA), non-interlaced — decode via ``zlib`` with full Sub/Up/
+  Average/Paeth unfiltering
+
+Decoded form everywhere: ``(width, height, channels, pixels)`` with
+``pixels`` row-major top-down interleaved bytes (len == w*h*channels).
+``decode_image`` sniffs magic bytes and returns None for anything it
+cannot parse — callers treat None as the quarantine signal, never an
+error (a corrupt asset must not kill a million-task job).
+
+No reference equivalent (the reference — mr/*.go — is text-only);
+this backs the multimodal north-star surface in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+Decoded = tuple[int, int, int, bytes]
+
+
+# --- PPM (P6) --------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """P6 PPM from row-major RGB bytes (len must be w*h*3)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _ppm_decode(data: bytes) -> Decoded | None:
+    """P6 parser: magic, whitespace/comment-tolerant header ints, then
+    exactly w*h*3 raw bytes after the single whitespace ending maxval."""
+    if not data.startswith(b"P6"):
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(data[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    pos += 1  # single whitespace byte after maxval
+    pix = data[pos:pos + w * h * 3]
+    if len(pix) != w * h * 3:
+        return None
+    return w, h, 3, pix
+
+
+# --- BMP (BI_RGB 24/32-bit) ------------------------------------------------
+
+def _bmp_decode(data: bytes) -> Decoded | None:
+    """Uncompressed BITMAPINFOHEADER BMP: BGR(A) rows padded to 4
+    bytes, bottom-up unless height is negative."""
+    if len(data) < 54 or not data.startswith(b"BM"):
+        return None
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. not supported
+        return None
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        return None
+    h, bottom_up = abs(h_raw), h_raw > 0
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if pix_off + stride * h > len(data):
+        return None
+    out = bytearray(w * h * nch)
+    for row in range(h):
+        src_row = (h - 1 - row) if bottom_up else row
+        base = pix_off + src_row * stride
+        dst = row * w * nch
+        for x in range(w):
+            s = base + x * nch
+            # BGR(A) -> RGB(A)
+            out[dst], out[dst + 1], out[dst + 2] = (
+                data[s + 2], data[s + 1], data[s])
+            if nch == 4:
+                out[dst + 3] = data[s + 3]
+            dst += nch
+    return w, h, nch, bytes(out)
+
+
+# --- PNG (8-bit, non-interlaced) -------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> sample count
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_decode(data: bytes) -> Decoded | None:
+    """PNG via stdlib zlib: walk chunks, inflate IDAT, undo per-line
+    filters (None/Sub/Up/Average/Paeth, PNG spec §9)."""
+    if not data.startswith(_PNG_MAGIC):
+        return None
+    pos, w = len(_PNG_MAGIC), 0
+    h = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(data):
+            length, ctype = struct.unpack_from(">I4s", data, pos)
+            body = data[pos + 8:pos + 8 + length]
+            if len(body) != length:
+                return None
+            if ctype == b"IHDR":
+                (w, h, bit_depth, color_type, _comp, _filt,
+                 interlace) = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # len + type + body + crc
+        if (w <= 0 or h <= 0 or bit_depth != 8 or interlace != 0
+                or color_type not in _PNG_CHANNELS or not idat):
+            return None
+        nch = _PNG_CHANNELS[color_type]
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for row in range(h):
+        ftype = raw[row * (stride + 1)]
+        line = bytearray(
+            raw[row * (stride + 1) + 1:(row + 1) * (stride + 1)])
+        if ftype == 1:    # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            return None
+        out[row * stride:(row + 1) * stride] = line
+        prev = bytes(line)
+    return w, h, nch, bytes(out)
+
+
+# --- public API ------------------------------------------------------------
+
+def decode_image(data: bytes) -> Decoded | None:
+    """Sniff-and-decode: PPM P6 / BMP / PNG, else None (quarantine)."""
+    if data.startswith(b"P6"):
+        return _ppm_decode(data)
+    if data.startswith(b"BM"):
+        return _bmp_decode(data)
+    if data.startswith(_PNG_MAGIC):
+        return _png_decode(data)
+    return None
+
+
+def to_gray(decoded: Decoded) -> tuple[int, int, bytes]:
+    """(w, h, one luma byte per pixel) via integer BT.601 weights —
+    deterministic across platforms (no float rounding)."""
+    w, h, nch, pix = decoded
+    if nch == 1:
+        return w, h, pix
+    gray = bytearray(w * h)
+    for i in range(w * h):
+        base = i * nch
+        if nch == 2:            # gray + alpha
+            gray[i] = pix[base]
+        else:                   # RGB / RGBA
+            gray[i] = (299 * pix[base] + 587 * pix[base + 1]
+                       + 114 * pix[base + 2]) // 1000
+    return w, h, bytes(gray)
+
+
+def resize_nearest(decoded: Decoded, new_w: int, new_h: int) -> Decoded:
+    """Nearest-neighbor resample (integer source indices, no float
+    accumulation) — the deterministic stdlib stand-in for a real
+    resampling kernel, honest about which source pixel each output
+    pixel came from."""
+    w, h, nch, pix = decoded
+    out = bytearray(new_w * new_h * nch)
+    for y in range(new_h):
+        sy = min(h - 1, y * h // new_h)
+        row = sy * w * nch
+        dst = y * new_w * nch
+        for x in range(new_w):
+            sx = min(w - 1, x * w // new_w)
+            s = row + sx * nch
+            out[dst:dst + nch] = pix[s:s + nch]
+            dst += nch
+    return new_w, new_h, nch, bytes(out)

@@ -10,20 +10,22 @@ text-only). The pattern for image/audio/video at 100 TB:
 - decode / resize / frame-sample run as ``mapInPandas`` stages —
   Arrow batches in, Arrow batches out, one Python worker per
   partition, payload bytes never pass through the driver;
-- codec selection is ENVIRONMENT-DETECTED: if PIL imports, the decode
-  and resize kernels run the real image path for any payload PIL can
-  open, falling back per-asset to a clearly-marked deterministic
-  stand-in (md5-seeded) for undecodable bytes — a corrupt image must
-  be quarantined, never kill a million-task job. Containers without
-  PIL (this one: ffmpeg/torchaudio absent too) run the stand-in for
-  everything; the Spark-side contract — schemas, batch iteration,
-  partitioning — is identical either way and tested both ways
-  (tests/test_multimodal.py crafts a real BMP and branches its
-  expectation on PIL's presence).
+- decode is REAL: ``functions/imagecodec.py`` is a pure-stdlib
+  PPM/BMP/PNG(zlib) decoder, so the kernels parse honest pixel bytes
+  with no third-party codec. Kernel selection per asset: stdlib codec
+  first (deterministic on every machine), PIL second when installed
+  (formats the stdlib codec can't parse, e.g. JPEG), then a
+  clearly-marked deterministic md5-seeded stand-in for undecodable
+  bytes — a corrupt image must be quarantined, never kill a
+  million-task job. Video frame-sampling stays a stand-in (ffmpeg
+  absent); its 1-row-in/N-rows-out Arrow contract is the real part.
 
-The fixture tables carry no binary column, so ``documents.text`` is
-encoded to UTF-8 bytes as the stand-in payload; everything downstream
-treats it as opaque bytes.
+The fixture tables carry no binary column, so payloads are
+synthesized: ``binary_assets`` wraps ``documents.text`` as opaque
+UTF-8 bytes (the manifest-scan surface), and ``image_assets`` builds
+a VALID per-doc P6 PPM — header plus sha512-derived pixel bytes —
+entirely with JVM expressions, which the decode/resize kernels then
+genuinely parse.
 """
 
 from __future__ import annotations
@@ -38,6 +40,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mit_mapreduce_spark.catalog import fan_out, load_table
+from mit_mapreduce_spark.functions.imagecodec import (
+    decode_image, resize_nearest,
+)
 from mit_mapreduce_spark.operators.registry import query
 
 N_FEATURES = 8
@@ -84,6 +89,45 @@ def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (asset_id, payload binary, meta struct) where the
+    payload is a VALID P6 PPM image, built entirely with JVM
+    expressions: the header from per-doc dimensions, the pixel bytes
+    from a sha512 chain over the text (unhex gives binary-safe bytes
+    of exactly the length the header promises). Dimensions vary per
+    doc (w 36–60, h 20–50, both above TARGET_EDGE so resize genuinely
+    shrinks, mixed landscape/portrait), so the decode kernels parse
+    honest, per-asset-distinct images — no Python in the builder, no
+    payload through the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(36) + (F.col("doc_id") % 13) * 2).cast("int")
+    h = (F.lit(20) + (F.col("doc_id") % 11) * 3).cast("int")
+    need = w * h * 3
+    # ceil(need/64) sha512 digests -> >= need bytes, sliced to need
+    pix = F.expr(
+        "substring(unhex(concat_ws('', transform("
+        "  sequence(0, cast(ceil((_w * _h * 3) / 64.0) as int) - 1),"
+        "  i -> sha2(concat(text, '|', cast(i as string)), 512)))),"
+        " 1, _w * _h * 3)")
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n"))
+    payload = F.concat(F.encode(header, "UTF-8"), pix)
+    return (
+        docs.withColumn("_w", w).withColumn("_h", h)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            payload.alias("payload"),
+            F.struct(
+                (need + F.length(F.encode(header, "UTF-8")))
+                .cast("bigint").alias("n_bytes"),
+                F.md5(payload).alias("checksum"),
+                F.lit("image/x-portable-pixmap").alias("mime"),
+                F.col("lang").alias("lang"),
+            ).alias("meta"),
+        )
+    )
+
+
 @query(
     "multimodal_meta",
     oracle="""
@@ -116,16 +160,39 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def _decode_one(data: bytes) -> list[float]:
-    """Per-asset feature vector. Real path (PIL present + decodable
-    payload): grayscale-resize to N_FEATURES×1 and emit the pixel
-    means — an actual, if tiny, visual signature. Fallback (no PIL, or
-    undecodable bytes): deterministic md5-derived stand-in."""
+    """Per-asset feature vector. Primary path: the pure-stdlib codec
+    (PPM/BMP/PNG) decodes the payload and the signature is the mean
+    luma of N_FEATURES vertical bands — an actual, if tiny, visual
+    signature, computed with integer math (BT.601 //1000 weights,
+    integer band means) so every platform produces identical bits.
+    Second chance: PIL, when installed, for formats the stdlib codec
+    can't parse (JPEG etc.). Fallback (undecodable bytes):
+    deterministic md5-derived stand-in — quarantine, never an error."""
+    dec = decode_image(data)
+    if dec is not None:
+        import numpy as np
+
+        w, h, nch, pix = dec
+        arr = np.frombuffer(pix, np.uint8).astype(np.int64)
+        arr = arr.reshape(h, w, nch)
+        if nch >= 3:
+            luma = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                    + 114 * arr[:, :, 2]) // 1000
+        else:  # gray / gray+alpha: channel 0 is the luma
+            luma = arr[:, :, 0]
+        feats = []
+        for k in range(N_FEATURES):
+            x0 = k * w // N_FEATURES
+            x1 = max(x0 + 1, (k + 1) * w // N_FEATURES)
+            band = luma[:, x0:x1]
+            feats.append(int(band.sum() // band.size) / 255.0)
+        return feats
     img = _try_pil_open(data)
     if img is not None:
         small = img.convert("L").resize((N_FEATURES, 1))
         return [p / 255.0 for p in small.tobytes()[:N_FEATURES]]
-    h = hashlib.md5(data).digest()
-    return [b / 255.0 for b in h[:N_FEATURES]]
+    digest = hashlib.md5(data).digest()
+    return [b / 255.0 for b in digest[:N_FEATURES]]
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,13 +219,15 @@ def decode_features(assets: DataFrame) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # rows-only: the fake decoder is not SQL
+@query("multimodal_decode")  # rows-only: pixel decode is not SQL
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + per-language feature aggregation: the standard
     multimodal pipeline shape (manifest scan → batched decode →
-    reduce). Aggregates are exact-decimal so the query is
-    deterministic run-to-run even though it is oracle-exempt."""
-    assets = binary_assets(spark, sf_dir)
+    reduce), where the decode is a REAL stdlib PPM parse of valid
+    image payloads (see image_assets). Aggregates are exact-decimal
+    so the query is deterministic run-to-run even though it is
+    oracle-exempt."""
+    assets = image_assets(spark, sf_dir)
     feats = decode_features(assets)
     lang = assets.select("asset_id", F.col("meta.lang").alias("lang"))
     per_dim = feats.select(
@@ -194,12 +263,22 @@ TARGET_EDGE = 32  # longest output edge of the stand-in resize
 def _resize_one(data: bytes) -> tuple[int, int, int, int, bytes]:
     """Per-asset resize: (orig_w, orig_h, new_w, new_h, resized_bytes).
 
-    Real path (PIL present + decodable payload): actual dimensions,
-    ``thumbnail((TARGET_EDGE, TARGET_EDGE))`` aspect-fit, raw RGB bytes
-    out. Fallback stand-in (no PIL / undecodable): dimensions derived
+    Primary path: stdlib codec decodes the payload, aspect-fit
+    nearest-neighbor resample to TARGET_EDGE (thumbnail semantics —
+    never upscales), raw interleaved pixel bytes out. Second chance:
+    PIL's real thumbnail for formats the stdlib codec can't parse.
+    Fallback stand-in (undecodable): dimensions derived
     deterministically from md5 (w = 64 + md5[0], h = 64 + md5[1]) and
     a byte subsample at the same shrink ratio — same schema, same
     aspect-fit arithmetic."""
+    dec = decode_image(data)
+    if dec is not None:
+        w, h, _nch, pix = dec
+        if max(w, h) <= TARGET_EDGE:
+            return w, h, w, h, pix
+        ratio = TARGET_EDGE / max(w, h)
+        nw, nh = max(1, int(w * ratio)), max(1, int(h * ratio))
+        return w, h, nw, nh, resize_nearest(dec, nw, nh)[3]
     img = _try_pil_open(data)
     if img is not None:
         w, h = img.size
@@ -244,13 +323,15 @@ def resize_assets(assets: DataFrame) -> DataFrame:
     )
 
 
-@query("multimodal_resize")  # rows-only: the fake resizer is not SQL
+@query("multimodal_resize")  # rows-only: pixel resample is not SQL
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize stage + shrinkage rollup: per synthetic aspect bucket,
-    how many assets, the dimension totals before/after, and the byte
-    shrinkage. The stage is the third mapInPandas kernel (decode,
-    frame-sample, resize) sharing the one Arrow plumbing pattern."""
-    assets = binary_assets(spark, sf_dir)
+    """Resize stage + shrinkage rollup: per aspect bucket, how many
+    assets, the dimension totals before/after, and the byte
+    shrinkage — over REAL decoded PPM payloads (true header
+    dimensions, nearest-neighbor resample). The stage is the third
+    mapInPandas kernel (decode, frame-sample, resize) sharing the one
+    Arrow plumbing pattern."""
+    assets = image_assets(spark, sf_dir)
     resized = resize_assets(assets)
     return (
         resized.groupBy(

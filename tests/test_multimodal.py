@@ -1,21 +1,170 @@
-"""Multimodal mapInPandas stages: schema/batch contracts and the
-stand-in kernels' determinism (the part that stays true when real
-codecs replace the fakes)."""
+"""Multimodal mapInPandas stages: schema/batch contracts, the REAL
+stdlib codec (PPM/BMP/PNG via functions/imagecodec.py), and the
+quarantine path for undecodable payloads."""
+
+import struct
+import zlib
 
 from pyspark.sql import functions as F
 
 from mit_mapreduce_spark import operators
 from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.functions.imagecodec import (
+    decode_image, encode_ppm, resize_nearest, to_gray,
+)
 from mit_mapreduce_spark.operators.multimodal import (
-    FRAMES_PER_ASSET, TARGET_EDGE, binary_assets, resize_assets,
+    FRAMES_PER_ASSET, TARGET_EDGE, binary_assets, image_assets,
+    resize_assets,
 )
 from mit_mapreduce_spark.operators.registry import QUERIES
 
 operators.load_all()
 
 
+# --- codec unit tests (no Spark) -------------------------------------------
+
+def _tiny_bmp(w: int, h: int) -> bytes:
+    """A valid 24-bit uncompressed BMP built by hand — solid red,
+    bottom-up rows, 4-byte padded."""
+    row = b"\x00\x00\xff" * w          # BGR red pixels
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    data = row * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def _tiny_png(w: int, h: int, pixel: bytes, filter_type: int = 0) -> bytes:
+    """A valid 8-bit RGB PNG built by hand: one IDAT, every scanline
+    using the given filter type (0 None / 1 Sub / 2 Up), solid color
+    so the filtered deltas are easy to produce."""
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += pixel * w
+        elif filter_type == 1:   # Sub: first pixel literal, rest zero
+            raw += pixel + b"\x00\x00\x00" * (w - 1)
+        elif filter_type == 2:   # Up: first row literal, rest zero
+            raw += (pixel * w) if y == 0 else b"\x00" * (3 * w)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_ppm_roundtrip():
+    rgb = bytes(range(4 * 3 * 3)) [:4 * 3 * 3]
+    ppm = encode_ppm(4, 3, rgb)
+    assert decode_image(ppm) == (4, 3, 3, rgb)
+    # comment + whitespace tolerant header
+    commented = b"P6\n# a comment\n4 3\n255\n" + rgb
+    assert decode_image(commented) == (4, 3, 3, rgb)
+    # truncated pixel data -> quarantine, not an exception
+    assert decode_image(ppm[:-1]) is None
+
+
+def test_bmp_decode_real_pixels():
+    dec = decode_image(_tiny_bmp(5, 2))
+    assert dec is not None
+    w, h, nch, pix = dec
+    assert (w, h, nch) == (5, 2, 3)
+    assert pix == b"\xff\x00\x00" * 10   # BGR source -> RGB out
+    assert decode_image(b"BMgarbage") is None
+
+
+def test_png_decode_all_filter_paths():
+    red = b"\xff\x00\x00"
+    for ftype in (0, 1, 2):
+        dec = decode_image(_tiny_png(4, 3, red, filter_type=ftype))
+        assert dec is not None, f"filter {ftype}"
+        w, h, nch, pix = dec
+        assert (w, h, nch) == (4, 3, 3)
+        assert pix == red * 12, f"filter {ftype}"
+    # corrupt DEFLATE stream -> quarantine
+    bad = _tiny_png(4, 3, red)
+    bad = bad.replace(zlib.compress(bytes(
+        bytearray(b"\x00" + red * 4) * 3)), b"")  # no-op if absent; then:
+    assert decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+
+
+def test_gray_and_resize_helpers():
+    # 2x1 image: black then white -> luma 0, 255
+    dec = (2, 1, 3, b"\x00\x00\x00\xff\xff\xff")
+    assert to_gray(dec) == (2, 1, b"\x00\xff")
+    # nearest-neighbor upscale doubles each pixel
+    up = resize_nearest(dec, 4, 1)
+    assert up == (4, 1, 3, b"\x00\x00\x00\x00\x00\x00\xff\xff\xff\xff\xff\xff")
+
+
+# --- kernel seam tests -----------------------------------------------------
+
+def test_codec_seam_stdlib_first_then_quarantine(spark):
+    """Kernel selection: the stdlib codec decodes PPM/BMP/PNG with
+    REAL dimensions on every machine (PIL or not); undecodable
+    payloads take the md5 stand-in and never raise."""
+    from mit_mapreduce_spark.operators import multimodal as mm
+
+    bmp = _tiny_bmp(48, 12)   # wider than TARGET_EDGE so resize shrinks
+    w, h, nw, nh, resized = mm._resize_one(bmp)
+    assert (w, h) == (48, 12)
+    assert nw == TARGET_EDGE and nh == TARGET_EDGE * 12 // 48
+    assert len(resized) == nw * nh * 3
+    # solid red survives nearest-neighbor resampling exactly
+    assert set(resized[i:i + 3] for i in range(0, len(resized), 3)) \
+        == {b"\xff\x00\x00"}
+
+    feats = mm._decode_one(bmp)
+    # solid red: every band mean identical, BT.601 luma of (255,0,0)
+    # = 299*255//1000 = 76
+    assert feats == [76 / 255.0] * mm.N_FEATURES
+
+    # small image: thumbnail semantics never upscale
+    small = encode_ppm(4, 3, b"\x10" * 36)
+    assert mm._resize_one(small)[:4] == (4, 3, 4, 3)
+
+    # corrupt/undecodable payload: quarantine path, never an exception
+    w2, h2, *_ = mm._resize_one(b"definitely not an image")
+    assert w2 >= 64 and h2 >= 64
+    assert len(mm._decode_one(b"definitely not an image")) == mm.N_FEATURES
+
+    # the Spark-side contract is codec-independent: same schema, one
+    # row per asset, regardless of which kernel ran
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"not an image"))],
+        "asset_id long, payload binary")
+    out = mm.decode_features(df.select("asset_id", "payload"))
+    got = {r.asset_id: r.features for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert all(len(v) == mm.N_FEATURES for v in got.values())
+    assert got[1] == [76 / 255.0] * mm.N_FEATURES
+
+
+# --- pipeline tests over the fixture tables --------------------------------
+
+def test_image_assets_are_valid_ppm(spark, sf_dir):
+    """Every JVM-built payload must be a decodable P6 whose header
+    dimensions match the doc_id formula and whose meta.n_bytes is the
+    actual payload length."""
+    rows = image_assets(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        dec = decode_image(bytes(r.payload))
+        assert dec is not None, f"asset {r.asset_id} not decodable"
+        w, h, nch, pix = dec
+        assert w == 36 + (r.asset_id % 13) * 2
+        assert h == 20 + (r.asset_id % 11) * 3
+        assert nch == 3 and len(pix) == w * h * 3
+        assert r.meta.n_bytes == len(bytes(r.payload))
+
+
 def test_resize_bounds_and_determinism(spark, sf_dir):
-    resized = resize_assets(binary_assets(spark, sf_dir))
+    resized = resize_assets(image_assets(spark, sf_dir))
     row = resized.agg(
         F.max("new_w").alias("mw"), F.max("new_h").alias("mh"),
         F.min("new_w").alias("nw"), F.min("new_h").alias("nh"),
@@ -24,10 +173,17 @@ def test_resize_bounds_and_determinism(spark, sf_dir):
     assert row.mw <= TARGET_EDGE and row.mh <= TARGET_EDGE
     assert row.nw >= 1 and row.nh >= 1
     assert row.n == load_table(spark, sf_dir, "documents").count()
-    # longest edge is exactly the target (aspect-fit semantics)
+    # longest edge is exactly the target (aspect-fit semantics; every
+    # fixture image is larger than TARGET_EDGE on its long edge)
     longest = resized.select(
         F.greatest("new_w", "new_h").alias("e")).agg(F.max("e")).collect()[0][0]
     assert longest == TARGET_EDGE
+    # real decode: orig dims follow the image_assets formula, and the
+    # resized payload is raw RGB of the claimed size
+    sample = resized.limit(5).collect()
+    for r in sample:
+        assert r.orig_w == 36 + (r.asset_id % 13) * 2
+        assert len(bytes(r.resized)) == r.new_w * r.new_h * 3
     # deterministic kernel: two runs hash identically
     a = sorted(resized.select("asset_id", "resized_checksum").collect())
     b = sorted(resized.select("asset_id", "resized_checksum").collect())
@@ -42,58 +198,9 @@ def test_framesample_fanout(spark, sf_dir):
     assert all(r.n_frames == n_docs for r in rows)
 
 
-def _tiny_bmp(w: int, h: int) -> bytes:
-    """A valid 24-bit uncompressed BMP built by hand (no imaging lib
-    needed) — lets the seam test feed the kernels a REAL image."""
-    import struct
-
-    row = b"\x00\x00\xff" * w          # BGR red pixels
-    row += b"\x00" * ((4 - len(row) % 4) % 4)
-    data = row * h
-    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
-    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
-                      2835, 2835, 0, 0)
-    return header + dib + data
-
-
-def test_codec_seam_is_environment_detected(spark):
-    """VERDICT r2 #6: kernel selection must be environment-detected —
-    with PIL installed the real codec reads the BMP's true dimensions;
-    without it the deterministic stand-in runs. Same schema either
-    way, and an undecodable payload must never raise."""
-    from mit_mapreduce_spark.operators import multimodal as mm
-
-    bmp = _tiny_bmp(48, 12)   # larger than TARGET_EDGE so thumbnail shrinks
-    assert (mm._try_pil_open(bmp) is not None) == mm.HAS_PIL
-
-    w, h, nw, nh, resized = mm._resize_one(bmp)
-    feats = mm._decode_one(bmp)
-    assert len(feats) == mm.N_FEATURES
-    if mm.HAS_PIL:
-        # real path: true BMP dimensions, aspect-fit to TARGET_EDGE
-        # (thumbnail only shrinks, hence the 48-wide source)
-        assert (w, h) == (48, 12)
-        assert nw == TARGET_EDGE and nh == TARGET_EDGE * 12 // 48
-        assert len(resized) == nw * nh * 3  # raw RGB
-        # solid red: every grayscale pixel identical, L(255,0,0) ~ 76
-        assert len(set(feats)) == 1 and 0.25 < feats[0] < 0.35
-    else:
-        # stand-in: md5-derived dimensions, byte-subsample payload
-        import hashlib
-        digest = hashlib.md5(bmp).digest()
-        assert (w, h) == (64 + digest[0], 64 + digest[1])
-        assert max(nw, nh) == TARGET_EDGE
-
-    # corrupt/undecodable payload: quarantine path, never an exception
-    w2, h2, *_ = mm._resize_one(b"definitely not an image")
-    assert w2 >= 64 and h2 >= 64
-
-    # the Spark-side contract is codec-independent: same schema, one
-    # row per asset, regardless of which kernel ran
-    df = spark.createDataFrame(
-        [(1, bytearray(bmp)), (2, bytearray(b"not an image"))],
-        "asset_id long, payload binary")
-    out = mm.decode_features(df.select("asset_id", "payload"))
-    got = {r.asset_id: r.features for r in out.collect()}
-    assert set(got) == {1, 2}
-    assert all(len(v) == mm.N_FEATURES for v in got.values())
+def test_binary_assets_meta_is_manifest_only(spark, sf_dir):
+    """The text-payload manifest surface stays: meta fields computed
+    JVM-side, no decode."""
+    rows = binary_assets(spark, sf_dir).limit(3).collect()
+    for r in rows:
+        assert r.meta.n_bytes == len(bytes(r.payload))
