@@ -75,6 +75,8 @@ def main() -> None:
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = _sf_from_dir(SF_DIR)
     failed = sorted(n for n, t in times.items() if t < 0)
+    here = os.path.dirname(os.path.abspath(__file__))
+    deltas = bench_deltas(times, sf, here)
 
     full = {
         "metric": "total_query_wall_seconds",
@@ -83,22 +85,73 @@ def main() -> None:
         "queries": times,
         "failed": failed,
         "n_queries": len(times),
+        "deltas_vs_prev": deltas,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    print(compact_line(times, total, failed, sf))
+    if deltas and deltas.get("regressed"):
+        # loud note, not a non-zero rc: the driver still needs the JSON
+        # line, and box-load noise vs real regression is adjudicated by
+        # reading the per-query deltas recorded above (VERDICT r4 #7)
+        print("bench: POSSIBLE REGRESSIONS vs "
+              f"{deltas['prev_file']}: {deltas['regressed']}",
+              file=sys.stderr)
+
+    print(compact_line(times, total, failed, sf, deltas))
+
+
+def bench_deltas(times: dict[str, float], sf: float,
+                 here: str) -> dict | None:
+    """Per-query deltas vs the newest committed BENCH_r{N}.json at the
+    same sf (falling back to the previous BENCH_FULL.json), so a
+    regression is flagged AT CAPTURE TIME instead of by archaeology.
+
+    ``regressed`` lists queries >50% slower AND >0.5 s absolute — both
+    gates, so sub-second jitter on cheap queries doesn't page anyone.
+    """
+    import glob
+
+    prev_file, prev_q = None, None
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                        reverse=True) + [os.path.join(here, "BENCH_FULL.json")]
+    for cand in candidates:
+        try:
+            with open(cand) as f:
+                doc = json.load(f)
+            if doc.get("sf") == sf and doc.get("queries"):
+                prev_file, prev_q = os.path.basename(cand), doc["queries"]
+                break
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+    if prev_q is None:
+        return None
+
+    deltas, regressed = {}, {}
+    for name, t in times.items():
+        p = prev_q.get(name)
+        if p is None or p < 0 or t < 0:
+            continue
+        d = round(t - p, 3)
+        deltas[name] = d
+        if d > 0.5 and t > 1.5 * p:
+            regressed[name] = {"prev": p, "now": t}
+    return {"prev_file": prev_file, "per_query": deltas,
+            "regressed": regressed,
+            "n_compared": len(deltas)}
 
 
 def compact_line(times: dict[str, float], total: float,
-                 failed: list, sf: float, budget: int = 1900) -> str:
+                 failed: list, sf: float, deltas: dict | None = None,
+                 budget: int = 1900) -> str:
     """One JSON line ≤ ``budget`` chars: headline per-query times
     (most expensive first — those are the ones worth watching round to
     round), cheap tail folded into ``omitted``/``omitted_sec``."""
     ranked = sorted(((n, t) for n, t in times.items() if t >= 0),
                     key=lambda kv: (-kv[1], kv[0]))
+
+    reg = (sorted(deltas["regressed"]) if deltas else [])
 
     def render(k: int) -> str:
         head = dict(sorted(ranked[:k]))
@@ -111,6 +164,7 @@ def compact_line(times: dict[str, float], total: float,
             "omitted": len(omitted),
             "omitted_sec": round(sum(t for _, t in omitted), 2),
             "failed": failed,
+            "regressed_vs_prev": reg,
             "n_queries": len(times),
             "detail": "BENCH_FULL.json",
             "sf": sf,

@@ -55,8 +55,10 @@ class _CounterReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up; offsets are pure arithmetic
 
-    @staticmethod
-    def _rows(lo: int, hi: int):
+    def _rows(self, lo: int, hi: int):
         # a LIST, not a generator: the simple-reader harness prefetches
-        # and pickles the batch driver-side (generators can't pickle)
-        return [(n, n // 10) for n in range(lo, hi)]
+        # and pickles the batch driver-side (generators can't pickle).
+        # batch_chunk = n // step: the micro-batch chunk the row belongs
+        # to under the configured step (ADVICE r4: the old hardcoded
+        # //10 silently diverged from the docs whenever step != 10).
+        return [(n, n // self._step) for n in range(lo, hi)]
