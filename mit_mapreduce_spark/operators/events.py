@@ -400,12 +400,12 @@ def anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlc_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS bar_ts, event_type,
-           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+                          * 1000000000000000000 + event_id) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                   || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+                          * 1000000000000000000 + event_id) AS close,
            CAST(COUNT(*) AS BIGINT) AS volume
     FROM events
     GROUP BY bar_ts, event_type
@@ -419,19 +419,23 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no per-bar sort).
 
     Open/close ties are impossible by construction: the selector key
-    is the zero-padded (epoch µs, event_id) string, a total order
-    both engines compare identically (arg_min/arg_max in DuckDB,
-    min_by/max_by in Spark) — first/last is deterministic even when
-    two events share a timestamp.
+    is the exact integer epoch_µs·10¹⁸ + event_id (HUGEINT in DuckDB,
+    decimal(38,0) in Spark — max |key| ≈ 9.2·10³⁶ < 10³⁸, exact in
+    both), a total order both engines compare identically
+    (arg_min/arg_max vs min_by/max_by) — first/last is deterministic
+    even when two events share a timestamp, for ANY epoch sign
+    (pre-1970 included) and event_id < 10¹⁸ (ADVICE r4: the previous
+    lpad-string key silently mis-ordered negative epochs and
+    13+-digit ids).
 
     100 TB posture: one hash aggregation keyed (hour, type), map-side
     combined — each partial keeps 4 doubles + 2 (key,value) selector
     pairs per open bar, so a year of nanosecond ticks reduces to
     8760·|types| rows in a single shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    key = (F.unix_micros("ts").cast("decimal(38,0)")
+           * F.lit(10 ** 18).cast("decimal(38,0)")
+           + F.col("event_id").cast("decimal(38,0)"))
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("bar_ts"), "event_type")
         .agg(F.min_by("value", key).alias("open"),

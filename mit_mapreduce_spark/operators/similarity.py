@@ -266,14 +266,15 @@ N_CELLS = 8       # IVF coarse cells
 N_PROBE = 2       # cells probed per query
 
 
-def _ivf_pipeline(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Centroid-agnostic IVF assign→probe→rescore (see ann_ivf_topk for
-    the plan-shape discussion). ``cents`` is (cent_id, ce array) — the
-    deterministic stand-in, or learned output of train_centroids;
-    swapping changes no plan shape."""
+def _ranked_assignments(
+        emb: DataFrame, cents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ranked, norms): every vector's centroids ordered by exact
+    cosine — ranked is (vec_id, cent_id, arnk), norms is (vec_id, nsq).
+    The SINGLE home of the IVF assignment math, shared by
+    _ivf_pipeline, _assignments, and the k-means trainer (ADVICE r4:
+    two verbatim copies could silently diverge)."""
     norms = emb.select(
         "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
-
     # assignment: every vector × C broadcast centroids, codegen dots
     adots = (
         emb.crossJoin(F.broadcast(cents))
@@ -301,6 +302,15 @@ def _ivf_pipeline(emb: DataFrame, cents: DataFrame) -> DataFrame:
     aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
     ranked = ascored.select(
         "vec_id", "cent_id", F.row_number().over(aw).alias("arnk"))
+    return ranked, norms
+
+
+def _ivf_pipeline(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Centroid-agnostic IVF assign→probe→rescore (see ann_ivf_topk for
+    the plan-shape discussion). ``cents`` is (cent_id, ce array) — the
+    deterministic stand-in, or learned output of train_centroids;
+    swapping changes no plan shape."""
+    ranked, norms = _ranked_assignments(emb, cents)
     assign = ranked.where(F.col("arnk") == 1).select("vec_id", "cent_id")
     probes = (
         ranked.where((F.col("vec_id") < N_QUERIES) & (F.col("arnk") <= N_PROBE))
@@ -353,36 +363,9 @@ def _ivf_pipeline(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 def _assignments(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cent_id): nearest centroid per vector by exact cosine —
-    the shared first half of _ivf_pipeline and the k-means trainer."""
-    norms = emb.select(
-        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
-    adots = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id",
-                F.explode(F.arrays_zip(
-                    F.col("embedding").alias("x"),
-                    F.col("ce").alias("y"))).alias("_p"))
-        .groupBy("vec_id", "cent_id")
-        .agg(F.sum(
-            F.round(F.col("_p.x").cast("double")
-                    * F.col("_p.y").cast("double") * SCALE)
-            .cast("bigint")).alias("dot"))
-    )
-    nc = cents.select(
-        "cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
-    ascored = (
-        adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
-        .select("vec_id", "cent_id",
-                (F.col("dot").cast("double")
-                 / (F.sqrt(F.col("nsq").cast("double"))
-                    * F.sqrt(F.col("cnsq").cast("double")))).alias("acos"))
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
-    return (
-        ascored.select("vec_id", "cent_id",
-                       F.row_number().over(aw).alias("arnk"))
-        .where(F.col("arnk") == 1).select("vec_id", "cent_id")
-    )
+    the arnk = 1 slice of _ranked_assignments."""
+    ranked, _norms = _ranked_assignments(emb, cents)
+    return ranked.where(F.col("arnk") == 1).select("vec_id", "cent_id")
 
 
 def train_centroids(spark: SparkSession, sf_dir: str,
@@ -791,34 +774,8 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id").limit(N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
-    norms = emb.select(
-        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
-    adots = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id",
-                F.explode(F.arrays_zip(
-                    F.col("embedding").alias("x"),
-                    F.col("ce").alias("y"))).alias("_p"))
-        .groupBy("vec_id", "cent_id")
-        .agg(F.sum(
-            F.round(F.col("_p.x").cast("double")
-                    * F.col("_p.y").cast("double") * SCALE)
-            .cast("bigint")).alias("dot"))
-    )
-    nc = cents.select("cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
-    ascored = (
-        adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
-        .select("vec_id", "cent_id",
-                (F.col("dot").cast("double")
-                 / (F.sqrt(F.col("nsq").cast("double"))
-                    * F.sqrt(F.col("cnsq").cast("double")))).alias("acos"))
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
-    assign = (
-        ascored.select("vec_id", "cent_id",
-                       F.row_number().over(aw).alias("arnk"))
-        .where(F.col("arnk") == 1).select("vec_id", "cent_id")
-    )
+    ranked, norms = _ranked_assignments(emb, cents)
+    assign = ranked.where(F.col("arnk") == 1).select("vec_id", "cent_id")
     reps = assign.groupBy("cent_id").agg(F.min("vec_id").alias("rep_id"))
     members = (
         assign.join(F.broadcast(reps), "cent_id")
@@ -919,34 +876,7 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id").limit(N_CELLS)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
     )
-    norms = emb.select(
-        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
-    adots = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id",
-                F.explode(F.arrays_zip(
-                    F.col("embedding").alias("x"),
-                    F.col("ce").alias("y"))).alias("_p"))
-        .groupBy("vec_id", "cent_id")
-        .agg(F.sum(
-            F.round(F.col("_p.x").cast("double")
-                    * F.col("_p.y").cast("double") * SCALE)
-            .cast("bigint")).alias("dot"))
-    )
-    nc = cents.select("cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
-    ascored = (
-        adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
-        .select("vec_id", "cent_id",
-                (F.col("dot").cast("double")
-                 / (F.sqrt(F.col("nsq").cast("double"))
-                    * F.sqrt(F.col("cnsq").cast("double")))).alias("acos"))
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.col("acos").desc(), F.col("cent_id"))
-    assign = (
-        ascored.select("vec_id", "cent_id",
-                       F.row_number().over(aw).alias("arnk"))
-        .where(F.col("arnk") == 1).select("vec_id", "cent_id")
-    )
+    assign = _assignments(emb, cents)
     return (
         assign.join(emb, "vec_id")
         .select("cent_id", F.posexplode("embedding").alias("pos", "x"))

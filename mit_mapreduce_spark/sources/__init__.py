@@ -218,33 +218,59 @@ def merge_upsert(spark: SparkSession, base_dir: str, updates: DataFrame,
 
     ``updates`` rows must be unique on ``key_cols`` — MERGE semantics
     are undefined when two update rows hit the same target key, so
-    duplicates raise instead of being inserted verbatim.
+    duplicates raise instead of being inserted verbatim. The check is
+    FOLDED INTO the staged write (ADVICE r4): a per-key count window
+    on the update leg feeds a raise_error filter, so duplicate keys
+    fail the stage job itself — no separate audit job over ``updates``,
+    and the base is untouched on failure. (A filter, not a projected
+    assert_true column, so column pruning can't optimize it away.)
 
     The merged row count is computed from the staged parquet footers
     (a metadata-only scan), not a separate ``count()`` action that
     would recompute the whole merge."""
+    import json
     import shutil
     import uuid
 
-    dup = (updates.groupBy(*key_cols).count().where(F.col("count") > 1))
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            f"merge_upsert: updates contain duplicate keys on {key_cols}")
+    from pyspark.sql import Window
+
+    dupw = Window.partitionBy(*key_cols)
+    checked = (
+        updates.withColumn("_dupn", F.count("*").over(dupw))
+        .where(F.when(
+            F.col("_dupn") > 1,
+            F.raise_error(F.lit(
+                f"merge_upsert: updates contain duplicate keys on "
+                f"{key_cols}"))).otherwise(F.lit(True)))
+        .drop("_dupn")
+    )
 
     base = spark.read.parquet(base_dir)
-    merged = base.join(updates, key_cols, "left_anti").unionByName(updates)
+    merged = base.join(checked, key_cols, "left_anti").unionByName(checked)
     stage = base_dir.rstrip("/") + f"__stage_{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").parquet(stage)
         # Row count from parquet footers of what was actually published.
         n = spark.read.parquet(stage).count()
-    except BaseException:
+    except BaseException as exc:
         shutil.rmtree(stage, ignore_errors=True)
+        if "merge_upsert: updates contain duplicate keys" in str(exc):
+            raise ValueError(
+                f"merge_upsert: updates contain duplicate keys on "
+                f"{key_cols}") from exc
         raise
     old = base_dir.rstrip("/") + f"__old_{uuid.uuid4().hex[:8]}"
+    # Publish marker (ADVICE r4): names the aside-dir BEFORE the rename
+    # window opens, so a crash between the two renames is mechanically
+    # recoverable — the marker says exactly which __old_* dir is the
+    # intact pre-merge table and where it belongs.
+    marker = base_dir.rstrip("/") + "__publish_marker.json"
+    with open(marker, "w") as f:
+        json.dump({"base": base_dir, "old": old, "stage": stage}, f)
     os.rename(base_dir, old)
     os.rename(stage, base_dir)
     shutil.rmtree(old)
+    os.remove(marker)
     return n
 
 

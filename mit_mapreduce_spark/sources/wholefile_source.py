@@ -15,6 +15,16 @@ planning happens on the driver (cheap: one listing), reads happen on
 executors — file bytes never transit the driver. Registration is
 per-session: ``spark.dataSource.register(WholeFileDataSource)``,
 then ``spark.read.format("wholefile").load(dir_or_glob)``.
+
+RESTRICTION — local/shared POSIX paths only: listing uses
+``os.listdir``/``glob`` and reads use builtin ``open``, so driver and
+executors must see the same mounted filesystem (local[*], NFS, a
+shared volume). Object-store/HDFS URIs (``s3://``, ``hdfs://``) are
+rejected up front rather than silently listing nothing; routing
+through the Hadoop FS API (or ``sources.whole_text_files``, whose RDD
+primitive already speaks Hadoop paths) is the extension point for
+those. This matches the reference's own deployment shape — its
+coordinator hands out plain local paths (`mr/master.go:289-296`).
 """
 
 from __future__ import annotations
@@ -43,7 +53,12 @@ class _WholeFileReader(DataSourceReader):
         if not path:
             raise ValueError("wholefile source requires a path: "
                              ".load('/dir/or/glob')")
-        self._path = path
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                f"wholefile reads via the local filesystem only; got "
+                f"{path!r}. Use sources.whole_text_files (Hadoop-path "
+                f"aware) for object-store/HDFS URIs.")
+        self._path = path.removeprefix("file://")
 
     def partitions(self):
         # Driver-side planning: ONE listing, one InputPartition per
