@@ -554,3 +554,80 @@ def pipeline_pack_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"cum_excl div {PACK_BUDGET}").alias("pack_id"),
                 (F.col("cum_excl") % PACK_BUDGET).alias("pack_offset"))
     )
+
+
+# --- temperature-balanced source mixture ----------------------------------
+
+TEMP_GRID = 1_000_000   # hash-predicate resolution (1e-6 rate steps)
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n) AS n_min FROM counts),
+    thr AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * {TEMP_GRID})
+                  AS BIGINT) AS sample_threshold
+      FROM counts, mn),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN thr t USING (source)
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % {TEMP_GRID} < t.sample_threshold
+      GROUP BY d.source)
+    SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, t.sample_threshold,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM thr t LEFT JOIN kept k USING (source)
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced source mixture (the multilingual-corpus
+    rebalancing move, α = 0.5): per-source keep-rate sqrt(n_min/n_s),
+    so the biggest source is downsampled hardest and the smallest is
+    kept whole — flattening the source distribution toward uniform
+    while preserving relative order. sqrt and one division are the
+    only float ops, both IEEE-correctly-rounded in Spark and DuckDB,
+    then floored onto a {TEMP_GRID}-step integer grid, so the whole
+    operator — including WHICH rows are kept — is deterministic and
+    hash-gated. Row selection is a hash predicate on doc_id (stable
+    under reruns/retries), never rand().
+
+    Emitted: per-source audit (n_docs, integer keep threshold,
+    n_kept). The kept rows themselves are the same filter applied to
+    the corpus scan — a composed pipeline reuses `thr` as a broadcast.
+
+    100 TB posture: pass 1 is a map-side-combined count per source
+    (|sources| rows); the threshold table broadcasts back onto the
+    scan, so pass 2 filters in place — no shuffle of the corpus, the
+    same fused-sampling shape as sample_stratified."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    thr = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "source", "n",
+            F.floor(F.sqrt(F.col("n_min").cast("double")
+                           / F.col("n").cast("double"))
+                    * TEMP_GRID).cast("bigint").alias("sample_threshold"))
+        # |sources| rows feeding the filter pass AND the final audit
+        # join — checkpoint so the counts pass runs once, not thrice.
+        .localCheckpoint(eager=False)
+    )
+    from mit_mapreduce_spark.operators.dedup import hash60
+    kept = (
+        docs.join(F.broadcast(thr), "source")
+        .where(F.pmod(hash60(F.col("doc_id").cast("string")),
+                      F.lit(TEMP_GRID)) < F.col("sample_threshold"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "source", "left")
+        .select("source", F.col("n").cast("bigint").alias("n_docs"),
+                "sample_threshold",
+                F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"))
+    )

@@ -746,3 +746,98 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("p3.doc_b") == F.col("p2.doc_b")))
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+# --- incremental dedup: new shard vs corpus via a broadcast Bloom ---------
+
+BLOOM_BITS = 1 << 16   # m: bit positions in the corpus fingerprint Bloom
+BLOOM_K = 4            # hash functions per fingerprint
+INC_MOD = 10           # doc_id % 10 == 0 plays the "incoming shard"
+
+
+def _bloom_positions(text_col):
+    """The BLOOM_K bit positions of a document's fingerprint:
+    md5-derived 60-bit hashes of (text, k), mod BLOOM_BITS — the same
+    salted-hash construction both engines compute bit-identically."""
+    return F.array(*[
+        F.pmod(hash60(F.concat(text_col, F.lit(f"|{k}"))), F.lit(BLOOM_BITS))
+        for k in range(BLOOM_K)])
+
+
+def _sql_bloom_inc() -> str:
+    pos = (f"(('0x' || substring(md5(text || '|' || k), 1, 15))::BIGINT"
+           f" % {BLOOM_BITS})")
+    return f"""
+    WITH ks AS (SELECT unnest(range({BLOOM_K})) AS k),
+    corpus AS (SELECT * FROM documents WHERE doc_id % {INC_MOD} <> 0),
+    inc AS (SELECT * FROM documents WHERE doc_id % {INC_MOD} = 0),
+    cpos AS (SELECT DISTINCT {pos} AS pos FROM corpus, ks),
+    ipos AS (SELECT doc_id, {pos} AS pos FROM inc, ks),
+    hits AS (
+      SELECT doc_id FROM ipos JOIN cpos USING (pos)
+      GROUP BY doc_id HAVING COUNT(*) = {BLOOM_K}),
+    exact AS (SELECT DISTINCT i.doc_id
+              FROM inc i JOIN corpus c ON c.text = i.text)
+    SELECT i.doc_id,
+           (h.doc_id IS NOT NULL) AS maybe_dup,
+           (e.doc_id IS NOT NULL) AS is_dup
+    FROM inc i
+    LEFT JOIN hits h ON h.doc_id = i.doc_id
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    """
+
+
+@query("dedup_incremental_bloom", oracle=_sql_bloom_inc())
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen an INCOMING shard against the
+    standing corpus with a Bloom filter instead of joining the corpus
+    per ingest — the shape that matters when the corpus is 100 TB and
+    the daily shard is 100 GB.
+
+    The corpus pass (amortized across every future shard) aggregates
+    the occupied bit positions of a {BLOOM_K}-hash, {BLOOM_BITS}-bit
+    Bloom over text fingerprints — ≤ {BLOOM_BITS} distinct ints, tiny,
+    broadcast. Each incoming doc is "maybe_dup" iff ALL {BLOOM_K} of
+    its positions are occupied (classic Bloom: no false negatives,
+    quantifiable false positives); only the maybe-dups would need the
+    exact corpus probe in production. Here BOTH verdicts are emitted —
+    the Bloom screen and the exact semi-join truth — so the false-
+    positive behavior itself is oracle-checked (every construction
+    being deterministic md5 arithmetic, DuckDB reproduces the filter
+    bit-for-bit; a real deployment swaps in spark's bloom_filter_agg
+    sketch and keeps this exact plan shape).
+
+    Plan: one distinct-agg over the corpus (builds the filter), a
+    broadcast join on position for the screen, one broadcast semi-join
+    for the truth column — the incoming shard is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % INC_MOD != 0)
+    inc = docs.where(F.col("doc_id") % INC_MOD == 0)
+
+    occupied = (
+        corpus.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+        .distinct()
+    )
+    ipos = inc.select(
+        "doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+    hits = (
+        ipos.join(F.broadcast(occupied), "pos")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nhit"))
+        .where(F.col("_nhit") == BLOOM_K)
+        .select("doc_id", F.lit(True).alias("_maybe"))
+    )
+    exact = (
+        inc.join(corpus.select("text").distinct(), "text", "left_semi")
+        .select("doc_id", F.lit(True).alias("_is"))
+    )
+    return (
+        inc.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_maybe", F.lit(False)).alias("maybe_dup"),
+            F.coalesce("_is", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 from mit_mapreduce_spark.operators.registry import query
 
@@ -609,4 +609,84 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(
             "transform(sort_array(collect_list(struct(-n_chars AS k, "
             "doc_id AS d))), s -> s.d) AS top_docs"))
+    )
+
+
+# --- bigram-LM quality proxy (CCNet-style, log-free) ----------------------
+
+@query(
+    "quality_lm_bigram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+                         x -> x <> '') AS arr
+      FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+      FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr FROM toks)
+      WHERE i + 1 <= length(arr)),
+    dfreq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM bg b JOIN dfreq d USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality proxy, CCNet-style but log-free: score each
+    document by how typical its word bigrams are of the corpus itself.
+    A true perplexity filter ranks docs by an external LM's mean log
+    prob; ln() is not bit-stable across engines, so this emits the
+    exact sufficient statistics instead — per-doc distinct-bigram
+    count, singleton count (bigrams seen in NO other document — the
+    gibberish/boilerplate-noise signal), mean corpus document
+    frequency of the doc's bigrams (the 'typicality' rank, monotone in
+    the unigram-backoff LM score), and the singleton fraction. All
+    integer sums plus one pinned IEEE division each, so the whole
+    operator is hash-gated.
+
+    100 TB posture: one scan builds per-doc distinct bigrams (array
+    transform, explode only at the bigram rows), one map-side-combined
+    agg computes corpus df, one shuffle equi-join on the bigram key
+    scores docs (never broadcast — the bigram vocabulary scales with
+    the corpus), one final doc_id agg. Docs with < 2 tokens have no
+    bigrams and are absent, matching the SQL inner join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    arr = F.expr(
+        """CASE WHEN size(_toks) < 2 THEN array()
+                ELSE transform(sequence(1, size(_toks) - 1),
+                               i -> concat_ws(' ', slice(_toks, i, 2)))
+           END""")
+    bg = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(arr)).alias("bg"))
+        # consumed by the df aggregation AND the scoring join —
+        # checkpoint so tokenization runs once, not twice.
+        .localCheckpoint(eager=False)
+    )
+    dfreq = bg.groupBy("bg").agg(F.count("*").alias("df"))
+    singleton = (F.col("df") == 1).cast("long")
+    return (
+        bg.join(dfreq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(singleton).cast("bigint").alias("n_singletons"),
+            F.sum("df").alias("_sum_df"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_singletons",
+            (F.col("_sum_df").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("mean_df"),
+            (F.col("n_singletons").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("novelty"),
+        )
     )

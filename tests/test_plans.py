@@ -271,6 +271,13 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
                                 # + pair distinct + verify join; the
                                 # PPJoin positional filter must prune
                                 # inside the join, not add an Exchange
+    ("quality_lm_bigram", 2),   # bigram df agg + scoring doc agg; the
+                                # df join is the only wide join
+    ("sample_temperature_mix", 2),  # source counts + kept counts; the
+                                    # corpus filter pass is broadcast-only
+    ("dedup_incremental_bloom", 3),  # occupied-bits distinct + hits agg
+                                     # + final assembly; corpus screen is
+                                     # broadcast-only (shard not shuffled)
 ])
 def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-4 operators hold the same discipline as the originals: a

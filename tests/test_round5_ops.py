@@ -1,0 +1,68 @@
+"""Round-5 operators: semantic properties the hash gate can't state —
+the Bloom screen's no-false-negative guarantee, the temperature mix's
+flattening direction, and the bigram-LM score's ranges."""
+
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark import operators
+from mit_mapreduce_spark.operators.registry import QUERIES
+
+operators.load_all()
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may over-approximate but NEVER under-approximate:
+    every exact duplicate must be flagged maybe_dup."""
+    rows = QUERIES["dedup_incremental_bloom"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.is_dup:
+            assert r.maybe_dup, f"false negative on doc {r.doc_id}"
+    # the screen is not vacuous: it clears at least the true dups
+    n_maybe = sum(r.maybe_dup for r in rows)
+    n_true = sum(r.is_dup for r in rows)
+    assert n_maybe >= n_true
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, sf_dir):
+    """α=0.5 semantics: the smallest source keeps everything (rate 1),
+    larger sources get strictly smaller thresholds, and kept counts
+    never exceed originals."""
+    from mit_mapreduce_spark.operators.curation import TEMP_GRID
+
+    rows = QUERIES["sample_temperature_mix"](spark, sf_dir).collect()
+    assert rows
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    assert by_n[0].sample_threshold == TEMP_GRID  # n == n_min → rate 1
+    for a, b in zip(by_n, by_n[1:]):
+        assert a.sample_threshold >= b.sample_threshold
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+    # flattening: the kept-count spread is no wider than the original
+    orig_ratio = by_n[-1].n_docs / by_n[0].n_docs
+    kept_ratio = max(r.n_kept for r in rows) / max(1, min(
+        r.n_kept for r in rows))
+    assert kept_ratio <= orig_ratio
+
+
+def test_lm_bigram_score_ranges(spark, sf_dir):
+    """novelty ∈ [0,1]; mean_df >= 1 (every bigram occurs at least in
+    its own doc); singleton count consistent with novelty."""
+    rows = QUERIES["quality_lm_bigram"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.mean_df >= 1.0
+        assert r.n_singletons <= r.n_bigrams
+        assert abs(r.novelty - r.n_singletons / r.n_bigrams) < 1e-12
+
+
+def test_bloom_screen_never_shuffles_the_shard(spark, sf_dir):
+    """The scale contract: the incoming shard is screened with
+    broadcast joins only — no Exchange keyed on shard rows between
+    the scan and the verdict (the corpus-side aggregations are the
+    only shuffles)."""
+    df = QUERIES["dedup_incremental_bloom"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
