@@ -841,3 +841,131 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_is", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# --- duplicate-passage REMOVAL (C4-style span surgery) --------------------
+
+def cleaned_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, kept): the surgery's cleaned token arrays —
+    the reusable surface behind remove_dup_passages (pytest asserts
+    the post-condition on it: no originally-flagged passage survives
+    in more than one document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    toksarr = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("arr"))
+        # consumed by the window build AND reconstruction
+        .localCheckpoint(eager=False)
+    )
+    winarr = F.expr(
+        f"""CASE WHEN size(arr) < {P_LEN} THEN array()
+                 ELSE transform(sequence(1, size(arr) - {P_LEN - 1}),
+                                i -> struct(i AS start,
+                                     concat_ws(' ', slice(arr, i, {P_LEN}))
+                                       AS w))
+            END"""
+    )
+    win = (
+        toksarr.select("doc_id", F.explode(winarr).alias("_w"))
+        .select("doc_id", F.col("_w.start").alias("start"),
+                hash60(F.col("_w.w")).alias("phash"))
+    )
+    dups = (
+        win.groupBy("phash")
+        .agg(F.countDistinct("doc_id").alias("_nd"),
+             F.min("doc_id").alias("keeper"))
+        .where(F.col("_nd") > 1)
+        .select("phash", "keeper")
+    )
+    drops = (
+        win.join(dups, "phash")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("start")).alias("starts"))
+    )
+    clean = (
+        toksarr.join(drops, "doc_id", "left")
+        .select("doc_id", "arr",
+                F.coalesce("starts", F.array().cast("array<int>"))
+                .alias("starts"))
+    )
+    keptidx = F.filter(
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda i: ~F.exists("starts",
+                            lambda s: (i >= s) & (i <= s + (P_LEN - 1))))
+    return clean.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("n_tokens"),
+        F.transform(keptidx, lambda i: F.element_at("arr", i)).alias("kept"),
+    )
+
+
+@query(
+    "remove_dup_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                         x -> x <> '') AS arr
+      FROM documents),
+    win AS (
+      SELECT doc_id, i AS start,
+             {_sql_hash60(f"array_to_string(list_slice(arr, i, i + {P_LEN - 1}), ' ')")}
+               AS phash
+      FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr FROM toks)
+      WHERE i + {P_LEN - 1} <= length(arr)),
+    dups AS (
+      SELECT phash, MIN(doc_id) AS keeper
+      FROM win GROUP BY phash HAVING COUNT(DISTINCT doc_id) > 1),
+    drops AS (
+      SELECT w.doc_id, list_sort(list(DISTINCT w.start)) AS starts
+      FROM win w JOIN dups d USING (phash)
+      WHERE w.doc_id <> d.keeper
+      GROUP BY w.doc_id),
+    clean AS (
+      SELECT t.doc_id, t.arr,
+             COALESCE(dr.starts, CAST([] AS BIGINT[])) AS starts
+      FROM toks t LEFT JOIN drops dr USING (doc_id)),
+    kept AS (
+      SELECT doc_id, arr, length(arr) AS n_tokens,
+             list_filter(range(1, length(arr) + 1),
+                         i -> len(list_filter(starts,
+                              s -> i >= s AND i <= s + {P_LEN - 1})) = 0)
+               AS keptidx
+      FROM clean)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - length(keptidx) AS BIGINT) AS n_removed,
+           md5(COALESCE(
+               array_to_string(list_transform(keptidx, i -> arr[i]), ' '),
+               '')) AS cleaned_fp
+    FROM kept
+    """,
+)
+def remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span SURGERY, not just detection: cut every cross-doc duplicated
+    {P_LEN}-token window (the dup_passages signal) out of every doc
+    except the window's keeper (min doc_id) — the C4 §3.1 move
+    ('discard all but one of any three-sentence span occurring more
+    than once'), done corpus-consistently so exactly one copy of each
+    duplicated passage survives.
+
+    Token i of a non-keeper doc is dropped iff some flagged window
+    start s covers it (s <= i < s+{P_LEN}); overlapping windows union
+    naturally through the exists-predicate — no interval-merge pass.
+    Output is (doc_id, n_tokens, n_removed, md5 of the cleaned text),
+    so the hash gate certifies the RECONSTRUCTED text byte-for-byte
+    without shipping it.
+
+    100 TB posture: the window build is the dup_passages single scan;
+    the flagged-window table is duplicate-volume-sized (small); the
+    drop-list join is an equi-join on doc_id; reconstruction is pure
+    per-row array expressions. One extra shuffle over detection."""
+    cleaned = cleaned_token_arrays(spark, sf_dir)
+    return cleaned.select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") - F.size("kept")).cast("bigint")
+        .alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
+    )

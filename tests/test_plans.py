@@ -278,6 +278,9 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     ("dedup_incremental_bloom", 3),  # occupied-bits distinct + hits agg
                                      # + final assembly; corpus screen is
                                      # broadcast-only (shard not shuffled)
+    ("remove_dup_passages", 3),  # dup-window agg + per-doc drop-list agg
+                                 # + doc_id join; reconstruction is pure
+                                 # array expressions, no extra Exchange
 ])
 def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-4 operators hold the same discipline as the originals: a

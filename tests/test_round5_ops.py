@@ -66,3 +66,42 @@ def test_bloom_screen_never_shuffles_the_shard(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_remove_dup_passages_postcondition(spark, sf_dir):
+    """The surgery's guarantee: after removal, every originally
+    cross-doc-duplicated passage window occurs in AT MOST one document
+    (the keeper's copy — which may itself be damaged by an overlapping
+    removal, hence 'at most'). Rebuilt from the cleaned token arrays,
+    not trusted from the operator's own accounting."""
+    from mit_mapreduce_spark.operators.dedup import (
+        P_LEN, cleaned_token_arrays, hash60,
+    )
+
+    flagged = {r.phash for r in
+               QUERIES["dup_passages"](spark, sf_dir).collect()}
+    assert flagged  # the corpus actually exercises the operator
+
+    cleaned = cleaned_token_arrays(spark, sf_dir)
+    winarr = F.expr(
+        f"""CASE WHEN size(kept) < {P_LEN} THEN array()
+                 ELSE transform(sequence(1, size(kept) - {P_LEN - 1}),
+                                i -> concat_ws(' ', slice(kept, i, {P_LEN})))
+            END""")
+    post = (
+        cleaned.select("doc_id", F.explode(winarr).alias("w"))
+        .select("doc_id", hash60(F.col("w")).alias("phash"))
+        .groupBy("phash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .collect()
+    )
+    survivors = {r.phash: r.nd for r in post if r.phash in flagged}
+    assert survivors  # keepers retain their copies
+    assert max(survivors.values()) <= 1, (
+        "a duplicated passage survived in multiple docs")
+
+    # accounting consistency: n_removed == n_tokens - len(kept)
+    out = QUERIES["remove_dup_passages"](spark, sf_dir)
+    row = out.agg(F.sum("n_removed").alias("r"),
+                  F.sum("n_tokens").alias("t")).collect()[0]
+    assert 0 < row.r <= row.t
