@@ -631,3 +631,111 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample_threshold",
                 F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"))
     )
+
+
+# --- DSIR-style importance weights ----------------------------------------
+
+DSIR_BUCKETS = 64          # hashed n-gram feature space
+DSIR_SCALE = 1_000_000_000  # 1e9 integer grid for the ratio table
+_DSIR_TARGET = "src0"      # stand-in "high-quality target domain"
+
+
+@query(
+    "importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(
+        list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                    x -> x <> '')) AS w
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source,
+             (('0x' || substring(md5(w), 1, 15))::BIGINT % {DSIR_BUCKETS})
+               AS bucket
+      FROM toks),
+    corpus AS (SELECT bucket, COUNT(*) AS sc FROM feats GROUP BY bucket),
+    target AS (SELECT bucket, COUNT(*) AS tc FROM feats
+               WHERE source = '{_DSIR_TARGET}' GROUP BY bucket),
+    totals AS (SELECT (SELECT COUNT(*) FROM feats) AS s_total,
+                      (SELECT COUNT(*) FROM feats
+                       WHERE source = '{_DSIR_TARGET}') AS t_total),
+    ratios AS (
+      SELECT c.bucket,
+             CAST(ROUND((CAST(COALESCE(t.tc, 0) AS DOUBLE) / t_total)
+                        / (CAST(c.sc AS DOUBLE) / s_total)
+                        * {DSIR_SCALE}) AS BIGINT) AS r_scaled
+      FROM corpus c LEFT JOIN target t USING (bucket), totals)
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r.r_scaled) AS BIGINT) AS score_scaled,
+           CAST(SUM(r.r_scaled) AS DOUBLE) / {DSIR_SCALE} / COUNT(*)
+             AS importance
+    FROM feats f JOIN ratios r USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, 'Data
+    Selection for LMs via Importance Resampling'): score every
+    document by how much its hashed-token feature distribution looks
+    like a TARGET domain relative to the whole corpus — the data-
+    selection move that upsamples quality-domain-like text without a
+    trained classifier. Here the target is the '{_DSIR_TARGET}' source
+    slice (a stand-in for e.g. a curated reference corpus); features
+    are tokens hashed into {DSIR_BUCKETS} buckets; a doc's weight is
+    the mean per-token likelihood ratio (target freq / corpus freq).
+
+    Determinism: the per-bucket ratio is computed ONCE (identical IEEE
+    expression both engines), rounded onto a {DSIR_SCALE} integer
+    grid; per-doc scores are then INTEGER sums of grid ratios —
+    exact under any aggregation order — with a single pinned division
+    at the end. Fully hash-gated, unlike a log-likelihood formulation
+    (ln is not bit-stable cross-engine).
+
+    100 TB posture: the ratio table is {DSIR_BUCKETS} rows —
+    broadcast; scoring is one map-side-combined agg keyed doc_id over
+    the token stream. Building the corpus/target histograms is one
+    shared scan. Resampling afterwards composes with
+    sample_temperature_mix's hash-predicate machinery."""
+    from mit_mapreduce_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    from mit_mapreduce_spark.catalog import fan_out
+    feats = (
+        fan_out(docs.select("doc_id", "source", "text"))
+        .select("doc_id", "source", F.explode(toks).alias("w"))
+        .select("doc_id", "source",
+                F.pmod(hash60(F.col("w")), F.lit(DSIR_BUCKETS))
+                .alias("bucket"))
+        # one token scan feeds corpus histogram, target histogram, and
+        # the final per-doc scoring pass
+        .localCheckpoint(eager=False)
+    )
+    corpus = feats.groupBy("bucket").agg(F.count("*").alias("sc"))
+    target = (feats.where(F.col("source") == _DSIR_TARGET)
+              .groupBy("bucket").agg(F.count("*").alias("tc")))
+    totals = feats.agg(
+        F.count("*").alias("s_total"),
+        F.sum((F.col("source") == _DSIR_TARGET).cast("long"))
+        .alias("t_total"))
+    ratios = (
+        corpus.join(target, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round((F.coalesce("tc", F.lit(0)).cast("double")
+                     / F.col("t_total").cast("double"))
+                    / (F.col("sc").cast("double")
+                       / F.col("s_total").cast("double"))
+                    * DSIR_SCALE).cast("bigint").alias("r_scaled"))
+    )
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.sum("r_scaled").cast("bigint").alias("score_scaled"))
+        .select("doc_id", "n_tokens", "score_scaled",
+                (F.col("score_scaled").cast("double") / DSIR_SCALE
+                 / F.col("n_tokens").cast("double")).alias("importance"))
+    )

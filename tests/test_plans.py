@@ -281,6 +281,9 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     ("remove_dup_passages", 3),  # dup-window agg + per-doc drop-list agg
                                  # + doc_id join; reconstruction is pure
                                  # array expressions, no extra Exchange
+    ("importance_weights", 4),   # shared token scan + corpus/target
+                                 # histograms + doc scoring agg; the
+                                 # 64-row ratio table is broadcast
 ])
 def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-4 operators hold the same discipline as the originals: a

@@ -105,3 +105,32 @@ def test_remove_dup_passages_postcondition(spark, sf_dir):
     row = out.agg(F.sum("n_removed").alias("r"),
                   F.sum("n_tokens").alias("t")).collect()[0]
     assert 0 < row.r <= row.t
+
+
+def test_importance_weights_dsir_invariants(spark, sf_dir):
+    """Likelihood-ratio math checks: (1) the corpus-wide mean
+    per-token ratio is 1 by construction (sum over buckets of
+    sc_b * (tc_b/T)/(sc_b/S) = S), up to the 1e-9 rounding grid;
+    (2) target-domain docs average a higher importance than the rest
+    — the property that makes importance RESAMPLING select
+    target-like data."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.curation import (
+        DSIR_SCALE, _DSIR_TARGET,
+    )
+
+    out = QUERIES["importance_weights"](spark, sf_dir)
+    tot = out.agg(F.sum("score_scaled").alias("s"),
+                  F.sum("n_tokens").alias("n")).collect()[0]
+    mean_ratio = tot.s / DSIR_SCALE / tot.n
+    assert abs(mean_ratio - 1.0) < 1e-6, mean_ratio
+
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    by_side = (
+        out.join(src, "doc_id")
+        .groupBy((F.col("source") == _DSIR_TARGET).alias("is_target"))
+        .agg((F.sum("score_scaled") / F.sum("n_tokens")).alias("s"))
+        .collect()
+    )
+    means = {r.is_target: r.s for r in by_side}
+    assert means[True] > means[False]
