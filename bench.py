@@ -120,8 +120,13 @@ def bench_deltas(times: dict[str, float], sf: float,
         try:
             with open(cand) as f:
                 doc = json.load(f)
-            if doc.get("sf") == sf and doc.get("queries"):
-                prev_file, prev_q = os.path.basename(cand), doc["queries"]
+            # Driver-recorded BENCH_r{N}.json wraps the printed line:
+            # {n, rc, cpus, sf, tail, parsed} with the real payload
+            # under "parsed"; our own BENCH_FULL.json is the payload.
+            payload = doc.get("parsed") or doc
+            if payload.get("sf") == sf and payload.get("queries"):
+                prev_file = os.path.basename(cand)
+                prev_q = payload["queries"]
                 break
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
