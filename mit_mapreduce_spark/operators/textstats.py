@@ -690,3 +690,160 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n_bigrams").cast("double")).alias("novelty"),
         )
     )
+
+
+# --- winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03) ------------
+
+WIN_K = 5          # k-gram size (tokens)
+WIN_W = 4          # winnowing window (consecutive k-gram hashes)
+_H30 = 1 << 30     # 30-bit hash keeps h*2^21+tie inside BIGINT
+_TIE = 1 << 21     # > max token position in any fixture doc
+
+
+_SQL_WINNOW_FP = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    kh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - {WIN_K - 1}, 0) + 1),
+               i -> (('0x' || substring(md5(
+                        array_to_string(list_slice(toks, i, i + {WIN_K - 1}),
+                                        ' ')), 1, 15))::BIGINT % {_H30}))
+               AS hs
+      FROM t),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {WIN_W - 1}, 0) + 1),
+               j -> list_min(list_transform(range(0, {WIN_W}),
+                      tt -> hs[j + tt] * {_TIE}
+                            + ({_TIE} - 1 - (j + tt)))))) AS keys
+      FROM kh)
+    SELECT doc_id,
+           CAST({_TIE} - 1 - (k.key % {_TIE}) AS BIGINT) AS pos,
+           CAST(k.key // {_TIE} AS BIGINT) AS fp
+    FROM sel, unnest(sel.keys) AS k(key)
+"""
+
+
+@query("winnow_fingerprints", oracle=_SQL_WINNOW_FP)
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every {WIN_K}-token k-gram,
+    slide a {WIN_W}-hash window, and select each window's minimum hash
+    (rightmost on ties). Guarantees: any shared run of
+    {WIN_K + WIN_W - 1}+ tokens yields a shared fingerprint, yet only
+    ~2/(w+1) of positions are kept — the sublinear sketch that makes
+    corpus-wide plagiarism/overlap detection an equi-join on O(n/w)
+    rows instead of all windows (cf. dup_passages, which keeps every
+    window).
+
+    The (hash, rightmost-pos) argmin is one BIGINT min: 30-bit hash
+    × 2²¹ + (2²¹−1−pos) — monotone in (hash, −pos), overflow-free,
+    bit-identical in both engines. Selection is pure array
+    expressions over one scan; the emitted rows are the selected
+    fingerprints with their positions decoded back out.
+
+    100 TB posture: one scan, no shuffle at all for selection (the
+    explode emits ~2n/(w+1) rows per doc); every downstream use —
+    overlap pairs, index build — is an equi-join on fp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    khashes = F.expr(
+        f"""CASE WHEN size(_toks) < {WIN_K} THEN array()
+                 ELSE transform(sequence(1, size(_toks) - {WIN_K - 1}),
+                        i -> conv(substring(md5(
+                               concat_ws(' ', slice(_toks, i, {WIN_K}))),
+                             1, 15), 16, 10) % {_H30}L)
+            END""")
+    keys = F.expr(
+        f"""CASE WHEN size(_hs) < {WIN_W} THEN array()
+                 ELSE array_distinct(transform(
+                        sequence(1, size(_hs) - {WIN_W - 1}),
+                        j -> array_min(transform(sequence(0, {WIN_W - 1}),
+                               tt -> _hs[j + tt - 1] * {_TIE}L
+                                     + ({_TIE} - 1 - (j + tt))))))
+            END""")
+    return (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", khashes.alias("_hs"))
+        .select("doc_id", F.explode(keys).alias("key"))
+        .select(
+            "doc_id",
+            (F.lit(_TIE - 1) - F.col("key") % _TIE).cast("bigint")
+            .alias("pos"),
+            (F.col("key") / F.lit(_TIE)).cast("bigint").alias("fp"),
+        )
+    )
+
+
+WIN_MIN_SHARED = 3   # fingerprints a pair must share to be reported
+
+
+@query(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH fpx AS ({_SQL_WINNOW_FP}),
+    dfp AS (SELECT DISTINCT doc_id, fp FROM fpx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dfp GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM dfp a JOIN dfp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WIN_MIN_SHARED})
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           CAST(p.n_shared AS DOUBLE) / least(za.n, zb.n) AS containment
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS at corpus scale: document pairs sharing >= {WIN_MIN_SHARED}
+    winnowing fingerprints, with containment (shared / smaller doc's
+    fingerprint count) — the plagiarism/near-copy report built on the
+    sublinear sketch instead of full windows.
+
+    Candidate generation is an equi-self-join on the fp value over the
+    ~2n/(w+1)-row fingerprint relation — Σ(per-fp doc-count²) work,
+    never corpus², the same bounded-bucket argument as every LSH
+    operator here (and the winnowing guarantee means recall over
+    {WIN_K + WIN_W - 1}-token runs is 1, unlike probabilistic LSH).
+    The fingerprint relation is built once and checkpointed for its
+    three consumers (pair join legs + sizes)."""
+    fps = (
+        winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp").distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.fp") == F.col("a.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    za = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")
+    zb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")
+    return (
+        pairs.join(za, "doc_a").join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (F.col("n_shared").cast("double")
+             / F.least("n_a", "n_b").cast("double")).alias("containment"),
+        )
+    )

@@ -284,6 +284,11 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     ("importance_weights", 4),   # shared token scan + corpus/target
                                  # histograms + doc scoring agg; the
                                  # 64-row ratio table is broadcast
+    ("winnow_fingerprints", 1),  # selection is pure array expressions;
+                                 # the one exchange is the fan_out
+                                 # repartition (no-op on real tables)
+    ("winnow_overlap_pairs", 3), # distinct + pair agg + sizes join over
+                                 # the sublinear fingerprint relation
 ])
 def test_round4_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-4 operators hold the same discipline as the originals: a

@@ -134,3 +134,69 @@ def test_importance_weights_dsir_invariants(spark, sf_dir):
     )
     means = {r.is_target: r.s for r in by_side}
     assert means[True] > means[False]
+
+
+def test_winnowing_guarantee(spark, sf_dir):
+    """Schleimer et al.'s correctness property: if two documents share
+    a run of at least k+w-1 tokens, winnowing selects at least one
+    COMMON fingerprint from it. Verified against the fixture corpus:
+    every doc pair sharing any (k+w-1)-token window also shares a
+    winnowing fingerprint."""
+    from mit_mapreduce_spark.operators.dedup import hash60
+    from mit_mapreduce_spark.operators.textstats import WIN_K, WIN_W
+    from mit_mapreduce_spark.catalog import load_table
+
+    run = WIN_K + WIN_W - 1
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    arr = F.expr(
+        f"""CASE WHEN size(_toks) < {run} THEN array()
+                 ELSE transform(sequence(1, size(_toks) - {run - 1}),
+                                i -> concat_ws(' ', slice(_toks, i, {run})))
+            END""")
+    wins = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(F.array_distinct(arr)).alias("w"))
+        .select("doc_id", hash60(F.col("w")).alias("h"))
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    sharing = {
+        (r.doc_a, r.doc_b) for r in
+        a.join(b, (F.col("b.h") == F.col("a.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b")).distinct().collect()
+    }
+    assert sharing  # the corpus exercises the guarantee
+
+    fps = QUERIES["winnow_fingerprints"](spark, sf_dir).select(
+        "doc_id", "fp").distinct()
+    fa, fb = fps.alias("fa"), fps.alias("fb")
+    fp_pairs = {
+        (r.doc_a, r.doc_b) for r in
+        fa.join(fb, (F.col("fb.fp") == F.col("fa.fp"))
+                & (F.col("fa.doc_id") < F.col("fb.doc_id")))
+        .select(F.col("fa.doc_id").alias("doc_a"),
+                F.col("fb.doc_id").alias("doc_b")).distinct().collect()
+    }
+    missing = sharing - fp_pairs
+    assert not missing, f"guarantee violated for {sorted(missing)[:5]}"
+
+
+def test_winnowing_density(spark, sf_dir):
+    """Winnowing keeps ~2/(w+1) of k-gram positions (the paper's
+    density bound) — the sketch must actually be sublinear, not the
+    full window set."""
+    from mit_mapreduce_spark.operators.textstats import WIN_K, WIN_W
+    from mit_mapreduce_spark.catalog import load_table
+
+    n_fp = QUERIES["winnow_fingerprints"](spark, sf_dir).count()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    n_kgrams = docs.select(
+        F.greatest(F.size(toks) - (WIN_K - 1), F.lit(0)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    density = n_fp / n_kgrams
+    # exact-duplicate-window ties inflate selection slightly; stay
+    # within 2x of the theoretical 2/(w+1) expectation
+    assert density < 2 * 2 / (WIN_W + 1), density
