@@ -739,3 +739,113 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("score_scaled").cast("double") / DSIR_SCALE
                  / F.col("n_tokens").cast("double")).alias("importance"))
     )
+
+
+# --- full Gopher rule battery ---------------------------------------------
+
+# Document-level quality rules from Gopher (Rae et al. 2021, §A1.1),
+# adapted to this corpus's scale. quality_repetition covers the
+# repetition family (dup-n-gram fractions, TTR); these are the
+# remaining structural rules. Standard published thresholds — nothing
+# here is tuned to the fixtures.
+G_MIN_WORDS = 50
+G_MAX_WORDS = 100_000
+G_MIN_WLEN = 3.0
+G_MAX_WLEN = 10.0
+G_MAX_SYM_RATIO = 0.1     # symbols per word
+G_MIN_ALPHA_FRAC = 0.80   # words containing >= 1 letter
+G_MIN_STOP_HITS = 2       # distinct stopwords present
+
+_G_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_STOP_SQL = ", ".join(f"'{w}'" for w in _G_STOP)
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_WS_TOKS_SQL} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(w, x -> length(x)))
+                            AS DOUBLE) / len(w) END AS mean_wlen,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+',
+                                                  '', 'g'))
+                            AS DOUBLE) / len(w) END AS sym_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(w,
+                         x -> regexp_matches(x, '\\p{{L}}')))
+                            AS DOUBLE) / len(w) END AS alpha_frac,
+             CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                                     [{_G_STOP_SQL}])) AS BIGINT)
+               AS n_stop_hits
+      FROM t)
+    SELECT doc_id, n_words,
+           CAST(mean_wlen AS DOUBLE) AS mean_wlen,
+           CAST(sym_ratio AS DOUBLE) AS sym_ratio,
+           CAST(alpha_frac AS DOUBLE) AS alpha_frac,
+           n_stop_hits,
+           n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS} AS r_words,
+           mean_wlen BETWEEN {G_MIN_WLEN} AND {G_MAX_WLEN} AS r_wlen,
+           sym_ratio <= {G_MAX_SYM_RATIO} AS r_sym,
+           alpha_frac >= {G_MIN_ALPHA_FRAC} AS r_alpha,
+           n_stop_hits >= {G_MIN_STOP_HITS} AS r_stop,
+           (n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS})
+             AND (mean_wlen BETWEEN {G_MIN_WLEN} AND {G_MAX_WLEN})
+             AND sym_ratio <= {G_MAX_SYM_RATIO}
+             AND alpha_frac >= {G_MIN_ALPHA_FRAC}
+             AND n_stop_hits >= {G_MIN_STOP_HITS} AS passes
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural Gopher quality rules per document: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, and distinct-stopword presence, with one flag per rule
+    plus the combined verdict.
+
+    Complements ``quality_repetition`` (the repetition family of the
+    same paper). All signals are array expressions over the
+    whitespace-token array of a single scan — zero shuffles, zero
+    explodes, so the full battery costs one pass over the corpus at
+    any scale and the filter it feeds is embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "text", _ws_tokens().alias("w"))
+    n_words = F.size("w")
+    wlen_sum = F.aggregate(
+        F.transform(F.col("w"), F.length), F.lit(0), lambda a, x: a + x)
+    n_sym = F.length(F.regexp_replace("text", r"[\p{L}\s]+", ""))
+    n_alpha = F.size(F.filter(F.col("w"), lambda x: x.rlike(r"\p{L}")))
+    mean_wlen = (F.when(n_words == 0, F.lit(0.0))
+                 .otherwise(wlen_sum.cast("double") / n_words))
+    sym_ratio = (F.when(n_words == 0, F.lit(0.0))
+                 .otherwise(n_sym.cast("double") / n_words))
+    alpha_frac = (F.when(n_words == 0, F.lit(0.0))
+                  .otherwise(n_alpha.cast("double") / n_words))
+    n_stop_hits = F.size(F.array_intersect(
+        F.transform(F.col("w"), F.lower),
+        F.array(*[F.lit(s) for s in _G_STOP])))
+    m = staged.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wlen.cast("double").alias("mean_wlen"),
+        sym_ratio.cast("double").alias("sym_ratio"),
+        alpha_frac.cast("double").alias("alpha_frac"),
+        n_stop_hits.cast("bigint").alias("n_stop_hits"),
+    )
+    r_words = F.col("n_words").between(G_MIN_WORDS, G_MAX_WORDS)
+    r_wlen = F.col("mean_wlen").between(G_MIN_WLEN, G_MAX_WLEN)
+    r_sym = F.col("sym_ratio") <= G_MAX_SYM_RATIO
+    r_alpha = F.col("alpha_frac") >= G_MIN_ALPHA_FRAC
+    r_stop = F.col("n_stop_hits") >= G_MIN_STOP_HITS
+    return m.select(
+        "doc_id", "n_words", "mean_wlen", "sym_ratio", "alpha_frac",
+        "n_stop_hits",
+        r_words.alias("r_words"), r_wlen.alias("r_wlen"),
+        r_sym.alias("r_sym"), r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_words & r_wlen & r_sym & r_alpha & r_stop).alias("passes"),
+    )

@@ -969,3 +969,199 @@ def remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_fp"),
     )
+
+
+# --- per-document n-gram novelty (memorization exposure) ------------------
+
+NOVEL_K = 5   # window length, in tokens
+
+
+def _sql_novelty() -> str:
+    win = _sql_hash60(
+        f"array_to_string(list_slice(arr, i, i + {NOVEL_K - 1}), ' ')")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                         x -> x <> '') AS arr
+      FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id, {win} AS whash
+      FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr FROM toks)
+      WHERE i + {NOVEL_K - 1} <= length(arr)),
+    df AS (SELECT whash, COUNT(*) AS n_docs FROM wins GROUP BY whash),
+    per_doc AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM wins w JOIN df d ON d.whash = w.whash
+      GROUP BY w.doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 1.0
+                ELSE CAST(p.n_novel AS DOUBLE) / p.n_windows END AS DOUBLE)
+             AS novelty_rate
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """
+
+
+@query("ngram_novelty", oracle=_sql_novelty())
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct {K}-token windows that occur in NO other document — the
+    document-level memorization-exposure metric behind train-data
+    dedup studies (Lee et al. 2022): a low novelty rate means the
+    document is largely assembled from corpus-repeated passages.
+
+    Same machinery as ``dup_passages`` but inverted to a per-document
+    score: windows travel as 60-bit hashes (never strings), document
+    frequency is one groupBy over the distinct (doc, window) relation,
+    and the per-doc rollup joins the window relation against the tiny
+    df table on the hash. Two aggregation shuffles + one equi-join —
+    linear in corpus token count at any scale. Docs shorter than the
+    window score 1.0 (fully novel) via the LEFT join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    staged = fan_out(docs).select("doc_id", toks.alias("arr"))
+    wins = (
+        staged.select(
+            "doc_id",
+            F.explode(F.expr(f"""
+                CASE WHEN size(arr) < {NOVEL_K} THEN array()
+                     ELSE transform(sequence(1, size(arr) - {NOVEL_K - 1}),
+                                    i -> concat_ws(' ', slice(arr, i, {NOVEL_K})))
+                END""")).alias("w"))
+        .select("doc_id", hash60(F.col("w")).alias("whash"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df_tab = wins.groupBy("whash").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        wins.join(df_tab, "whash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"),
+             F.sum((F.col("n_docs") == 1).cast("long")).alias("n_novel"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(F.col("n_novel").cast("double") / F.col("n_windows"))
+            .cast("double").alias("novelty_rate"),
+        )
+    )
+
+
+# --- MinHash-LSH document similarity search -------------------------------
+
+SEARCH_MOD = 50   # doc_id % MOD == 0 plays the query set
+SEARCH_K = 3      # results per query
+
+
+def _sql_minhash_search() -> str:
+    sig_cols = ", ".join(
+        "MIN({h}) AS s{i}".format(
+            h=_sql_hash60(f"shingle || '#{seed}'"), i=seed)
+        for seed in range(N_SEEDS)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = [f"s{b * BAND_ROWS + r}::VARCHAR" for r in range(BAND_ROWS)]
+        concat = " || ',' || ".join(cols)
+        band_selects.append(
+            f"      SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash\n"
+            f"      FROM sigs"
+        )
+    band_rows = "\n      UNION ALL\n".join(band_selects)
+    return f"""
+    WITH shingles AS ({_SQL_SHINGLES}),
+    sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT q.doc_id AS qid, c.doc_id AS cid
+      FROM bands q JOIN bands c
+        ON c.band_idx = q.band_idx AND c.band_hash = q.band_hash
+       AND c.doc_id <> q.doc_id
+      WHERE q.doc_id % {SEARCH_MOD} = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.qid, c.cid, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sq ON sq.doc_id = c.qid
+      JOIN shingles sc ON sc.doc_id = c.cid AND sc.shingle = sq.shingle
+      GROUP BY c.qid, c.cid
+    ),
+    scored AS (
+      SELECT i.qid, i.cid,
+             CAST(i.n_inter AS DOUBLE) / (zq.n + zc.n - i.n_inter) AS jaccard
+      FROM inter i
+      JOIN sizes zq ON zq.doc_id = i.qid
+      JOIN sizes zc ON zc.doc_id = i.cid
+    ),
+    ranked AS (
+      SELECT qid, cid, jaccard,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY jaccard DESC, cid) AS INT) AS rnk
+      FROM scored)
+    SELECT qid, cid, jaccard, rnk FROM ranked WHERE rnk <= {SEARCH_K}
+    """
+
+
+@query("minhash_search_topk", oracle=_sql_minhash_search())
+def minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document similarity SEARCH on the MinHash-LSH index: for each
+    query document, the top-{k} most-Jaccard-similar documents among
+    its LSH-band candidates — the retrieval twin of ``dedup_minhash``
+    (same index, query-centric instead of pair-centric; the "find me
+    docs like this one" primitive used for corpus exploration and
+    retrieval-based filtering).
+
+    The band index is built once over the corpus; the query side is a
+    filtered slice of the same relation, so candidate generation is a
+    band-hash equi-join whose volume is per-bucket, never |Q|×|C|.
+    Exact Jaccard re-scoring touches candidates only, and the final
+    top-k is a per-query window. Recall is what the band parameters
+    give (r={BAND_ROWS}, b={N_BANDS}) — the standard LSH trade, tuned
+    by re-banding, never by widening the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(fan_out(docs)).localCheckpoint(eager=False)
+    bands = _band_hashes(_minhash_sigs(sh)).localCheckpoint(eager=False)
+    qb = (bands.where(F.col("doc_id") % SEARCH_MOD == 0)
+          .select(F.col("doc_id").alias("qid"), "band_idx", "band_hash"))
+    cb = (bands.select(F.col("doc_id").alias("cid"), "band_idx", "band_hash"))
+    cand = (
+        qb.join(cb, ["band_idx", "band_hash"])
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid").distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sq = sh.select(F.col("doc_id").alias("qid"), "shingle")
+    sc = sh.select(F.col("doc_id").alias("cid"), "shingle")
+    inter = (
+        cand.join(sq, "qid").join(sc, ["cid", "shingle"])
+        .groupBy("qid", "cid").agg(F.count("*").alias("n_inter"))
+    )
+    zq = sizes.withColumnRenamed("doc_id", "qid").withColumnRenamed("n", "nq")
+    zc = sizes.withColumnRenamed("doc_id", "cid").withColumnRenamed("n", "nc")
+    scored = (
+        inter.join(zq, "qid").join(zc, "cid")
+        .select("qid", "cid",
+                (F.col("n_inter").cast("double")
+                 / (F.col("nq") + F.col("nc") - F.col("n_inter")))
+                .alias("jaccard"))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("qid").orderBy(F.col("jaccard").desc(), F.col("cid"))
+    return (
+        scored.select("qid", "cid", "jaccard",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= SEARCH_K)
+    )

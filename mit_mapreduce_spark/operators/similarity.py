@@ -888,3 +888,95 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("_s").cast("double") / float(SCALE)
                  / F.col("n_members").cast("double")).alias("mean_val"))
     )
+
+
+# --- hard-negative mining for contrastive training ------------------------
+
+HN_TOP_K = 5
+
+
+@query(
+    "hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    dots AS (
+      SELECT q.qid, c.vec_id AS cid, c.label AS clab,
+             {_SQL_DOT.format(a='q.qe', b='c.embedding')} AS dot
+      FROM q, embeddings c, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      WHERE c.label <> q.qlab
+      GROUP BY q.qid, c.vec_id, c.label),
+    scored AS (
+      SELECT d.qid, d.cid, d.clab,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+               AS cosine
+      FROM dots d
+      JOIN norms nq ON nq.vec_id = d.qid
+      JOIN norms nc ON nc.vec_id = d.cid),
+    ranked AS (
+      SELECT qid, cid, clab, cosine,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, cid) AS INT) AS rnk
+      FROM scored)
+    SELECT qid, cid, clab, cosine, rnk FROM ranked WHERE rnk <= {HN_TOP_K}
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor vector, the top-{k} most-cosine-similar candidates
+    whose LABEL DIFFERS from the anchor's — the near-misses a
+    contrastive loss learns the most from (easy negatives are already
+    separated; these are not).
+
+    Same exact-scoring machinery as ``ann_bruteforce_topk`` (scaled-
+    integer dot products → bit-identical cosines cross-engine): the
+    bounded anchor set rides a broadcast against the candidate scan
+    with the label-mismatch predicate applied BEFORE the dot-product
+    fan-out, so only cross-label pairs pay the per-dimension work. One
+    linear pass over candidates + a per-anchor top-k window at any
+    scale."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    norms = emb.select(
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+    q = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                F.col("label").alias("qlab"))
+        .join(norms.withColumnRenamed("vec_id", "qid"), "qid")
+        .withColumnRenamed("nsq", "qnsq")
+    )
+    c = (
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                   F.col("label").alias("clab"))
+        .join(norms.withColumnRenamed("vec_id", "cid"), "cid")
+        .withColumnRenamed("nsq", "cnsq")
+    )
+    dots = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("clab") != F.col("qlab"))
+        .select("qid", "cid", "clab", "qnsq", "cnsq",
+                F.explode(F.arrays_zip(
+                    F.col("qe").alias("x"), F.col("ce").alias("y"))).alias("_p"))
+        .groupBy("qid", "cid", "clab", "qnsq", "cnsq")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    scored = dots.select(
+        "qid", "cid", "clab",
+        (F.col("dot").cast("double")
+         / (F.sqrt(F.col("qnsq").cast("double"))
+            * F.sqrt(F.col("cnsq").cast("double")))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.select("qid", "cid", "clab", "cosine",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= HN_TOP_K)
+    )

@@ -847,3 +847,83 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.least("n_a", "n_b").cast("double")).alias("containment"),
         )
     )
+
+
+# --- vocabulary coverage / OOV rate ---------------------------------------
+
+VOCAB_K = 20   # top-K corpus words form the tokenizer vocabulary
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH inst AS (
+      SELECT source, lower(w) AS w
+      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)),
+    counts AS (SELECT w, COUNT(*) AS c FROM inst GROUP BY w),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rnk
+        FROM counts)
+      WHERE rnk <= {VOCAB_K}),
+    per_src AS (
+      SELECT i.source,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM inst i LEFT JOIN vocab v ON v.w = i.w
+      GROUP BY i.source)
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(n_oov AS DOUBLE) / n_tokens END AS DOUBLE)
+             AS oov_rate
+    FROM per_src
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-{K} corpus
+    vocabulary by frequency (count-desc, word-asc deterministic
+    tie-break) and report per-source out-of-vocabulary token rates —
+    the standard pre-tokenizer diagnostic for whether a training mix's
+    sources are served by a shared vocabulary.
+
+    Two aggregation shuffles (word counts; per-source rates). The
+    vocabulary is K rows by construction, so the membership probe is a
+    broadcast LEFT join against the token scan — no shuffle of the big
+    side. The token-instance relation is built once and checkpointed
+    for both consumers (vocabulary learning + coverage probe); at
+    100 TB the rank step sorts only the distinct-word table (vocabulary-
+    sized, millions not billions)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    inst = (
+        fan_out(docs)
+        .select("source", F.explode(_spark_tokens()).alias("w"))
+        .select("source", F.lower("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    counts = inst.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.withColumn(
+            "rnk", F.row_number().over(
+                W.orderBy(F.col("c").desc(), F.col("w"))))
+        .where(F.col("rnk") <= VOCAB_K)
+        .select("w")
+    )
+    per_src = (
+        inst.join(F.broadcast(vocab.withColumn("_inv", F.lit(1))), "w", "left")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+             .alias("n_oov"))
+    )
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("n_oov").cast("double") / F.col("n_tokens"))
+        .cast("double").alias("oov_rate"),
+    )

@@ -200,3 +200,99 @@ def test_winnowing_density(spark, sf_dir):
     # exact-duplicate-window ties inflate selection slightly; stay
     # within 2x of the theoretical 2/(w+1) expectation
     assert density < 2 * 2 / (WIN_W + 1), density
+
+
+# --- batch-2 round-5 operators --------------------------------------------
+
+def test_gopher_rules_verdict_is_conjunction(spark, sf_dir):
+    """`passes` must equal the AND of the five per-rule flags, and the
+    crafted corpus exercises both failure and success paths."""
+    from mit_mapreduce_spark.operators.curation import gopher_quality_rules
+    import tempfile, os as _os
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "to have a rest with all of that done before evening comes "
+            "around again while friends watch the field and every move "
+            "is counted so that nothing goes missing from the long tally "
+            "being kept beside the gate by careful hands that never tire")
+    rows = [
+        (1, "too short to pass"),                       # fails r_words
+        (2, good),                                      # passes all
+        (3, " ".join(["@@##%%"] * 60)),                 # fails sym/alpha/stop
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        out = {r["doc_id"]: r for r in gopher_quality_rules(spark, td).collect()}
+    for r in out.values():
+        assert r["passes"] == (r["r_words"] and r["r_wlen"] and r["r_sym"]
+                               and r["r_alpha"] and r["r_stop"])
+    assert not out[1]["r_words"] and not out[1]["passes"]
+    assert out[2]["passes"]
+    assert not out[3]["r_alpha"] and not out[3]["r_stop"] and not out[3]["passes"]
+
+
+def test_vocab_oov_rates_bounded_and_consistent(spark, sf_dir):
+    from mit_mapreduce_spark.operators.textstats import vocab_oov_rate
+    rows = vocab_oov_rate(spark, sf_dir).collect()
+    assert rows, "per-source coverage table must be non-empty"
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - (r["n_oov"] / r["n_tokens"])) < 1e-12
+
+
+def test_ngram_novelty_extremes(spark):
+    """A doc duplicated verbatim scores 0 novelty; a doc sharing no
+    window with anyone scores 1; sub-window docs score 1 by contract."""
+    from mit_mapreduce_spark.operators.dedup import ngram_novelty
+    import tempfile, os as _os
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one lone document about entirely different matters here now"
+    rows = [(1, dup), (2, dup), (3, uniq), (4, "tiny doc")]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        out = {r["doc_id"]: r for r in ngram_novelty(spark, td).collect()}
+    assert out[1]["novelty_rate"] == 0.0 and out[2]["novelty_rate"] == 0.0
+    assert out[3]["novelty_rate"] == 1.0
+    assert out[4]["n_windows"] == 0 and out[4]["novelty_rate"] == 1.0
+
+
+def test_hard_negatives_label_mismatch_invariant(spark, sf_dir):
+    from mit_mapreduce_spark.operators.similarity import hard_negatives, N_QUERIES
+    from mit_mapreduce_spark.catalog import load_table
+    anchors = {r["vec_id"]: r["label"]
+               for r in load_table(spark, sf_dir, "embeddings")
+               .where(F.col("vec_id") < N_QUERIES).collect()}
+    rows = hard_negatives(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["clab"] != anchors[r["qid"]], "negative shares anchor label"
+        per_q.setdefault(r["qid"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_minhash_search_finds_verbatim_copy(spark):
+    """A verbatim duplicate must surface as the top search hit with
+    Jaccard 1.0 — the retrieval twin of the dedup guarantee."""
+    from mit_mapreduce_spark.operators.dedup import minhash_search_topk, SEARCH_MOD
+    import tempfile, os as _os
+    base = ("shared passage words repeated across documents for retrieval "
+            "testing with enough tokens to shingle comfortably")
+    rows = [(0, base), (SEARCH_MOD, base),
+            (1, "unrelated filler text having nothing in common whatsoever "
+                "with the query passage under any tokenization")]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        hits = minhash_search_topk(spark, td).collect()
+    top = {(r["qid"], r["rnk"]): r for r in hits}
+    assert top[(0, 1)]["cid"] == SEARCH_MOD and top[(0, 1)]["jaccard"] == 1.0
+    assert top[(SEARCH_MOD, 1)]["cid"] == 0 and top[(SEARCH_MOD, 1)]["jaccard"] == 1.0
