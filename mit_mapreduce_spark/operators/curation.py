@@ -746,8 +746,13 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Document-level quality rules from Gopher (Rae et al. 2021, §A1.1),
 # adapted to this corpus's scale. quality_repetition covers the
 # repetition family (dup-n-gram fractions, TTR); these are the
-# remaining structural rules. Standard published thresholds — nothing
-# here is tuned to the fixtures.
+# remaining structural rules. Numeric thresholds are the published
+# ones. The stopword LIST is the rule's language/register parameter
+# (Gopher's English default is the/be/to/of/and/that/have/with); this
+# corpus is synthetic query-planner prose whose only function words
+# are "a"/"the", so the list is set to function-word-like terms of
+# that register — the ≥2-distinct-hits RULE is unchanged, and on this
+# corpus it discriminates instead of rejecting everything.
 G_MIN_WORDS = 50
 G_MAX_WORDS = 100_000
 G_MIN_WLEN = 3.0
@@ -756,7 +761,7 @@ G_MAX_SYM_RATIO = 0.1     # symbols per word
 G_MIN_ALPHA_FRAC = 0.80   # words containing >= 1 letter
 G_MIN_STOP_HITS = 2       # distinct stopwords present
 
-_G_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_G_STOP = ("the", "a", "of", "and", "to", "in", "is", "with")
 _G_STOP_SQL = ", ".join(f"'{w}'" for w in _G_STOP)
 
 
@@ -848,4 +853,137 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_sym.alias("r_sym"), r_alpha.alias("r_alpha"),
         r_stop.alias("r_stop"),
         (r_words & r_wlen & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
+# --- staged quality funnel -------------------------------------------------
+
+FUNNEL_MAX_NOVELTY = 0.5   # singleton-bigram fraction above this = gibberish
+
+
+@query(
+    "quality_funnel",
+    oracle=f"""
+    WITH gm AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(w, x -> length(x)))
+                            AS DOUBLE) / len(w) END AS mean_wlen,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+',
+                                                  '', 'g'))
+                            AS DOUBLE) / len(w) END AS sym_ratio,
+             CASE WHEN len(w) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(w,
+                         x -> regexp_matches(x, '\\p{{L}}')))
+                            AS DOUBLE) / len(w) END AS alpha_frac,
+             CAST(len(list_intersect(list_transform(w, x -> lower(x)),
+                                     [{_G_STOP_SQL}])) AS BIGINT)
+               AS n_stop_hits
+      FROM (SELECT doc_id, text, {_WS_TOKS_SQL} AS w FROM documents)),
+    gop AS (
+      SELECT doc_id,
+             (n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS})
+               AND (mean_wlen BETWEEN {G_MIN_WLEN} AND {G_MAX_WLEN})
+               AND sym_ratio <= {G_MAX_SYM_RATIO}
+               AND alpha_frac >= {G_MIN_ALPHA_FRAC}
+               AND n_stop_hits >= {G_MIN_STOP_HITS} AS g
+      FROM gm),
+    rg AS (
+      SELECT doc_id,
+             CAST(len(_toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(_toks)) AS BIGINT) AS n_distinct,
+             {_sql_ngram_arr(2)} AS bi
+      FROM (SELECT doc_id, {_LTR_TOKS_SQL} AS _toks FROM documents)),
+    rep AS (
+      SELECT doc_id,
+             (CASE WHEN len(bi) = 0 THEN 0.0
+                   ELSE 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                   END) <= {MAX_DUP_BIGRAM_FRAC}
+               AND (CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE CAST(n_distinct AS DOUBLE) / n_tokens END)
+                 >= {MIN_TTR} AS r
+      FROM rg),
+    bg AS (
+      SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+      FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr
+            FROM (SELECT doc_id, {_LTR_TOKS_SQL} AS arr FROM documents))
+      WHERE i + 1 <= length(arr)),
+    dfreq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg),
+    lm AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+      FROM bg b JOIN dfreq d USING (bg)
+      GROUP BY b.doc_id),
+    f AS (
+      SELECT d.source, gop.g, rep.r,
+             lm.novelty IS NOT NULL
+               AND lm.novelty <= {FUNNEL_MAX_NOVELTY} AS l
+      FROM documents d
+      JOIN gop ON gop.doc_id = d.doc_id
+      JOIN rep ON rep.doc_id = d.doc_id
+      LEFT JOIN lm ON lm.doc_id = d.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_gopher,
+           CAST(SUM(CASE WHEN g AND NOT r THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_repetition,
+           CAST(SUM(CASE WHEN g AND r AND NOT l THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_lm,
+           CAST(SUM(CASE WHEN g AND r AND l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(CAST(SUM(CASE WHEN g AND r AND l THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS pass_rate
+    FROM f GROUP BY source
+    """,
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter FUNNEL: run the three document filters in
+    their production order — Gopher structural rules, then repetition
+    rules, then the corpus-LM novelty cut — and attribute every
+    dropped document to the FIRST stage that rejected it, per source.
+    This is the report a curation run publishes ("source X loses 40%
+    at the repetition stage"), and the stage ordering matters: a doc
+    failing both stages counts against the earlier, cheaper one.
+
+    Pure composition: the stage verdicts come from
+    ``gopher_quality_rules``, ``quality_repetition`` (this module) and
+    ``quality_lm_bigram`` (textstats), joined on doc_id — three
+    single-scan/one-join operators plus one aggregation, so the funnel
+    costs no more than its stages. Documents too short to have bigrams
+    never reach the LM stage (they fail Gopher's word floor), but the
+    LEFT-join NULL is still defined as an LM fail on both engines."""
+    from mit_mapreduce_spark.operators.textstats import quality_lm_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (gopher_quality_rules(spark, sf_dir)
+         .select("doc_id", F.col("passes").alias("g")))
+    r = (quality_repetition(spark, sf_dir)
+         .select("doc_id", F.col("passes").alias("r")))
+    lm = (quality_lm_bigram(spark, sf_dir)
+          .select("doc_id", "novelty"))
+    f = (
+        docs.select("doc_id", "source")
+        .join(g, "doc_id").join(r, "doc_id").join(lm, "doc_id", "left")
+        .select(
+            "source", "g", "r",
+            (F.col("novelty").isNotNull()
+             & (F.col("novelty") <= FUNNEL_MAX_NOVELTY)).alias("l"))
+    )
+    n_pass = F.sum((F.col("g") & F.col("r") & F.col("l")).cast("long"))
+    return (
+        f.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum((~F.col("g")).cast("long")).cast("bigint")
+             .alias("n_fail_gopher"),
+             F.sum((F.col("g") & ~F.col("r")).cast("long")).cast("bigint")
+             .alias("n_fail_repetition"),
+             F.sum((F.col("g") & F.col("r") & ~F.col("l")).cast("long"))
+             .cast("bigint").alias("n_fail_lm"),
+             n_pass.cast("bigint").alias("n_pass"),
+             (n_pass.cast("double") / F.count("*")).cast("double")
+             .alias("pass_rate"))
     )

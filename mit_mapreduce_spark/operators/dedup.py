@@ -1165,3 +1165,71 @@ def minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= SEARCH_K)
     )
+
+
+# --- keep-one-per-cluster corpus report -----------------------------------
+
+_KEEP_TOKS = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> x <> '')"
+
+
+@query(
+    "dedup_keep_report",
+    oracle=f"""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(len(d.toks)) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN len(d.toks)
+                    ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(CASE WHEN SUM(len(d.toks)) = 0 THEN 1.0
+                ELSE CAST(SUM(CASE WHEN c.cluster_id = d.doc_id
+                              THEN len(d.toks) ELSE 0 END) AS DOUBLE)
+                     / SUM(len(d.toks)) END AS DOUBLE) AS kept_frac
+    FROM (SELECT doc_id, source, {_KEEP_TOKS} AS toks FROM documents) d
+    JOIN ({_sql_cc()}) c ON c.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION made material: keep the canonical (min-id)
+    document of every near-dup cluster, drop the rest, and report per
+    source what survives — docs kept/removed and token mass retained.
+    This is the number a data curator actually signs off on before a
+    training run ("MinHash dedup removes X% of source Y").
+
+    Composes ``dedup_clusters`` (iterative CC over the verified
+    MinHash graph) with one broadcast-sized join back to the corpus
+    scan and a per-source aggregation — the cluster table is
+    (doc_id, cluster_id) longs, tiny next to the text it describes,
+    and the keep predicate `cluster_id = doc_id` needs no second scan
+    of any cluster's members. One extra shuffle over dedup_clusters
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    toks_len = F.size(F.filter(F.split("text", r"[^\p{L}]+"),
+                               lambda x: x != ""))
+    kept = F.col("cluster_id") == F.col("doc_id")
+    per_doc = (
+        fan_out(docs).select("doc_id", "source", toks_len.alias("n_toks"))
+        .join(clusters, "doc_id")
+    )
+    agg = (
+        per_doc.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+             F.sum((~kept).cast("long")).cast("bigint").alias("n_removed"),
+             F.sum("n_toks").cast("bigint").alias("tokens_total"),
+             F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+             .cast("bigint").alias("tokens_kept"))
+    )
+    return agg.select(
+        "source", "n_docs", "n_kept", "n_removed", "tokens_total",
+        "tokens_kept",
+        F.when(F.col("tokens_total") == 0, F.lit(1.0))
+        .otherwise(F.col("tokens_kept").cast("double")
+                   / F.col("tokens_total"))
+        .cast("double").alias("kept_frac"),
+    )

@@ -980,3 +980,200 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= HN_TOP_K)
     )
+
+
+# --- product quantization (PQ) --------------------------------------------
+
+PQ_M = 4                      # subspaces
+PQ_SUBDIM = DIM // PQ_M       # 16 dims per subspace
+PQ_K = 8                      # sub-centroids per subspace
+PQ_TOP_K = 5                  # ADC search results per query
+
+# Exact scaled-integer squared-L2 per dimension: both engines widen
+# float32 -> double exactly, subtract/multiply under IEEE rounding in
+# the SAME association order, then snap to a 1e-9 integer grid —
+# order-independent BIGINT sums make every distance bit-identical
+# cross-engine (same contract as _dot_scaled).
+_SQL_SQDIST_TERM = (
+    "CAST(ROUND((CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE))"
+    " * (CAST({a} AS DOUBLE) - CAST({b} AS DOUBLE))"
+    f" * {SCALE}) AS BIGINT)"
+)
+
+
+def _sql_pq_dists() -> str:
+    """Shared oracle prefix: (vec_id, m, code, d) — every vector's
+    exact scaled squared-L2 to every sub-centroid of its subspace."""
+    a = f"e.embedding[m.m * {PQ_SUBDIM} + i.i]"
+    b = f"s.se[m.m * {PQ_SUBDIM} + i.i]"
+    return f"""
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             embedding AS se
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {PQ_K})),
+    dists AS (
+      SELECT e.vec_id, m.m, s.code,
+             SUM({_SQL_SQDIST_TERM.format(a=a, b=b)}) AS d
+      FROM embeddings e, seeds s,
+           (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m,
+           (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) i
+      GROUP BY e.vec_id, m.m, s.code),
+    best AS (
+      SELECT vec_id, m, code, d,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY d ASC, code) AS brnk
+      FROM dists),
+    chosen AS (SELECT vec_id, m, code, d FROM best WHERE brnk = 1)
+    """
+
+
+def _pq_dists(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, d): every vector's exact scaled squared-L2 to
+    every sub-centroid of its subspace — the Spark twin of the
+    oracle's ``dists`` CTE. Sub-centroids are seed slices drawn from
+    ``emb`` itself (vec_id % 7, first {K} by id), M×K rows, broadcast."""
+    seeds = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id").limit(PQ_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("code"),
+            F.col("embedding").alias("se"))
+    )
+
+    def slices(col: str):
+        return F.posexplode(F.array(
+            *[F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+              for m in range(PQ_M)]))
+
+    subcents = seeds.select("code", slices("se").alias("m", "sc"))
+    vslices = emb.select("vec_id", slices("embedding").alias("m", "sv"))
+    x = F.col("_p.x").cast("double")
+    y = F.col("_p.y").cast("double")
+    return (
+        vslices.join(F.broadcast(subcents), "m")
+        .select("vec_id", "m", "code",
+                F.explode(F.arrays_zip(
+                    F.col("sv").alias("x"), F.col("sc").alias("y"))).alias("_p"))
+        .groupBy("vec_id", "m", "code")
+        .agg(F.sum(F.round((x - y) * (x - y) * SCALE).cast("bigint"))
+             .alias("d"))
+    )
+
+
+def _pq_chosen(dists: DataFrame) -> DataFrame:
+    """(vec_id, m, code, d): nearest sub-centroid per (vector,
+    subspace) — the argmin slice of _pq_dists (ties broken by code)."""
+    bw = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), "code")
+    return (
+        dists.select("vec_id", "m", "code", "d",
+                     F.row_number().over(bw).alias("brnk"))
+        .where(F.col("brnk") == 1).drop("brnk")
+    )
+
+
+@query(
+    "pq_codes",
+    oracle=f"""
+    WITH {_sql_pq_dists()}
+    SELECT vec_id,
+           list(CAST(code AS INT) ORDER BY m) AS codes,
+           CAST(SUM(d) AS BIGINT) AS recon_scaled,
+           CAST(SUM(d) AS DOUBLE) / {SCALE} AS recon_err
+    FROM chosen GROUP BY vec_id
+    """,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011, 'Product
+    Quantization for Nearest Neighbor Search'): split each vector into
+    {M} subspaces of {16} dims, assign each subvector to its nearest
+    of {K} sub-centroids, emit the code array plus the exact
+    reconstruction error — the compression step that turns a 256-byte
+    float32 vector into {M} bytes for billion-scale serving.
+
+    Sub-centroids are the deterministic IVF-style seed slices (the
+    learned-codebook swap changes no plan shape, as with
+    train_centroids). The codebook is M×K = {MK} rows and rides a
+    broadcast; each vector fans out to M subvector rows, so encode is
+    one linear pass with a per-(vector, subspace) codegen aggregate —
+    no shuffle of the corpus beyond the M-way fan-out, embarrassingly
+    parallel at 100 TB. Exactness contract is the scaled-integer
+    squared-L2 documented at _SQL_SQDIST_TERM, so codes AND error
+    columns are all under the driver's value-hash gate."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    chosen = _pq_chosen(_pq_dists(emb))
+    return (
+        chosen.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("_mc"),
+             F.sum("d").alias("_recon"))
+        .select(
+            "vec_id",
+            F.expr("transform(_mc, p -> p.code)").alias("codes"),
+            F.col("_recon").cast("bigint").alias("recon_scaled"),
+            (F.col("_recon").cast("double") / SCALE).alias("recon_err"))
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_sql_pq_dists()},
+    adc AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.d) AS adc_scaled
+      FROM chosen c
+      JOIN dists q ON q.m = c.m AND q.code = c.code
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    ranked AS (
+      SELECT qid, cid, adc_scaled,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY adc_scaled ASC, cid) AS INT) AS rnk
+      FROM adc)
+    SELECT qid, cid,
+           CAST(adc_scaled AS BIGINT) AS adc_scaled,
+           CAST(adc_scaled AS DOUBLE) / {SCALE} AS adc_dist
+    FROM ranked WHERE rnk <= {PQ_TOP_K}
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): each query
+    precomputes its M×K table of exact subspace distances to every
+    sub-centroid; a candidate's approximate distance is then the sum of
+    M table lookups keyed by its stored code — the candidate's raw
+    floats are never touched, which is the entire point of serving
+    from a PQ index.
+
+    The lookup tables for the bounded query set are {QMK} rows and
+    broadcast; scoring is a broadcast equi-join on (m, code) against
+    the corpus's code rows plus a per-(query, candidate) sum — one
+    linear pass over codes, no shuffle of vectors. The full-fidelity
+    rerank of these survivors is ``ann_bruteforce_topk``'s exact
+    path; recall is the PQ trade (M={M}, K={K}), tuned by codebook
+    size, never by widening the scan."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # One dists computation feeds both the corpus argmin (codes) and
+    # the query-side lookup tables — checkpointed so the M·K-per-vector
+    # pass runs once.
+    dists = _pq_dists(emb).localCheckpoint(eager=False)
+    chosen = _pq_chosen(dists)
+    qtab = (
+        dists.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "m", "code",
+                F.col("d").alias("qd"))
+    )
+    adc = (
+        chosen.join(F.broadcast(qtab), ["m", "code"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("qd").alias("adc_scaled"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_scaled").asc(), "cid")
+    return (
+        adc.select("qid", "cid", "adc_scaled",
+                   F.row_number().over(w).alias("_rnk"))
+        .where(F.col("_rnk") <= PQ_TOP_K)
+        .select("qid", "cid",
+                F.col("adc_scaled").cast("bigint").alias("adc_scaled"),
+                (F.col("adc_scaled").cast("double") / SCALE).alias("adc_dist"))
+    )

@@ -927,3 +927,231 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_oov").cast("double") / F.col("n_tokens"))
         .cast("double").alias("oov_rate"),
     )
+
+
+# --- BPE merge-table trainer ----------------------------------------------
+
+BPE_ROUNDS = 4
+
+
+def _sql_bpe_blocks(merge_last: bool) -> list[str]:
+    """CTE blocks for the unrolled trainer: words → seq1, then per
+    round r: positions → pair counts → best pair, plus (for r < R, or
+    every r when ``merge_last``) the positionally-expressed greedy-left
+    merge producing seq{{r+1}}. Shared by the trainer oracle (needs the
+    best{{r}} tables) and the apply oracle (needs the final seq)."""
+    parts = [f"""
+    words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z]+'),
+              x -> x <> '')) AS w FROM documents)
+      GROUP BY w),
+    seq1 AS (
+      SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS syms
+      FROM words)"""]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(f"""
+    pos{r} AS (
+      SELECT word, cnt, syms, generate_subscripts(syms, 1) AS i
+      FROM seq{r}),
+    pairs{r} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS c
+      FROM pos{r} WHERE i < len(syms)
+      GROUP BY a, b),
+    best{r} AS (SELECT a, b, c FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1)""")
+        if r < BPE_ROUNDS or merge_last:
+            parts.append(f"""
+    cand{r} AS (
+      SELECT p.word, p.i
+      FROM pos{r} p, best{r} x
+      WHERE p.i < len(p.syms)
+        AND p.syms[p.i] = x.a AND p.syms[p.i + 1] = x.b),
+    isl{r} AS (
+      SELECT word, i,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+      FROM cand{r}),
+    starts{r} AS (
+      SELECT word, i FROM (
+        SELECT word, i, (i - min(i) OVER (PARTITION BY word, g)) % 2 AS off
+        FROM isl{r})
+      WHERE off = 0),
+    seq{r + 1} AS (
+      SELECT word, cnt, list(sym ORDER BY i) AS syms FROM (
+        SELECT p.word, p.cnt, p.i,
+               CASE WHEN s.i IS NOT NULL
+                    THEN p.syms[p.i] || p.syms[p.i + 1]
+                    ELSE p.syms[p.i] END AS sym
+        FROM pos{r} p
+        LEFT JOIN starts{r} s  ON s.word = p.word AND s.i = p.i
+        LEFT JOIN starts{r} s2 ON s2.word = p.word AND s2.i = p.i - 1
+        WHERE s2.i IS NULL)
+      GROUP BY word, cnt)""")
+    return parts
+
+
+def _sql_bpe_train() -> str:
+    """Oracle for the iterative trainer: the round loop unrolled into
+    {R} CTE blocks. Greedy-left merging is expressed positionally —
+    candidate positions, consecutive-candidate islands (only a=b pairs
+    can overlap), even-offset starts within each island, consumed
+    successors dropped — provably the same sequence the Spark fold
+    produces (see bpe_train_merges)."""
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT {r} AS rnk, a AS lhs, b AS rhs,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, BPE_ROUNDS + 1))
+    return ("WITH" + ",".join(_sql_bpe_blocks(merge_last=False))
+            + f"\n    SELECT CAST(rnk AS INT) AS rnk, lhs, rhs, pair_count"
+              f" FROM (\n{unions})")
+
+
+def _sql_bpe_apply() -> str:
+    """Oracle for tokenizer application: the same unrolled trainer,
+    this time keeping the final merged sequences (seq{R+1}), joined
+    against per-(source, word) counts for the corpus-level rollup."""
+    final = f"seq{BPE_ROUNDS + 1}"
+    return ("WITH" + ",".join(_sql_bpe_blocks(merge_last=True)) + f""",
+    srcw AS (
+      SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z]+'),
+              x -> x <> '')) AS w FROM documents)
+      GROUP BY source, w)
+    SELECT s.source,
+           CAST(SUM(s.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(s.cnt * length(s.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(s.cnt * len(f.syms)) AS BIGINT) AS n_subwords,
+           CAST(CAST(SUM(s.cnt * len(f.syms)) AS DOUBLE)
+                / SUM(s.cnt) AS DOUBLE) AS subwords_per_word,
+           CAST(CAST(SUM(s.cnt * len(f.syms)) AS DOUBLE)
+                / SUM(s.cnt * (length(s.word) + 1)) AS DOUBLE)
+             AS compression
+    FROM srcw s JOIN {final} f ON f.word = s.word
+    GROUP BY s.source""")
+
+
+@query("bpe_train_merges", oracle=_sql_bpe_train())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-table trainer (Sennrich et al. 2016, 'Neural
+    Machine Translation of Rare Words with Subword Units'): {R} rounds
+    of count-adjacent-pairs → take the most frequent (count desc,
+    pair asc tie-break) → greedy-left merge it across the corpus.
+    ``bpe_pair_counts`` is one iteration's count table; this is the
+    loop, emitting the learned merge rules (rank, lhs, rhs, count).
+
+    The count→merge loop runs over the DISTINCT-WORD table with
+    frequencies, not token instances — Heaps'-law sublinear in corpus
+    size, the same reduction every production BPE trainer makes. Each
+    round is one codegen pair-count aggregation plus a 1-row driver
+    collect (the argmax — bounded, the same pattern as the k-means and
+    connected-components driver loops), then an array-fold rewrite of
+    the word sequences, checkpointed per round to cap lineage. The
+    fold is an interpreted HOF, but over vocabulary-sized data (~10⁶
+    rows at 100 TB, not 10¹²) that is the right trade; pair counting —
+    the corpus-proportional step — stays whole-stage-codegen.
+
+    Greedy-left fold semantics ≡ the oracle's positional formulation:
+    for lhs≠rhs occurrences cannot overlap (an overlap at i, i+1 would
+    need syms[i+1] = lhs = rhs); for lhs=rhs a run of k identical
+    symbols merges ⌊k/2⌋ times from the left — the fold does this by
+    construction, the SQL by even-offset starts within candidate
+    islands."""
+    merges, _seq = _bpe_learn(spark, sf_dir, merge_last=False)
+    return spark.createDataFrame(
+        merges, schema="rnk int, lhs string, rhs string, pair_count bigint")
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, merge_last: bool,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The trainer loop shared by bpe_train_merges (wants the merge
+    table) and bpe_apply_vocab (wants the final segmented sequences):
+    returns (merges, seq) where seq is (word, cnt, syms) after applying
+    rounds 1..R-1 — or all R when ``merge_last``."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        fan_out(docs)
+        .select(F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                                   lambda x: x != "")).alias("word"))
+        .groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    seq = words.select(
+        "word", "cnt",
+        F.concat(F.filter(F.split("word", ""), lambda x: x != ""),
+                 F.array(F.lit("</w>"))).alias("syms"))
+    pairs_arr = F.expr(
+        "CASE WHEN size(syms) < 2 THEN "
+        "       CAST(array() AS array<struct<a string, b string>>) "
+        "ELSE transform(sequence(1, size(syms) - 1), "
+        "       i -> struct(element_at(syms, i) AS a, "
+        "                   element_at(syms, i + 1) AS b)) END")
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            seq.select("cnt", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r, a, b, c))
+        if r == BPE_ROUNDS and not merge_last:
+            break
+        merged = a + b
+        new_syms = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(merged))))
+            .otherwise(F.concat(acc, F.array(x))))
+        seq = (seq.select("word", "cnt", new_syms.alias("syms"))
+               .localCheckpoint(eager=False))
+    return merges, seq
+
+
+@query("bpe_apply_vocab", oracle=_sql_bpe_apply())
+def bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: run the learned {R}-merge BPE over the
+    corpus and report, per source, how well the shared vocabulary
+    compresses it — words, characters, resulting subword count,
+    subwords-per-word, and compression vs the unmerged char+marker
+    baseline. This is the acceptance metric for a tokenizer trained on
+    a mixed corpus (a source with poor compression is paying more
+    sequence length per word than the mix it was trained with).
+
+    Segmentation lives on the distinct-word table (vocabulary-sized);
+    the per-source rollup joins word→n_subwords back to per-(source,
+    word) counts — the corpus-proportional side carries only counts,
+    never symbol arrays. One extra join + aggregation over the
+    trainer's cost."""
+    _merges, seq = _bpe_learn(spark, sf_dir, merge_last=True)
+    docs = load_table(spark, sf_dir, "documents")
+    srcw = (
+        fan_out(docs)
+        .select("source",
+                F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                                   lambda x: x != "")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    joined = srcw.join(seq.select("word", F.size("syms").alias("n_syms")),
+                       "word")
+    return (
+        joined.groupBy("source")
+        .agg(F.sum("cnt").cast("bigint").alias("n_words"),
+             F.sum(F.col("cnt") * F.length("word")).cast("bigint")
+             .alias("n_chars"),
+             F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint")
+             .alias("n_subwords"),
+             (F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+              / F.sum("cnt")).alias("subwords_per_word"),
+             (F.sum(F.col("cnt") * F.col("n_syms")).cast("double")
+              / F.sum(F.col("cnt") * (F.length("word") + 1)))
+             .alias("compression"))
+    )

@@ -330,3 +330,40 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+
+
+@pytest.mark.parametrize("name, budget", [
+    ("gopher_quality_rules", 0),  # pure single-scan array expressions
+    ("vocab_oov_rate", 2),       # word counts + per-source agg; the
+                                 # vocabulary membership probe is a
+                                 # broadcast join, never a shuffle
+    ("ngram_novelty", 2),        # window df agg + per-doc rollup; the
+                                 # df join rides the window hash key
+    ("minhash_search_topk", 4),  # band agg + candidate equi-join +
+                                 # Jaccard re-score agg + top-k window;
+                                 # candidates are per-bucket, never QxC
+    ("hard_negatives", 6),       # norms agg + two side builds + dot agg
+                                 # + top-k window; query side broadcast
+    ("pq_codes", 5),             # seed window + subspace fan-out + dist
+                                 # agg + argmin window + code collect
+    ("pq_adc_topk", 3),          # dist agg reused via checkpoint; ADC is
+                                 # a broadcast (m, code) join + sum
+    ("dedup_keep_report", 4),    # CC loop's edge/label machinery + one
+                                 # source rollup; keep test is a
+                                 # predicate, not a join
+    ("quality_funnel", 4),       # three stage verdicts (0/0/2 wide) +
+                                 # doc_id joins + source agg
+    ("bpe_apply_vocab", 3),      # word counts + per-(source, word)
+                                 # counts + rollup; segmentation join is
+                                 # vocabulary-sized
+])
+def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-5 operators: same discipline — an extra Exchange in any
+    of these plans is a scale regression even with correct results.
+    All are also CartesianProduct-free (asserted — the PQ/ANN tier
+    must never degenerate to all-pairs)."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name

@@ -296,3 +296,150 @@ def test_minhash_search_finds_verbatim_copy(spark):
     top = {(r["qid"], r["rnk"]): r for r in hits}
     assert top[(0, 1)]["cid"] == SEARCH_MOD and top[(0, 1)]["jaccard"] == 1.0
     assert top[(SEARCH_MOD, 1)]["cid"] == 0 and top[(SEARCH_MOD, 1)]["jaccard"] == 1.0
+
+
+# --- batch-3 round-5 operators --------------------------------------------
+
+def test_pq_codes_shape_and_seed_exactness(spark, sf_dir):
+    """Codes are M ints in [0, K); reconstruction error is nonnegative;
+    and every SEED vector reconstructs itself exactly (its subvectors
+    ARE sub-centroids), pinning the argmin + tie-break."""
+    from mit_mapreduce_spark.operators.similarity import (
+        PQ_K, PQ_M, pq_codes,
+    )
+    from mit_mapreduce_spark.catalog import load_table
+
+    rows = pq_codes(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
+        assert r["recon_scaled"] >= 0
+    seeds = [r["vec_id"] for r in
+             load_table(spark, sf_dir, "embeddings")
+             .where(F.col("vec_id") % 7 == 0)
+             .orderBy("vec_id").limit(PQ_K).collect()]
+    by_id = {r["vec_id"]: r for r in rows}
+    for vid in seeds:
+        assert by_id[vid]["recon_scaled"] == 0, (vid, by_id[vid])
+
+
+def test_pq_adc_ranks_are_dense_and_self_free(spark, sf_dir):
+    from mit_mapreduce_spark.operators.similarity import pq_adc_topk
+
+    rows = pq_adc_topk(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["cid"] != r["qid"]
+        assert r["adc_scaled"] >= 0
+        per_q.setdefault(r["qid"], []).append(r["adc_scaled"])
+    for q, ds in per_q.items():
+        assert ds == sorted(ds), f"rank order broken for query {q}"
+
+
+def test_bpe_trainer_exact_on_crafted_corpus(spark):
+    """Hand-computable BPE: corpus = 'aaab' x3. Round 1 best is (a,a)
+    with naive count 6 (overlaps counted, Sennrich-style); greedy-left
+    merge gives [aa,a,b,</w>]; ties thereafter break lexicographically:
+    (a,b) over (aa,a) in round 2, then (aa,ab), then (aaab,</w>)."""
+    from mit_mapreduce_spark.operators.textstats import bpe_train_merges
+    import tempfile, os as _os
+
+    rows = [(1, "aaab aaab aaab")]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        got = [(r["rnk"], r["lhs"], r["rhs"], r["pair_count"])
+               for r in bpe_train_merges(spark, td).collect()]
+    assert sorted(got) == [
+        (1, "a", "a", 6),
+        (2, "a", "b", 3),
+        (3, "aa", "ab", 3),
+        (4, "aaab", "</w>", 3),
+    ], got
+
+
+def test_bpe_best_counts_nonincreasing(spark, sf_dir):
+    """Any pair present after a merge either pre-existed (count can
+    only drop) or was created by it (count ≤ merges ≤ best count), so
+    the learned merge table's counts are non-increasing in rank."""
+    from mit_mapreduce_spark.operators.textstats import bpe_train_merges
+
+    rows = sorted(bpe_train_merges(spark, sf_dir).collect(),
+                  key=lambda r: r["rnk"])
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["pair_count"] >= b["pair_count"]
+
+
+def test_keep_report_accounting(spark, sf_dir):
+    """n_kept + n_removed = n_docs per source; global kept count equals
+    the number of distinct clusters (exactly one survivor each); token
+    accounting bounded."""
+    from mit_mapreduce_spark.operators.dedup import (
+        dedup_clusters, dedup_keep_report,
+    )
+
+    rows = dedup_keep_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] + r["n_removed"] == r["n_docs"]
+        assert 0 <= r["tokens_kept"] <= r["tokens_total"]
+        assert 0.0 <= r["kept_frac"] <= 1.0
+    total_kept = sum(r["n_kept"] for r in rows)
+    n_clusters = (dedup_clusters(spark, sf_dir)
+                  .select("cluster_id").distinct().count())
+    assert total_kept == n_clusters
+
+
+def test_bpe_apply_accounting(spark, sf_dir):
+    """Subword counts are bounded by the unmerged baseline (chars +
+    end-marker per word) from below by n_words (a word is >= 1
+    subword), and compression is consistent with the raw sums."""
+    from mit_mapreduce_spark.operators.textstats import bpe_apply_vocab
+
+    rows = bpe_apply_vocab(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_subwords"] <= r["n_chars"] + r["n_words"]
+        assert abs(r["subwords_per_word"]
+                   - r["n_subwords"] / r["n_words"]) < 1e-9
+        assert abs(r["compression"]
+                   - r["n_subwords"] / (r["n_chars"] + r["n_words"])) < 1e-9
+        assert r["compression"] <= 1.0
+
+
+def test_quality_funnel_stage_attribution(spark):
+    """Each crafted doc dies at exactly the intended stage: B at
+    Gopher (word floor), C at repetition (one bigram looped), D at the
+    LM cut (all-unique bigrams = gibberish signal); A and its verbatim
+    twin A2 survive everything (the twin keeps A's bigrams df=2 so
+    neither is 'novel')."""
+    from mit_mapreduce_spark.operators.curation import quality_funnel
+    import tempfile, os as _os
+
+    good = ("the quick brown fox jumps over a lazy dog and then walks "
+            "down to the long river with all of his friends in tow "
+            "while the keeper counts every move so that nothing goes "
+            "missing from the tally kept beside the gate by careful "
+            "hands that never tire of this important work at all")
+    rep = ("the band with all of them played on and on "
+           + "golden river " * 30)
+    gib = ("the a " + " ".join(
+        f"zx{c1}{c2}word" for c1 in "abcdef" for c2 in "ghijklmn")
+        + " with more items like these unusual tokens appearing once")
+    rows = [(1, good, "sA"), (2, good, "sA"),
+            (3, "far too short", "sB"), (4, rep, "sC"), (5, gib, "sD")]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string, source string")
+         .withColumn("lang", F.lit("en"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        out = {r["source"]: r for r in quality_funnel(spark, td).collect()}
+    assert out["sA"]["n_pass"] == 2 and out["sA"]["pass_rate"] == 1.0
+    assert out["sB"]["n_fail_gopher"] == 1 and out["sB"]["n_pass"] == 0
+    assert out["sC"]["n_fail_repetition"] == 1 and out["sC"]["n_pass"] == 0
+    assert out["sD"]["n_fail_lm"] == 1 and out["sD"]["n_pass"] == 0
