@@ -1177,3 +1177,64 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("adc_scaled").cast("bigint").alias("adc_scaled"),
                 (F.col("adc_scaled").cast("double") / SCALE).alias("adc_dist"))
     )
+
+
+# --- ANN recall evaluation -------------------------------------------------
+
+def _sql_recall() -> str:
+    """Composed oracle: the exact, IVF, and PQ-ADC top-k oracles as
+    CTEs (verbatim reuse from the registry — one definition each),
+    joined into per-(method, query) hit counts."""
+    from mit_mapreduce_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH exact AS ({ORACLES['ann_bruteforce_topk']}),
+    ivf AS ({ORACLES['ann_ivf_topk']}),
+    adc AS ({ORACLES['pq_adc_topk']}),
+    hits AS (
+      SELECT 'ivf' AS method, e.qid, COUNT(i.cid) AS n_hits
+      FROM exact e LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid
+      GROUP BY e.qid
+      UNION ALL
+      SELECT 'pq_adc' AS method, e.qid, COUNT(a.cid) AS n_hits
+      FROM exact e LEFT JOIN adc a ON a.qid = e.qid AND a.cid = e.cid
+      GROUP BY e.qid)
+    SELECT method, qid, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM hits
+    """
+
+
+@query("ann_recall_report", oracle=_sql_recall())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN eval harness: recall@{k} of each approximate index (IVF
+    probe search, PQ asymmetric-distance search) against the exact
+    brute-force top-k, per query — the number an index owner watches
+    when trading probe width / codebook size against cost. Keeping the
+    eval IN the engine (same scan, same exact-arithmetic contract)
+    is what makes it trustworthy: ground truth and candidates come
+    from the same data, not an offline snapshot.
+
+    Cost is the three component searches (each already scale-audited)
+    plus two query-set-sized joins — the report itself touches only
+    top-k rows. At 100 TB the exact leg runs over a sampled query set
+    (it already is: the bounded broadcast query set), so recall is
+    estimated exactly the way production ANN evals do it."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select("qid", "cid")
+    legs = [
+        ("ivf", ann_ivf_topk(spark, sf_dir).select("qid", "cid")),
+        ("pq_adc", pq_adc_topk(spark, sf_dir).select("qid", "cid")),
+    ]
+    outs = []
+    for name, cand in legs:
+        outs.append(
+            exact.join(cand.withColumn("_hit", F.lit(1)), ["qid", "cid"],
+                       "left")
+            .groupBy("qid")
+            .agg(F.count("_hit").alias("n_hits"))
+            .select(F.lit(name).alias("method"), "qid",
+                    F.col("n_hits").cast("bigint").alias("n_hits"),
+                    (F.col("n_hits").cast("double") / TOP_K)
+                    .alias("recall_at_k"))
+        )
+    return outs[0].unionByName(outs[1])

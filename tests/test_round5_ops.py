@@ -443,3 +443,23 @@ def test_quality_funnel_stage_attribution(spark):
     assert out["sB"]["n_fail_gopher"] == 1 and out["sB"]["n_pass"] == 0
     assert out["sC"]["n_fail_repetition"] == 1 and out["sC"]["n_pass"] == 0
     assert out["sD"]["n_fail_lm"] == 1 and out["sD"]["n_pass"] == 0
+
+
+def test_ann_recall_report_bounds(spark, sf_dir):
+    """Both methods report one row per query; recall is in [0,1] and
+    consistent with its hit count; IVF (which re-scores exact cosines
+    over probed cells) should not be beaten by the 12-bit PQ code
+    path on average — if it is, a wiring bug swapped the legs."""
+    from mit_mapreduce_spark.operators.similarity import (
+        N_QUERIES, TOP_K, ann_recall_report,
+    )
+
+    rows = ann_recall_report(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-12
+        per.setdefault(r["method"], []).append(r["n_hits"])
+    assert set(per) == {"ivf", "pq_adc"}
+    assert len(per["ivf"]) == N_QUERIES == len(per["pq_adc"])
+    assert sum(per["ivf"]) >= sum(per["pq_adc"])
