@@ -19,7 +19,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -292,3 +292,67 @@ def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+# --- Z-order clustered layout ---------------------------------------------
+
+_Z_BITS = 16   # bits per dimension -> 32-bit interleaved key
+
+
+def zorder_key(a: Column, b: Column,
+               a_min: int, a_max: int, b_min: int, b_max: int) -> Column:
+    """Morton (Z-order) key of two numeric columns: each value is
+    min-max scaled to {bits} bits, then the bits are interleaved
+    (a odd positions, b even). Built as an UNROLLED OR-chain of
+    shiftleft/and expressions — whole-stage codegen, no HOF lambda,
+    ~1 ns/row, because this runs on every row of a table rewrite.
+
+    Rows close in BOTH dimensions land close in key order, so sorting
+    by this key gives every output file a tight min/max envelope in
+    BOTH columns at once — which is what makes two-predicate scans
+    prunable from footer stats alone (see zorder_write)."""
+    def scale(c: Column, lo: int, hi: int) -> Column:
+        span = max(hi - lo, 1)
+        scaled = ((c.cast("bigint") - F.lit(lo)) * ((1 << _Z_BITS) - 1)
+                  / F.lit(span)).cast("bigint")
+        return F.greatest(F.lit(0),
+                          F.least(F.lit((1 << _Z_BITS) - 1), scaled))
+    sa, sb = scale(a, a_min, a_max), scale(b, b_min, b_max)
+    # disjoint bit positions, so + is the OR (Column `|` is boolean)
+    key = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        key = (key
+               + F.shiftleft(F.shiftright(sa, i).bitwiseAND(1), 2 * i + 1)
+               + F.shiftleft(F.shiftright(sb, i).bitwiseAND(1), 2 * i))
+    return key
+
+
+def zorder_write(df: DataFrame, out_dir: str, col_a: str, col_b: str,
+                 n_files: int = 8) -> None:
+    """Rewrite ``df`` as parquet clustered on the Z-order of two
+    columns: range-partition by the Morton key (equal-frequency file
+    boundaries via Spark's range sampler), sort within each file, drop
+    the key. Parquet footers then carry tight min/max stats for BOTH
+    columns per file, so a reader filtering on either — or both —
+    prunes whole files instead of scanning them.
+
+    This is the lakehouse data-layout move (Delta/Iceberg OPTIMIZE
+    ZORDER BY) expressed with stock Spark: at 100 TB it is a one-time
+    (or compaction-time) rewrite that turns two-dimensional point/range
+    queries from full scans into a handful of file reads. The min/max
+    bounds for scaling are taken from the frame itself in one cheap
+    agg pass — on parquet input that aggregation is satisfiable from
+    footer metadata (see test_parquet_aggregate_pushdown)."""
+    bounds = df.agg(
+        F.min(col_a).cast("bigint").alias("a_lo"),
+        F.max(col_a).cast("bigint").alias("a_hi"),
+        F.min(col_b).cast("bigint").alias("b_lo"),
+        F.max(col_b).cast("bigint").alias("b_hi")).collect()[0]
+    key = zorder_key(F.col(col_a), F.col(col_b),
+                     int(bounds.a_lo), int(bounds.a_hi),
+                     int(bounds.b_lo), int(bounds.b_hi))
+    (df.withColumn("_zkey", key)
+     .repartitionByRange(n_files, "_zkey")
+     .sortWithinPartitions("_zkey")
+     .drop("_zkey")
+     .write.mode("overwrite").parquet(out_dir))
