@@ -1238,3 +1238,128 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_at_k"))
         )
     return outs[0].unionByName(outs[1])
+
+
+# --- semantic topic summaries ---------------------------------------------
+
+TOPIC_TOP_TERMS = 3
+
+_SQL_TOPIC_TOKS = ("list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), "
+                   "x -> x <> '')")
+
+
+@query(
+    "semantic_topics",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 7 = 0
+      ORDER BY vec_id LIMIT {N_CELLS}),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id),
+    adots AS (
+      SELECT e.vec_id, c.cent_id,
+             {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
+      FROM embeddings e, cents c,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY e.vec_id, c.cent_id),
+    ascored AS (
+      SELECT d.vec_id, d.cent_id,
+             CAST(row_number() OVER (PARTITION BY d.vec_id
+                  ORDER BY CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(ne.nsq AS DOUBLE))
+                       * sqrt(CAST(nc.nsq AS DOUBLE))) DESC,
+                  d.cent_id) AS INT) AS arnk
+      FROM adots d
+      JOIN norms ne ON ne.vec_id = d.vec_id
+      JOIN norms nc ON nc.vec_id = d.cent_id),
+    assign AS (SELECT vec_id, cent_id FROM ascored WHERE arnk = 1),
+    toks AS (
+      SELECT doc_id, unnest({_SQL_TOPIC_TOKS}) AS term FROM documents),
+    cellterm AS (
+      SELECT a.cent_id, t.term, COUNT(*) AS cell_cnt
+      FROM toks t JOIN assign a ON a.vec_id = t.doc_id
+      GROUP BY a.cent_id, t.term),
+    celltot AS (
+      SELECT cent_id, SUM(cell_cnt) AS cell_total
+      FROM cellterm GROUP BY cent_id),
+    corpterm AS (SELECT term, COUNT(*) AS corp_cnt FROM toks GROUP BY term),
+    corptot AS (SELECT COUNT(*) AS corp_total FROM toks),
+    scored AS (
+      SELECT ct.cent_id, ct.term, ct.cell_cnt,
+             (CAST(ct.cell_cnt AS DOUBLE) / CAST(tt.cell_total AS DOUBLE))
+               / (CAST(cp.corp_cnt AS DOUBLE)
+                  / CAST((SELECT corp_total FROM corptot) AS DOUBLE)) AS lift
+      FROM cellterm ct
+      JOIN celltot tt USING (cent_id)
+      JOIN corpterm cp USING (term))
+    SELECT cent_id, term,
+           CAST(cell_cnt AS BIGINT) AS cell_cnt,
+           CAST(lift AS DOUBLE) AS lift,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY cent_id
+               ORDER BY lift DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {TOPIC_TOP_TERMS}
+    """,
+)
+def semantic_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic corpus organization: assign every document to its
+    embedding cell (the IVF coarse quantizer — vec_id aligns with
+    doc_id in this corpus) and label each cell with its {top} most
+    DISTINCTIVE terms by lift (cell term share ÷ corpus term share) —
+    the embedding⋈text join behind 'what is this cluster about'
+    summaries of a training mix.
+
+    The assignment pass is the audited IVF broadcast (C centroids
+    against the vector scan); term counting is one explode +
+    map-side-combined aggregation; lift needs only the |cells|-row
+    totals and the term table — the per-cell top-k is a window over
+    the (cells × vocabulary)-bounded scored relation, never the
+    corpus. All divisions are pinned-order IEEE doubles over exact
+    integer counts, so the report is fully hash-gated."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(raw)
+    cents = (
+        raw.where(F.col("vec_id") % 7 == 0)
+        .orderBy("vec_id").limit(N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+    assign = _assignments(emb, cents)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select(F.col("doc_id"),
+                F.explode(F.filter(F.split("text", r"[^\p{L}]+"),
+                                   lambda x: x != "")).alias("term"))
+        .localCheckpoint(eager=False)
+    )
+    cellterm = (
+        toks.join(assign.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .groupBy("cent_id", "term").agg(F.count("*").alias("cell_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    celltot = cellterm.groupBy("cent_id").agg(
+        F.sum("cell_cnt").alias("cell_total"))
+    corpterm = toks.groupBy("term").agg(F.count("*").alias("corp_cnt"))
+    corp_total = toks.count()
+    scored = (
+        cellterm.join(F.broadcast(celltot), "cent_id")
+        .join(corpterm, "term")
+        .select(
+            "cent_id", "term", "cell_cnt",
+            ((F.col("cell_cnt").cast("double")
+              / F.col("cell_total").cast("double"))
+             / (F.col("corp_cnt").cast("double")
+                / F.lit(float(corp_total)))).alias("lift"))
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.col("lift").desc(), "term")
+    return (
+        scored.select("cent_id", "term",
+                      F.col("cell_cnt").cast("bigint").alias("cell_cnt"),
+                      F.col("lift").cast("double").alias("lift"),
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= TOPIC_TOP_TERMS)
+    )

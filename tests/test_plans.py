@@ -356,6 +356,9 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
     ("bpe_apply_vocab", 3),      # word counts + per-(source, word)
                                  # counts + rollup; segmentation join is
                                  # vocabulary-sized
+    ("semantic_topics", 3),      # cell assignment + cell-term agg +
+                                 # corpus-term agg; cell totals ride a
+                                 # broadcast, top-k is a bounded window
 ])
 def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-5 operators: same discipline — an extra Exchange in any

@@ -463,3 +463,27 @@ def test_ann_recall_report_bounds(spark, sf_dir):
     assert set(per) == {"ivf", "pq_adc"}
     assert len(per["ivf"]) == N_QUERIES == len(per["pq_adc"])
     assert sum(per["ivf"]) >= sum(per["pq_adc"])
+
+
+def test_semantic_topics_shape(spark, sf_dir):
+    """Every cell reports exactly top-k dense-ranked terms; lift is
+    positive and rank order within a cell is by descending lift with
+    the term tie-break."""
+    from mit_mapreduce_spark.operators.similarity import (
+        TOPIC_TOP_TERMS, semantic_topics,
+    )
+
+    rows = semantic_topics(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r["lift"] > 0
+        assert r["cell_cnt"] >= 1
+        per.setdefault(r["cent_id"], []).append((r["rnk"], r["lift"], r["term"]))
+    for cid, entries in per.items():
+        entries.sort()
+        assert [e[0] for e in entries] == list(
+            range(1, len(entries) + 1))
+        assert len(entries) <= TOPIC_TOP_TERMS
+        for (r1, l1, t1), (r2, l2, t2) in zip(entries, entries[1:]):
+            assert l1 > l2 or (l1 == l2 and t1 < t2)
