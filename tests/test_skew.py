@@ -150,3 +150,20 @@ def test_aqe_skew_join_split_fires(spark, skew_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """The static shuffle-partition count is a memory CAP, not a
+    fragmentation sentence: a small post-shuffle dataset must be
+    coalesced by AQE into far fewer partitions at runtime (the 100 TB
+    posture in reverse — the same config serves huge and tiny stages
+    because AQE right-sizes after seeing actual map output)."""
+    from mit_mapreduce_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = (load_table(spark, sf_dir, "nation")
+          .groupBy("n_regionkey").agg(F.count("*").alias("n")))
+    rows = df.collect()
+    assert len(rows) == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
