@@ -1,0 +1,61 @@
+"""Randomized differential fuzz: adversarial crafted corpora (unicode
+letters, empty docs, whitespace-only docs, 40-char words, tabs,
+apostrophes) through the REAL oracle gate — the live check for
+SURVEY §7.4 risk #2 (tokenization parity `\\p{L}` vs DuckDB's regex
+engine). Seeded, so failures reproduce."""
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mit_mapreduce_spark import operators
+from mit_mapreduce_spark.testing import compare
+
+operators.load_all()
+
+_ALPH = ["the", "a", "of", "and", "fox", "données", "müller", "中文",
+         "Ωmega", "x" * 40, "don't", "e-mail", "123", "..", " ",
+         "tab\tsep"]
+_OPS = ["doc_stats", "token_counts", "fingerprint", "quality_repetition",
+        "ngram_novelty", "vocab_oov_rate", "lang_id", "dedup_exact_norm"]
+
+
+def _write_corpus(td: str, rng: random.Random) -> None:
+    rows = []
+    for i in range(rng.randint(3, 12)):
+        kind = rng.random()
+        if kind < 0.1:
+            text = ""
+        elif kind < 0.2:
+            text = "   \t\n  "
+        else:
+            text = " ".join(rng.choice(_ALPH)
+                            for _ in range(rng.randint(1, 120)))
+        rows.append((i, text, rng.choice(["s1", "s2"]),
+                     rng.choice(["en", "de"])))
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+
+
+def test_differential_fuzz_text_ops(spark, tmp_path):
+    rng = random.Random(42)
+    for trial in range(3):
+        td = str(tmp_path / f"t{trial}")
+        os.makedirs(td)
+        _write_corpus(td, rng)
+        for op in _OPS:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial} {op}: {msg}"
