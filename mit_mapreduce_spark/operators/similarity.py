@@ -59,7 +59,8 @@ _SQL_DOT = ("SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     dots AS (
       SELECT q.qid, c.vec_id AS cid,
              {_SQL_DOT.format(a='q.qe', b='c.embedding')} AS dot
@@ -87,7 +88,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, one pass, per-query row_number for the top-5."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     norms = emb.select(
-        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq")).where(F.col("nsq") > 0)
     q = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
@@ -166,7 +167,8 @@ def _sql_lsh_pairs() -> str:
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     cand AS (
       SELECT ba.vec_id AS vec_a, bb.vec_id AS vec_b, ba.bucket
       FROM buckets ba JOIN buckets bb
@@ -232,7 +234,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is the vector table itself, the natural thing to persist.
     vecs = emb.select(
         F.col("vec_id"), F.col("embedding"), bucket.alias("bucket"),
-        nsq.alias("nsq")).localCheckpoint(eager=False)
+        nsq.alias("nsq")).where(F.col("nsq") > 0).localCheckpoint(eager=False)
     a = vecs.alias("a")
     b = vecs.alias("b")
     dot = _dot_scaled(F.col("a.embedding"), F.col("b.embedding"))
@@ -274,7 +276,7 @@ def _ranked_assignments(
     _ivf_pipeline, _assignments, and the k-means trainer (ADVICE r4:
     two verbatim copies could silently diverge)."""
     norms = emb.select(
-        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq")).where(F.col("nsq") > 0)
     # assignment: every vector × C broadcast centroids, codegen dots
     adots = (
         emb.crossJoin(F.broadcast(cents))
@@ -291,7 +293,7 @@ def _ranked_assignments(
     # Centroid norms: computed from the C centroid vectors themselves
     # (N_CELLS rows), never a broadcast of the full norms table.
     nc = cents.select(
-        "cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq"))
+        "cent_id", _dot_scaled(F.col("ce"), F.col("ce")).alias("cnsq")).where(F.col("cnsq") > 0)
     ascored = (
         adots.join(norms, "vec_id").join(F.broadcast(nc), "cent_id")
         .select("vec_id", "cent_id",
@@ -422,7 +424,8 @@ def train_centroids(spark: SparkSession, sf_dir: str,
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     adots AS (
       SELECT e.vec_id, c.cent_id,
              {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
@@ -512,7 +515,8 @@ NEARDUP_TAU = 0.35
       SELECT vec_id, label,
              {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id, label),
+      GROUP BY vec_id, label
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
              {_SQL_DOT.format(a='a.embedding', b='b.embedding')} AS dot
@@ -546,7 +550,7 @@ def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     norms = emb.select(
         "vec_id",
-        _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+        _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq")).where(F.col("nsq") > 0)
     a = emb.alias("a")
     b = emb.alias("b")
     # The pair dot-product is the hot loop (blocks² pairs × DIM terms):
@@ -706,7 +710,8 @@ SEM_TAU = 0.3     # cosine-to-representative at/above which a vector is a dup
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     adots AS (
       SELECT e.vec_id, c.cent_id,
              {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
@@ -820,7 +825,8 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     adots AS (
       SELECT e.vec_id, c.cent_id,
              {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot
@@ -903,7 +909,8 @@ HN_TOP_K = 5
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     dots AS (
       SELECT q.qid, c.vec_id AS cid, c.label AS clab,
              {_SQL_DOT.format(a='q.qe', b='c.embedding')} AS dot
@@ -942,7 +949,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     norms = emb.select(
-        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq"))
+        "vec_id", _dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq")).where(F.col("nsq") > 0)
     q = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
@@ -1258,7 +1265,8 @@ _SQL_TOPIC_TOKS = ("list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), "
     norms AS (
       SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
       FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
-      GROUP BY vec_id),
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
     adots AS (
       SELECT e.vec_id, c.cent_id,
              {_SQL_DOT.format(a='e.embedding', b='c.ce')} AS dot

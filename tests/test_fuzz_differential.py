@@ -59,3 +59,45 @@ def test_differential_fuzz_text_ops(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial} {op}: {msg}"
+
+
+def test_zero_norm_and_duplicate_vectors(spark, tmp_path):
+    """Degenerate embeddings — an all-zero vector (undefined cosine;
+    crashed three operators with DIVIDE_BY_ZERO under ANSI mode before
+    the zero-norm exclusion) and an exact duplicate vector (cosine 1
+    ties) — through the live oracle gate for the whole cosine tier.
+    Zero-norm vectors are EXCLUDED from cosine scoring on both engines
+    (norms HAVING <> 0 / .where(nsq > 0)); PQ/quantize keep them (L2
+    is defined at zero)."""
+    import pyarrow as pa
+
+    rng = random.Random(7)
+    dim = 64
+    vecs = []
+    for i in range(40):
+        if i == 3:
+            v = [0.0] * dim
+        elif i == 9:
+            v = vecs[2][1][:]
+        else:
+            v = [round(rng.uniform(-0.5, 0.5), 4) for _ in range(dim)]
+        vecs.append((i, v))
+    td = str(tmp_path / "emb")
+    os.makedirs(td)
+    tab = pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([v[0] % 4 for v in vecs], pa.int32()),
+    })
+    pq.write_table(tab, os.path.join(td, "embeddings.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["ann_bruteforce_topk", "pq_codes", "pq_adc_topk",
+               "hard_negatives", "ann_lsh_pairs", "kmeans_update_step",
+               "ann_ivf_topk", "embed_neardup_blocked",
+               "semantic_dedup_cells"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
