@@ -101,3 +101,89 @@ def test_zero_norm_and_duplicate_vectors(spark, tmp_path):
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
+
+
+def test_events_edge_cases(spark, tmp_path):
+    """Adversarial events through the oracle gate: six simultaneous
+    same-type events (OHLC open/close selector ties — broken by
+    event_id on both engines), pre-1970 timestamps (negative epoch;
+    the r4 advice fix), single-event users (degenerate sessions), and
+    a sparse long-range spine for gapfill."""
+    import datetime
+    import pyarrow as pa
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    tie_ts = base + datetime.timedelta(hours=2, minutes=3)
+    for _ in range(6):
+        rows.append((eid, tie_ts, 5, "click",
+                     round(rng.uniform(1, 100), 2), '{"k": 1}')); eid += 1
+    for k in range(4):
+        rows.append((eid, datetime.datetime(1969, 12, 31, 23, 30)
+                     + datetime.timedelta(minutes=k * 7), 7, "purchase",
+                     round(rng.uniform(1, 50), 2), '{"k": 2}')); eid += 1
+    for u in (20, 21, 22):
+        rows.append((eid, base + datetime.timedelta(hours=u), u,
+                     "signup", 10.0, '{"k": 3}')); eid += 1
+    for _ in range(120):
+        rows.append((eid, base + datetime.timedelta(
+            minutes=rng.randint(0, 60 * 50)), rng.randint(1, 9),
+            rng.choice(["click", "purchase", "signup", "error"]),
+            round(rng.uniform(1, 200), 2),
+            f'{{"k": {rng.randint(0, 99)}}}')); eid += 1
+    td = str(tmp_path / "ev")
+    os.makedirs(td)
+    tab = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(td, "events.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["sessionize", "tumbling_hourly", "ohlc_hourly",
+               "locf_fill", "anomaly_events", "retention_cohorts",
+               "funnel_conversion", "snapshot_latest", "json_props",
+               "map_event_profile"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
+
+
+def test_null_join_keys(spark, tmp_path):
+    """NULL-injected join keys (5% NULL o_custkey, some NULL
+    l_suppkey) through representative join/agg/window oracles — the
+    ANSI NULL semantics parity check: equi-joins drop NULL keys, outer
+    joins preserve the row, GROUP BY treats NULL as a group, on BOTH
+    engines identically."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    td = str(tmp_path / "nulls")
+    os.makedirs(td)
+    con = duckdb.connect()
+    con.sql(f"""COPY (SELECT * REPLACE (CASE WHEN o_orderkey % 19 = 0
+                THEN NULL ELSE o_custkey END AS o_custkey)
+                FROM '{src}/orders.parquet')
+                TO '{td}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (SELECT * REPLACE (CASE WHEN l_orderkey % 23 = 0
+                THEN NULL ELSE l_suppkey END AS l_suppkey)
+                FROM '{src}/lineitem.parquet')
+                TO '{td}/lineitem.parquet' (FORMAT PARQUET)""")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", os.path.join(td, f"{t}.parquet"))
+    for op in ["join_broadcast_revenue", "join_left_order_counts",
+               "join_full_outer_daily", "join_semi_big_spenders",
+               "join_anti_no_big_order", "custdist_order_counts",
+               "agg_rollup", "window_rank_topn", "topk_orders",
+               "min_cost_supplier"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
