@@ -158,8 +158,7 @@ CHUNK_STRIDE = 30   # 10-token overlap between consecutive chunks
     WITH t AS (SELECT doc_id, {_WS_TOKS_SQL} AS toks FROM documents),
     s AS (
       SELECT doc_id, toks,
-             unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE}))
-               AS start
+             unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
       FROM t)
     SELECT doc_id,
            CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
@@ -179,8 +178,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select("doc_id", _ws_tokens().alias("toks"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE))
+    # empty docs chunk to NOTHING (fuzz find: the old greatest(n, 1)
+    # guard — needed because Spark's sequence(1, 0, k) throws on the
+    # descending direction — emitted a phantom empty chunk instead)
+    starts = F.when(F.size("toks") == 0,
+                    F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE)))
     return (
         staged.select(
             "doc_id", "toks",
@@ -661,9 +664,11 @@ _DSIR_TARGET = "src0"      # stand-in "high-quality target domain"
                        WHERE source = '{_DSIR_TARGET}') AS t_total),
     ratios AS (
       SELECT c.bucket,
-             CAST(ROUND((CAST(COALESCE(t.tc, 0) AS DOUBLE) / t_total)
+             CASE WHEN t_total = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(ROUND((CAST(COALESCE(t.tc, 0) AS DOUBLE)
+                                   / t_total)
                         / (CAST(c.sc AS DOUBLE) / s_total)
-                        * {DSIR_SCALE}) AS BIGINT) AS r_scaled
+                        * {DSIR_SCALE}) AS BIGINT) END AS r_scaled
       FROM corpus c LEFT JOIN target t USING (bucket), totals)
     SELECT f.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -724,11 +729,15 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
-            F.round((F.coalesce("tc", F.lit(0)).cast("double")
-                     / F.col("t_total").cast("double"))
-                    / (F.col("sc").cast("double")
-                       / F.col("s_total").cast("double"))
-                    * DSIR_SCALE).cast("bigint").alias("r_scaled"))
+            # empty target domain ⇒ nothing resembles it: ratio 0 (the
+            # fuzz-found ANSI DIVIDE_BY_ZERO guard, mirrored in SQL)
+            F.when(F.col("t_total") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.round((F.coalesce("tc", F.lit(0)).cast("double")
+                         / F.col("t_total").cast("double"))
+                        / (F.col("sc").cast("double")
+                           / F.col("s_total").cast("double"))
+                        * DSIR_SCALE).cast("bigint")).alias("r_scaled"))
     )
     return (
         feats.join(F.broadcast(ratios), "bucket")

@@ -890,8 +890,12 @@ def cleaned_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("starts", F.array().cast("array<int>"))
                 .alias("starts"))
     )
+    # empty docs: sequence(1, 0) is DESCENDING in Spark ([1, 0]), and
+    # element_at then faults under ANSI (fuzz find) — emit no indexes
+    idxs = F.when(F.size("arr") == 0, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), F.size("arr")))
     keptidx = F.filter(
-        F.sequence(F.lit(1), F.size("arr")),
+        idxs,
         lambda i: ~F.exists("starts",
                             lambda s: (i >= s) & (i <= s + (P_LEN - 1))))
     return clean.select(

@@ -174,8 +174,9 @@ def _sql_pipeline() -> str:
              length({_TOKS}) AS n_toks
       FROM documents
       WHERE length({_TOKS}) >= {_MIN_TOKENS}
-        AND CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+', '', 'g'))
-                 AS DOUBLE) / length(text) <= {_MAX_PUNCT}),
+        AND (CASE WHEN length(text) = 0 THEN 1.0
+             ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\s]+', '', 'g'))
+                  AS DOUBLE) / length(text) END) <= {_MAX_PUNCT}),
     kept AS (
       SELECT * FROM (
         SELECT q.*, MIN(doc_id) OVER (PARTITION BY
@@ -216,8 +217,11 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
     n_toks = F.size(toks)
-    punct_ratio = (F.length(F.regexp_replace("text", r"[\p{L}\s]+", ""))
-                   .cast("double") / F.length("text"))
+    # empty text: define ratio 1.0 (fails the ceiling) instead of 0/0
+    # — ANSI mode turns the bare division into DIVIDE_BY_ZERO (fuzz)
+    punct_ratio = F.when(F.length("text") == 0, F.lit(1.0)).otherwise(
+        F.length(F.regexp_replace("text", r"[\p{L}\s]+", ""))
+        .cast("double") / F.length("text"))
     # Metrics in a projection behind a lazy-checkpoint barrier:
     # pushdown would inline the size(filter(split)) HOF into the
     # Filter, which runs interpreted (see SCALE.md, round-4 find);

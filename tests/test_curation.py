@@ -56,9 +56,10 @@ def test_chunker_boundaries_and_overlap(spark):
     # consecutive chunks overlap by width - stride = 10 tokens
     assert c1[0].chunk_text.split()[30:] == c1[1].chunk_text.split()[:10]
     assert c1[3].chunk_text == " ".join(f"w{i}" for i in range(90, 100))
-    # short doc: exactly one (short) chunk; empty doc: one empty chunk
+    # short doc: exactly one (short) chunk; empty doc: NO chunks (the
+    # round-5 fuzz fix — the phantom empty chunk is gone)
     assert [r.n_chunk_tokens for r in by_doc[2]] == [2]
-    assert [r.n_chunk_tokens for r in by_doc[3]] == [0]
+    assert 3 not in by_doc
 
 
 def test_contamination_excludes_eval_docs_and_counts_hits(spark):

@@ -187,3 +187,55 @@ def test_null_join_keys(spark, tmp_path):
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
+
+
+def test_curation_empty_and_giant_docs(spark, tmp_path):
+    """Empty docs, one-word docs, 3000-word docs and PII-dense docs
+    through the curation oracles. This class found FOUR real bugs:
+    chunk_documents emitted a phantom empty chunk for empty docs,
+    pipeline_training_mix and importance_weights hit ANSI
+    DIVIDE_BY_ZERO (0-length text / absent target domain), and
+    remove_dup_passages faulted on Spark's descending sequence(1, 0)
+    for empty token arrays."""
+    import pyarrow as pa
+
+    rng = random.Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "mail", "to", "john",
+             "doe", "example", "com"]
+    rows = []
+    for i in range(12):
+        k = rng.random()
+        if k < 0.15:
+            text = ""
+        elif k < 0.3:
+            text = "single"
+        elif k < 0.45:
+            text = " ".join(rng.choice(words) for _ in range(3000))
+        elif k < 0.6:
+            text = ("contact john.doe@example.com or call 555-123-4567 "
+                    "ssn 123-45-6789")
+        else:
+            text = " ".join(rng.choice(words)
+                            for _ in range(rng.randint(5, 200)))
+        rows.append((i, text, rng.choice(["s1", "s2"]),
+                     rng.choice(["en", "de"])))
+    td = str(tmp_path / "cur")
+    os.makedirs(td)
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["chunk_documents", "pipeline_training_mix",
+               "importance_weights", "remove_dup_passages", "pii_redact",
+               "pack_sequences", "pipeline_pack_ready", "quality_funnel"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
