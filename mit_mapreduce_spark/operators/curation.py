@@ -996,3 +996,70 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              (n_pass.cast("double") / F.count("*")).cast("double")
              .alias("pass_rate"))
     )
+
+
+# --- deterministic dataset split ------------------------------------------
+
+SPLIT_SALT = "split#1"
+SPLIT_VAL_BPS = 100    # 1% validation
+SPLIT_TEST_BPS = 100   # 1% test; remainder = train
+
+
+def _sql_split_hash() -> str:
+    from mit_mapreduce_spark.operators.dedup import _sql_hash60
+
+    return _sql_hash60(f"'{SPLIT_SALT}' || doc_id::VARCHAR")
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_sql_split_hash()} % 10000 AS bucket,
+             CAST(len({_LTR_TOKS_SQL}) AS BIGINT) AS n_toks
+      FROM documents),
+    tagged AS (
+      SELECT source,
+             CASE WHEN bucket < {SPLIT_VAL_BPS} THEN 'val'
+                  WHEN bucket < {SPLIT_VAL_BPS + SPLIT_TEST_BPS} THEN 'test'
+                  ELSE 'train' END AS split,
+             n_toks
+      FROM h)
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY source, split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: each document's split
+    is a pure hash of (salt, doc_id) — {val}bps validation, {test}bps
+    test, remainder train — reported as per-(source, split) doc and
+    token counts. The properties that matter at 100 TB: membership is
+    a scan-fused filter (no shuffle, no RNG state), the SAME document
+    lands in the SAME split on every run, engine, and parallelism
+    (speculative re-execution cannot flip a doc from train to test —
+    the silent eval-leak rand()-splits are prone to), and changing the
+    salt is an explicit, versioned re-split.
+
+    Composes with decontamination (`contamination_ngrams`) and the
+    pack/mix pipeline: filter `split = 'train'` rides the same scan."""
+    from mit_mapreduce_spark.catalog import fan_out
+    from mit_mapreduce_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(10_000))
+    split = (F.when(bucket < SPLIT_VAL_BPS, "val")
+             .when(bucket < SPLIT_VAL_BPS + SPLIT_TEST_BPS, "test")
+             .otherwise("train"))
+    return (
+        fan_out(docs)
+        .select("source", split.alias("split"),
+                F.size(_letter_tokens()).cast("bigint").alias("n_toks"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )

@@ -487,3 +487,20 @@ def test_semantic_topics_shape(spark, sf_dir):
         assert len(entries) <= TOPIC_TOP_TERMS
         for (r1, l1, t1), (r2, l2, t2) in zip(entries, entries[1:]):
             assert l1 > l2 or (l1 == l2 and t1 < t2)
+
+
+def test_dataset_split_deterministic_and_complete(spark, sf_dir):
+    """Every doc lands in exactly one split; rates are near the
+    configured basis points; two runs agree exactly (hash, not rand)."""
+    from mit_mapreduce_spark.operators.curation import dataset_split
+    from mit_mapreduce_spark.catalog import load_table
+
+    a = {(r["source"], r["split"]): (r["n_docs"], r["n_tokens"])
+         for r in dataset_split(spark, sf_dir).collect()}
+    b = {(r["source"], r["split"]): (r["n_docs"], r["n_tokens"])
+         for r in dataset_split(spark, sf_dir).collect()}
+    assert a == b  # deterministic under re-execution
+    n_total = sum(v[0] for v in a.values())
+    assert n_total == load_table(spark, sf_dir, "documents").count()
+    n_holdout = sum(v[0] for k, v in a.items() if k[1] != "train")
+    assert n_holdout < 0.10 * n_total  # ~2% by construction
