@@ -363,9 +363,10 @@ HIST_BUCKETS = 20
     WITH mm AS (
       SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
     b AS (
-      SELECT CAST(LEAST(FLOOR((o.o_totalprice - mm.lo)
+      SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE CAST(LEAST(FLOOR((o.o_totalprice - mm.lo)
                               / ((mm.hi - mm.lo) / {HIST_BUCKETS}.0)),
-                        {HIST_BUCKETS - 1}.0) AS INT) AS bucket,
+                        {HIST_BUCKETS - 1}.0) AS INT) END AS bucket,
              o.o_totalprice
       FROM orders o CROSS JOIN mm)
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
@@ -386,9 +387,12 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = F.broadcast(o.agg(F.min("o_totalprice").alias("lo"),
                            F.max("o_totalprice").alias("hi")))
     width = (F.col("hi") - F.col("lo")) / float(HIST_BUCKETS)
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
-        F.lit(float(HIST_BUCKETS - 1))).cast("int")
+    # constant column ⇒ zero width: everything is bucket 0 (fuzz-found
+    # ANSI DIVIDE_BY_ZERO; mirrored in the oracle's CASE)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            F.lit(float(HIST_BUCKETS - 1)))).cast("int")
     return (
         o.crossJoin(mm)
         .select(bucket.alias("bucket"), "o_totalprice")

@@ -239,3 +239,55 @@ def test_curation_empty_and_giant_docs(spark, tmp_path):
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
+
+
+def test_pathological_repetition_and_constant_columns(spark, tmp_path):
+    """Two degenerate-distribution classes: (a) maximally repetitive
+    text (one token x500, a two-token cycle, plus a verbatim dup) —
+    identical shingles/windows stress every winnowing/minhash tie
+    path; (b) a constant numeric column — zero histogram width (the
+    fuzz-found DIVIDE_BY_ZERO: all mass lands in bucket 0 now)."""
+    import duckdb
+    import pyarrow as pa
+
+    td = str(tmp_path / "rep")
+    os.makedirs(td)
+    rows = [(0, " ".join(["spam"] * 500), "s1", "en"),
+            (1, " ".join(["tic", "tac"] * 250), "s1", "en"),
+            (2, " ".join(["spam"] * 500), "s2", "en"),
+            (3, "normal words in a brief document about nothing much",
+             "s2", "en")]
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["winnow_fingerprints", "winnow_overlap_pairs",
+               "dup_passages", "remove_dup_passages", "dedup_minhash",
+               "quality_repetition", "ngram_novelty", "bpe_train_merges"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
+
+    tc = str(tmp_path / "const")
+    os.makedirs(tc)
+    src = "/root/testdata/sf0.001"
+    duckdb.connect().sql(
+        f"COPY (SELECT * REPLACE (CAST(100.0 AS DOUBLE) AS o_totalprice)"
+        f" FROM '{src}/orders.parquet')"
+        f" TO '{tc}/orders.parquet' (FORMAT PARQUET)")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", os.path.join(tc, f"{t}.parquet"))
+    for op in ["histogram_totalprice", "profile_columns",
+               "agg_percentiles", "skew_report"]:
+        df = operators.QUERIES[op](spark, tc)
+        ok, msg = compare(df, operators.ORACLES[op], tc)
+        assert ok, f"{op}: {msg}"
