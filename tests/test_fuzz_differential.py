@@ -291,3 +291,36 @@ def test_pathological_repetition_and_constant_columns(spark, tmp_path):
         df = operators.QUERIES[op](spark, tc)
         ok, msg = compare(df, operators.ORACLES[op], tc)
         assert ok, f"{op}: {msg}"
+
+
+def test_facade_empty_and_unicode_files(spark, tmp_path):
+    """The MapReduce facade and its DataFrame twins on adversarial
+    file contents: an entirely EMPTY input file (a source with one
+    empty doc), Go-IsLetter traps (category-N runes '²' and 'Ⅻ' that
+    Python's \\w would wrongly keep), CJK, and tab/multi-space
+    separators — byte parity with the relational oracle throughout."""
+    import pyarrow as pa
+
+    rows = [(0, "", "s_empty", "en"),
+            (1, "the fox² and Ⅻ legions of müller 中文 text", "s_uni", "en"),
+            (2, "plain words here", "s_plain", "en"),
+            (3, "tab\tsep and   spaces", "s_plain", "en")]
+    td = str(tmp_path / "mr")
+    os.makedirs(td)
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["mr_wordcount", "mr_inverted_index", "mr_sorted_concat",
+               "wordcount", "inverted_index", "sorted_concat"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
