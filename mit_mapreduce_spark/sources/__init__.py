@@ -109,8 +109,16 @@ def write_csv(df: DataFrame, out_dir: str, sep: str = ",",
 
 def read_csv(spark: SparkSession, path: str, sep: str = ",",
              header: bool = True,
-             schema: T.StructType | None = None) -> DataFrame:
-    r = spark.read.option("header", header).option("sep", sep)
+             schema: T.StructType | None = None,
+             multi_line: bool = True) -> DataFrame:
+    """CSV reader paired with write_csv. ``multi_line`` defaults True
+    because the writer quotes embedded newlines and the default
+    line-splitting reader SILENTLY tears such records in two (fuzz
+    find: one row became two, no error). The trade: multiLine parsing
+    is per-file, not per-split — on a 100 TB lake of known
+    newline-free CSV, pass multi_line=False to get splittable scans."""
+    r = (spark.read.option("header", header).option("sep", sep)
+         .option("multiLine", multi_line))
     return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
 
 

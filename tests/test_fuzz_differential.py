@@ -324,3 +324,24 @@ def test_facade_empty_and_unicode_files(spark, tmp_path):
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
+
+
+def test_csv_roundtrip_embedded_newlines(spark, tmp_path):
+    """write_csv quotes embedded newlines; read_csv must parse them
+    back as ONE record (fuzz find: the default line-splitting reader
+    silently tore such rows in two). Quotes, commas, backslashes and
+    unicode ride along."""
+    from pyspark.sql import types as T
+
+    from mit_mapreduce_spark import sources
+
+    rows = [(1, "line1\nline2"), (2, 'has "quotes" and, commas'),
+            (3, "plain"), (4, "trailing backslash \\"),
+            (5, "unicode ü中")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = str(tmp_path / "c")
+    sources.write_csv(df, out)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    back = sources.read_csv(spark, out, schema=schema)
+    assert sorted((r.id, r.text) for r in back.collect()) == sorted(rows)
