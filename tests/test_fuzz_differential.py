@@ -345,3 +345,38 @@ def test_csv_roundtrip_embedded_newlines(spark, tmp_path):
                            T.StructField("text", T.StringType())])
     back = sources.read_csv(spark, out, schema=schema)
     assert sorted((r.id, r.text) for r in back.collect()) == sorted(rows)
+
+
+def test_json_xml_roundtrip_special_values(spark, tmp_path):
+    """JSON and XML sinks round-trip NaN/Infinity doubles, embedded
+    newlines, markup characters (< & >), backslashes and NULLs — byte
+    semantics preserved through both text formats."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from mit_mapreduce_spark import sources
+
+    rows = [(1, "line1\nline2", 1.5),
+            (2, 'quote " backslash \\ slash /', float("nan")),
+            (3, "<tag> & ampersand", float("inf")),
+            (4, "unicode ü中   seps", -0.0),
+            (5, None, None)]
+    df = spark.createDataFrame(rows, "id long, text string, v double")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("v", T.DoubleType())])
+
+    def canon(t):
+        return [(r[0], r[1],
+                 "nan" if (r[2] is not None and isinstance(r[2], float)
+                           and math.isnan(r[2])) else r[2])
+                for r in sorted(t, key=lambda r: r[0])]
+
+    want = canon(rows)
+    sources.write_json(df, str(tmp_path / "j"))
+    back = sources.read_json(spark, str(tmp_path / "j"), schema=schema)
+    assert canon([(r.id, r.text, r.v) for r in back.collect()]) == want
+    sources.write_xml(df, str(tmp_path / "x"))
+    backx = sources.read_xml(spark, str(tmp_path / "x"), schema=schema)
+    assert canon([(r.id, r.text, r.v) for r in backx.collect()]) == want
