@@ -171,6 +171,10 @@ def compact_parquet(spark: SparkSession, in_dir: str, out_dir: str,
         os.path.getsize(os.path.join(root, f))
         for root, _, files in os.walk(in_dir)
         for f in files if f.endswith(".parquet") or f.startswith("part-"))
+    if total == 0:
+        # nothing to compact (fresh/empty dataset): a scheduled
+        # compactor must no-op, not crash on schema inference
+        return 0
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(in_dir).coalesce(n_files).write.mode(
         "overwrite").parquet(out_dir)

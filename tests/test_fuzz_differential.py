@@ -380,3 +380,27 @@ def test_json_xml_roundtrip_special_values(spark, tmp_path):
     sources.write_xml(df, str(tmp_path / "x"))
     backx = sources.read_xml(spark, str(tmp_path / "x"), schema=schema)
     assert canon([(r.id, r.text, r.v) for r in backx.collect()]) == want
+
+
+def test_merge_upsert_null_keys_and_empty_compaction(spark, tmp_path):
+    """ANSI MERGE semantics under NULL keys: a NULL key never matches,
+    so the NULL-key base row survives AND the NULL-key update row
+    inserts (both kept). And compacting an empty dataset is a no-op
+    returning 0, not a schema-inference crash."""
+    from mit_mapreduce_spark import sources
+
+    base_dir = str(tmp_path / "base")
+    spark.createDataFrame([(1, "a"), (2, "b"), (None, "n")],
+                          "k long, v string").write.parquet(base_dir)
+    upd = spark.createDataFrame([(2, "B"), (3, "c"), (None, "N")],
+                                "k long, v string")
+    n = sources.merge_upsert(spark, base_dir, upd, key_cols=["k"])
+    back = sorted(((r.k if r.k is not None else -99), r.v)
+                  for r in spark.read.parquet(base_dir).collect())
+    assert back == [(-99, "N"), (-99, "n"), (1, "a"), (2, "B"), (3, "c")]
+    assert n == 5
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    assert sources.compact_parquet(spark, empty,
+                                   str(tmp_path / "cout")) == 0
