@@ -404,3 +404,33 @@ def test_merge_upsert_null_keys_and_empty_compaction(spark, tmp_path):
     os.makedirs(empty)
     assert sources.compact_parquet(spark, empty,
                                    str(tmp_path / "cout")) == 0
+
+
+def test_wholefile_sources_empty_and_unicode_names(spark, tmp_path):
+    """Both whole-file paths (facade helper and the Spark 4 Python
+    Data Source) list and read empty files and unicode/space
+    filenames identically."""
+    from mit_mapreduce_spark import sources
+    from mit_mapreduce_spark.sources.wholefile_source import (
+        WholeFileDataSource,
+    )
+
+    td = str(tmp_path / "files")
+    os.makedirs(td)
+    open(os.path.join(td, "empty.txt"), "w").close()
+    with open(os.path.join(td, "uni ü 中.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("hello world\nsecond line")
+    with open(os.path.join(td, "normal.txt"), "w") as f:
+        f.write("plain")
+    want = [("empty.txt", 0), ("normal.txt", 5), ("uni ü 中.txt", 23)]
+
+    df = sources.whole_text_files(spark, os.path.join(td, "*.txt"))
+    got = sorted((os.path.basename(r[0]), len(r[1]))
+                 for r in df.collect())
+    assert got == want
+    spark.dataSource.register(WholeFileDataSource)
+    df2 = spark.read.format("wholefile").load(os.path.join(td, "*.txt"))
+    got2 = sorted((os.path.basename(r[0]), len(r[1]))
+                  for r in df2.collect())
+    assert got2 == want
