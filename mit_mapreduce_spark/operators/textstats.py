@@ -1155,3 +1155,85 @@ def bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
               / F.sum(F.col("cnt") * (F.length("word") + 1)))
              .alias("compression"))
     )
+
+
+# --- feature-hashed text embeddings ---------------------------------------
+
+FH_DIM = 64   # matches the embeddings table's dimensionality
+
+
+def _sql_fh() -> str:
+    from mit_mapreduce_spark.operators.dedup import _sql_hash60
+
+    bucket = f"{_sql_hash60('w')} % {FH_DIM}"
+    sgn = f"CASE WHEN {_sql_hash60(chr(39) + 'sgn#' + chr(39) + ' || w')} % 2 = 0 THEN 1 ELSE -1 END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    b AS (
+      SELECT doc_id, {bucket} AS dim, {sgn} AS sgn FROM toks),
+    sparse AS (
+      SELECT doc_id, dim, SUM(sgn) AS val FROM b GROUP BY doc_id, dim),
+    dd AS (
+      SELECT d.doc_id, s.i AS dim
+      FROM documents d, (SELECT unnest(generate_series(0, {FH_DIM - 1})) AS i) s),
+    dense AS (
+      SELECT dd.doc_id, dd.dim, COALESCE(sp.val, 0) AS val
+      FROM dd LEFT JOIN sparse sp USING (doc_id, dim))
+    SELECT doc_id,
+           list(CAST(val AS BIGINT) ORDER BY dim) AS vec,
+           CAST(SUM(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           CAST(SUM(val * val) AS BIGINT) AS norm_sq
+    FROM dense GROUP BY doc_id
+    """
+
+
+@query("hashed_text_embeddings", oracle=_sql_fh())
+def hashed_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al. 2009, 'the
+    hashing trick'): each document becomes a {D}-dim signed-count
+    vector — tokens hash to a dimension, a second hash bit supplies
+    the ±1 sign that unbiases collisions. The model-free bridge from
+    the text tier to the vector tier: these vectors feed the same
+    cosine/LSH/PQ machinery as learned embeddings (and, being exact
+    integers, stay under the full value-hash gate — no model weights,
+    no floats until a consumer normalizes).
+
+    One explode + one (doc, dim) map-side-combined aggregation + a
+    per-doc dense assembly from a {D}-entry map — linear in corpus
+    token count, the dimension bounded by construction. Docs with no
+    tokens embed to the zero vector (nnz 0), which the cosine tier
+    then EXCLUDES by its zero-norm rule — the two contracts compose."""
+    from mit_mapreduce_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode(_spark_tokens()).alias("w"))
+    )
+    sgn = (F.when(F.pmod(hash60(F.concat(F.lit("sgn#"), F.col("w"))),
+                         F.lit(2)) == 0, 1).otherwise(-1))
+    sparse = (
+        toks.select("doc_id",
+                    F.pmod(hash60(F.col("w")), F.lit(FH_DIM)).alias("dim"),
+                    sgn.alias("sgn"))
+        .groupBy("doc_id", "dim").agg(F.sum("sgn").alias("val"))
+    )
+    assembled = (
+        sparse.groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("dim", "val"))).alias("_m"))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i), F.lit(0)).cast("bigint"))
+    return (
+        docs.select("doc_id").join(assembled, "doc_id", "left")
+        .select("doc_id", vec.alias("vec"))
+        .select(
+            "doc_id", "vec",
+            F.size(F.filter("vec", lambda x: x != 0)).cast("bigint")
+            .alias("nnz"),
+            F.aggregate("vec", F.lit(0).cast("bigint"),
+                        lambda a, x: a + x * x).alias("norm_sq"))
+    )

@@ -504,3 +504,30 @@ def test_dataset_split_deterministic_and_complete(spark, sf_dir):
     assert n_total == load_table(spark, sf_dir, "documents").count()
     n_holdout = sum(v[0] for k, v in a.items() if k[1] != "train")
     assert n_holdout < 0.10 * n_total  # ~2% by construction
+
+
+def test_hashed_embeddings_structure(spark, sf_dir):
+    """Hand-checkable hashing-trick invariants: a doc of one token
+    repeated k times has |val| = k at exactly one dim and norm k²; an
+    empty doc embeds to the zero vector; and on the fixture corpus
+    norm_sq always equals the vector's own sum of squares."""
+    from mit_mapreduce_spark.operators.textstats import (
+        FH_DIM, hashed_text_embeddings,
+    )
+    import tempfile, os as _os
+
+    rows = [(1, " ".join(["zulu"] * 7)), (2, ""), (3, "alpha beta")]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        out = {r["doc_id"]: r for r in
+               hashed_text_embeddings(spark, td).collect()}
+    assert len(out[1]["vec"]) == FH_DIM
+    assert sorted(abs(v) for v in out[1]["vec"] if v)[-1] == 7
+    assert out[1]["nnz"] == 1 and out[1]["norm_sq"] == 49
+    assert out[2]["nnz"] == 0 and out[2]["norm_sq"] == 0
+    assert all(v == 0 for v in out[2]["vec"])
+    for r in out.values():
+        assert r["norm_sq"] == sum(v * v for v in r["vec"])
