@@ -117,12 +117,21 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_props",
     oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                  END AS kd,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  END AS kb
+      FROM events)
     SELECT event_type,
            COUNT(*) AS n_events,
-           {sql_dsum("CAST(json_extract_string(props, '$.k') AS DOUBLE)", 'sum_k')},
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           {sql_dsum("kd", 'sum_k')},
+           MIN(kb) AS min_k,
+           MAX(kb) AS max_k
+    FROM x
     GROUP BY event_type
     """,
 )
@@ -131,14 +140,18 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate it per event type. get_json_object stays JVM-side
     (no Python UDF) and prunes to the single referenced path."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
+    # get_json_object is NULL on malformed JSON; the CASTS must be
+    # try_cast so a non-numeric value degrades to NULL the same way
+    # (fuzz find: ANSI CAST crashed on '{"k": "string-not-int"}')
+    kd = F.expr("try_cast(get_json_object(props, '$.k') AS double)")
+    kb = F.expr("try_cast(get_json_object(props, '$.k') AS bigint)")
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            dsum(k.cast("double"), "sum_k"),
-            F.min(k.cast("bigint")).alias("min_k"),
-            F.max(k.cast("bigint")).alias("max_k"),
+            dsum(kd, "sum_k"),
+            F.min(kb).alias("min_k"),
+            F.max(kb).alias("max_k"),
         )
     )
 
@@ -501,13 +514,19 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_props",
     oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  END AS kb,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.missing') END AS miss
+      FROM events)
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing')
-                           IS NULL THEN NULL ELSE 1 END) AS BIGINT)
-             AS n_with_missing
-    FROM events
+           CAST(SUM(kb) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN miss IS NULL THEN NULL ELSE 1 END)
+                AS BIGINT) AS n_with_missing
+    FROM x
     GROUP BY event_type
     """,
 )
@@ -518,14 +537,24 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     every extraction, a VARIANT column parses once and every probe is
     a binary traversal — at 100 TB with many probed paths, that's the
     difference between P parses and one. Absent paths return NULL
-    (counted here to pin that semantic against the oracle)."""
+    (counted here to pin that semantic against the oracle).
+
+    Malformed documents are VARIANT NULL (try_parse_json — fuzz find:
+    parse_json failed the whole scan on one bad record). Duplicate-key
+    objects are the one semi-structured input deliberately OUTSIDE the
+    oracle contract: RFC 8259 leaves them undefined, Spark's VARIANT
+    spec rejects them (→ NULL) while DuckDB keeps the first key — the
+    fuzz suite pins the defined cases only."""
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: malformed documents become VARIANT NULL instead
+    # of failing the scan (fuzz find), matching the oracle's
+    # json_valid guard; try_variant_get degrades bad types to NULL
+    v = F.try_parse_json("props")
     return (
         ev.select("event_type", v.alias("v"))
         .groupBy("event_type")
-        .agg(F.sum(F.expr("variant_get(v, '$.k', 'bigint')"))
+        .agg(F.sum(F.expr("try_variant_get(v, '$.k', 'bigint')"))
              .cast("bigint").alias("sum_k"),
-             F.count(F.expr("variant_get(v, '$.missing', 'string')"))
+             F.count(F.expr("try_variant_get(v, '$.missing', 'string')"))
              .cast("bigint").alias("n_with_missing"))
     )

@@ -434,3 +434,44 @@ def test_wholefile_sources_empty_and_unicode_names(spark, tmp_path):
     got2 = sorted((os.path.basename(r[0]), len(r[1]))
                   for r in df2.collect())
     assert got2 == want
+
+
+def test_semistructured_malformed_props(spark, tmp_path):
+    """Garbage in the semi-structured column must degrade to NULL, not
+    fail the scan (fuzz find: ANSI CAST crashed json_props on a
+    non-numeric value; parse_json crashed variant_props on a malformed
+    record). Duplicate-key objects are excluded — RFC 8259 leaves them
+    undefined and the engines legitimately differ (documented in
+    variant_props)."""
+    import datetime
+    import pyarrow as pa
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "click", 1.0, '{"k": 5}'),
+        (1, base, 1, "click", 1.0, "not json at all"),
+        (2, base, 2, "click", 1.0, None),
+        (3, base, 2, "click", 1.0, '{"k": "string-not-int"}'),
+        (4, base, 3, "click", 1.0, '{"other": 1}'),
+        (5, base, 3, "click", 1.0, '{"k": null}'),
+        (6, base, 4, "click", 1.0, "[1,2,3]"),
+    ]
+    td = str(tmp_path / "props")
+    os.makedirs(td)
+    tab = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(td, "events.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["json_props", "variant_props"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
