@@ -475,3 +475,34 @@ def test_semistructured_malformed_props(spark, tmp_path):
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
+
+
+def test_null_lang_and_source_metadata(spark, tmp_path):
+    """NULL lang/source metadata (crawls always have them) through the
+    per-language and per-source report operators: NULL groups behave
+    identically on both engines — no dropped rows, no crashes."""
+    import pyarrow as pa
+
+    rows = [(0, "words here in document zero", None, None),
+            (1, "more words in document one", "s1", "en"),
+            (2, "third document has words too", None, "de"),
+            (3, "fourth document rounds it out", "s1", None)]
+    td = str(tmp_path / "nullmeta")
+    os.makedirs(td)
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    for op in ["lang_dist", "lang_id", "top_docs_per_lang", "doc_stats",
+               "vocab_oov_rate", "dataset_split", "dedup_keep_report"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
