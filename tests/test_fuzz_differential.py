@@ -506,3 +506,28 @@ def test_null_lang_and_source_metadata(spark, tmp_path):
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
+
+
+def test_empty_corpus_everything_degrades_to_zero_rows(spark, tmp_path):
+    """A filtered-to-empty lake partition through the whole text tier:
+    every operator — including the iterative BPE trainer and the CC
+    fixpoint loop — must return zero rows, never crash."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    td = str(tmp_path / "emptycorpus")
+    os.makedirs(td)
+    duckdb.connect().sql(
+        f"COPY (SELECT * FROM '{src}/documents.parquet' WHERE 1=0)"
+        f" TO '{td}/documents.parquet' (FORMAT PARQUET)")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", os.path.join(td, f"{t}.parquet"))
+    for op in ["doc_stats", "dedup_minhash", "dedup_clusters",
+               "quality_funnel", "bpe_train_merges", "dataset_split",
+               "pack_sequences", "chunk_documents", "ngram_novelty",
+               "hashed_text_embeddings", "remove_dup_passages"]:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
+        assert df.count() == 0
