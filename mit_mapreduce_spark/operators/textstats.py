@@ -1237,3 +1237,83 @@ def hashed_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("vec", F.lit(0).cast("bigint"),
                         lambda a, x: a + x * x).alias("norm_sq"))
     )
+
+
+# --- text search over hashed embeddings -----------------------------------
+
+FH_QUERY_MOD = 100   # doc_id % MOD == 0 plays the query set
+FH_TOP_K = 3
+
+
+def _sql_fh_knn() -> str:
+    return f"""
+    WITH fh AS ({_sql_fh()}),
+    q AS (SELECT doc_id AS qid, vec AS qv, norm_sq AS qn FROM fh
+          WHERE doc_id % {FH_QUERY_MOD} = 0 AND norm_sq > 0),
+    c AS (SELECT doc_id AS cid, vec AS cv, norm_sq AS cn FROM fh
+          WHERE norm_sq > 0),
+    dots AS (
+      SELECT q.qid, c.cid,
+             SUM(q.qv[i.i] * c.cv[i.i]) AS dot, ANY_VALUE(q.qn) AS qn,
+             ANY_VALUE(c.cn) AS cn
+      FROM q, c, (SELECT unnest(generate_series(1, {FH_DIM})) AS i) i
+      WHERE c.cid <> q.qid
+      GROUP BY q.qid, c.cid),
+    scored AS (
+      SELECT qid, cid, CAST(dot AS BIGINT) AS dot,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))
+               AS cosine
+      FROM dots)
+    SELECT qid, cid, dot, cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, cid) AS rnk
+          FROM scored)
+    WHERE rnk <= {FH_TOP_K}
+    """
+
+
+@query("hashed_knn_search", oracle=_sql_fh_knn())
+def hashed_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document similarity search: exact cosine top-{k}
+    over the feature-hashed vectors of ``hashed_text_embeddings`` —
+    "find documents like this one" with no trained model anywhere in
+    the loop, and with EXACT integer dot products (the vectors are
+    signed counts, so there is no scaled-rounding contract at all —
+    the dot column itself is a BIGINT under the hash gate).
+
+    Same plan as ann_bruteforce_topk: the bounded query set rides a
+    broadcast against a linear candidate scan, per-query top-k window;
+    zero-vector docs are excluded on both engines by the norm_sq > 0
+    rule (the zero-norm contract composing across tiers). At 100 TB
+    the bounded-query exact scan is the rerank stage; candidate
+    generation at scale is the LSH/PQ tier over these same vectors."""
+    fh = hashed_text_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    q = (fh.where((F.col("doc_id") % FH_QUERY_MOD == 0)
+                  & (F.col("norm_sq") > 0))
+         .select(F.col("doc_id").alias("qid"), F.col("vec").alias("qv"),
+                 F.col("norm_sq").alias("qn")))
+    c = (fh.where(F.col("norm_sq") > 0)
+         .select(F.col("doc_id").alias("cid"), F.col("vec").alias("cv"),
+                 F.col("norm_sq").alias("cn")))
+    dots = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "qn", "cn",
+                F.explode(F.arrays_zip(
+                    F.col("qv").alias("x"), F.col("cv").alias("y"))).alias("_p"))
+        .groupBy("qid", "cid", "qn", "cn")
+        .agg(F.sum(F.col("_p.x") * F.col("_p.y")).alias("dot"))
+    )
+    scored = dots.select(
+        "qid", "cid", F.col("dot").cast("bigint").alias("dot"),
+        (F.col("dot").cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("cn").cast("double")))).alias("cosine"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return (
+        scored.select("qid", "cid", "dot", "cosine",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= FH_TOP_K)
+    )

@@ -531,3 +531,27 @@ def test_hashed_embeddings_structure(spark, sf_dir):
     assert all(v == 0 for v in out[2]["vec"])
     for r in out.values():
         assert r["norm_sq"] == sum(v * v for v in r["vec"])
+
+
+def test_hashed_knn_search_self_similarity(spark):
+    """A verbatim duplicate of a query doc must be its top hit with
+    cosine 1.0 and dot == norm_sq — the search tier composing with the
+    hashing-trick bridge end to end."""
+    from mit_mapreduce_spark.operators.textstats import (
+        FH_QUERY_MOD, hashed_knn_search,
+    )
+    import tempfile, os as _os
+
+    base = "shared query passage with plenty of distinctive words inside"
+    rows = [(0, base), (FH_QUERY_MOD, base),
+            (1, "unrelated other text entirely different from anything")]
+    with tempfile.TemporaryDirectory() as td:
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+         .withColumn("n_chars", F.length("text"))
+         .write.parquet(_os.path.join(td, "documents.parquet")))
+        hits = {(r["qid"], r["rnk"]): r
+                for r in hashed_knn_search(spark, td).collect()}
+    assert hits[(0, 1)]["cid"] == FH_QUERY_MOD
+    assert abs(hits[(0, 1)]["cosine"] - 1.0) < 1e-12
+    assert hits[(FH_QUERY_MOD, 1)]["cid"] == 0
