@@ -359,6 +359,17 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
     ("semantic_topics", 3),      # cell assignment + cell-term agg +
                                  # corpus-term agg; cell totals ride a
                                  # broadcast, top-k is a bounded window
+    ("dataset_split", 2),        # hash-bucket split is scan-fused; the
+                                 # two exchanges are per-(source, split)
+                                 # aggregation legs
+    ("hashed_text_embeddings", 3),  # token explode + (doc, dim) agg +
+                                    # per-doc map assembly
+    ("hashed_knn_search", 2),    # post-checkpoint: dot agg + top-k
+                                 # window; query side broadcast
+    ("ann_recall_report", 36),   # compositional: three full search
+                                 # pipelines (exact/IVF/ADC) + two
+                                 # hit joins — generous headroom, the
+                                 # lock is against runaway growth
 ])
 def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-5 operators: same discipline — an extra Exchange in any
