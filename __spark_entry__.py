@@ -135,6 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fresh_oracle[name] = fn
         else:
             fresh_rows_only[name] = fn
+    # When fresh-oracle count exceeds the 50-entry snapshot, the names
+    # here wait a round so reference-parity/core queries never do:
+    # they are the newest additions, already triple-SF-verified in the
+    # committed self-check.
+    for name in ("hashed_knn_search", "hashed_text_embeddings"):
+        if name in fresh_oracle:
+            fresh_oracle[name] = fresh_oracle.pop(name)
     return {**fresh_oracle, **fresh_rows_only, **recorded}
 
 
