@@ -11,8 +11,15 @@ result is bit-identical no matter how Spark (or DuckDB) parallelizes
 aggregation, map-side combined).
 
 Exact half-way ties at scale 4 are reachable (dyadic doubles like
-0.03125 = 1/32), but Spark's HALF_UP and DuckDB's round() both round
-double ties away from zero, so the two engines agree on every input.
+0.03125 = 1/32); Spark's HALF_UP and DuckDB's round() both round
+double ties away from zero, so on 2-decimal money inputs (every use
+in this repo) the engines agree. CAVEAT (cross-SF fuzz find, r5): on
+ARBITRARY quotients the two round() implementations can disagree by
+one unit in the last place near half-way points — Spark rounds the
+exact binary expansion, DuckDB the scaled double. Do NOT feed
+division results through these helpers' ROUND; snap them first with
+the floor(x*scale + 0.5) idiom (identical IEEE ops on both engines —
+see min_cost_supplier), then sum exactly.
 
 The same helpers exist as SQL-text builders for the DuckDB oracle
 strings, guaranteeing both sides compute the identical expression.

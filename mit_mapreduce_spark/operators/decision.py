@@ -283,8 +283,9 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             {sql_davg("ROUND(l_extendedprice / l_quantity, 4)",
-                       "unit_cost")}
+             CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 10000
+                                 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000 / COUNT(*) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     ranked AS (
@@ -316,10 +317,16 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     letting the optimizer semi-join-prune ranked rows via the
     broadcast part side."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Cross-SF fuzz find: engine ROUND(x, 4) disagrees by 1e-4 on rare
+    # half-way quotients (Spark rounds the exact binary value, DuckDB
+    # the scaled double). floor(x*1e4 + 0.5) is the same two IEEE ops
+    # on both engines — bit-identical snapping, then exact BIGINT sums.
+    snapped = F.floor(F.col("l_extendedprice") / F.col("l_quantity")
+                      * 10000 + 0.5).cast("bigint")
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
-        .agg(davg(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4),
-                  "unit_cost"))
+        .agg((F.sum(snapped).cast("double") / 10000 / F.count("*"))
+             .alias("unit_cost"))
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     ranked = cost.withColumn("rn", F.row_number().over(w)).where(
