@@ -101,6 +101,8 @@ def _recorded_green() -> frozenset[str]:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        if not isinstance(doc, dict):
+            continue
         for name, row in doc.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
@@ -135,13 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fresh_oracle[name] = fn
         else:
             fresh_rows_only[name] = fn
-    # When fresh-oracle count exceeds the 50-entry snapshot, the names
-    # here wait a round so reference-parity/core queries never do:
-    # they are the newest additions, already triple-SF-verified in the
-    # committed self-check.
-    for name in ("hashed_knn_search", "hashed_text_embeddings"):
-        if name in fresh_oracle:
-            fresh_oracle[name] = fresh_oracle.pop(name)
+    # As of round 6 the fresh-oracle set is far below the 50-entry
+    # snapshot (only the r05 red/errored rows plus the gate-hardened
+    # hashed_text_embeddings), so no deferral is needed: fresh oracle
+    # queries first, then rows-only, then recorded — each group in
+    # plain registration order.
     return {**fresh_oracle, **fresh_rows_only, **recorded}
 
 

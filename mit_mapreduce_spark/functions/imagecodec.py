@@ -72,6 +72,59 @@ def _ppm_decode(data: bytes) -> Decoded | None:
     return w, h, 3, pix
 
 
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit BI_RGB BITMAPINFOHEADER BMP from row-major RGB bytes:
+    BGR byte order, rows padded to 4 bytes, bottom-up — exactly the
+    layout _bmp_decode parses (pytest asserts the round trip)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    stride = (width * 3 + 3) & ~3
+    pix_size = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pix_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pix_size,
+        2835, 2835, 0, 0)
+    body = bytearray(pix_size)
+    pad = stride - width * 3
+    for row in range(height):
+        src = (height - 1 - row) * width * 3  # bottom-up storage
+        dst = row * stride
+        for x in range(width):
+            s = src + x * 3
+            body[dst] = rgb[s + 2]      # B
+            body[dst + 1] = rgb[s + 1]  # G
+            body[dst + 2] = rgb[s]      # R
+            dst += 3
+        # pad bytes already zero
+    del pad
+    return header + info + bytes(body)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """8-bit color-type-2 (RGB) non-interlaced PNG from row-major RGB
+    bytes: filter byte 0 per scanline, one zlib IDAT, proper chunk
+    CRCs — exactly the subset _png_decode parses."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = bytearray()
+    for row in range(height):
+        raw.append(0)  # filter: None
+        raw += rgb[row * stride:(row + 1) * stride]
+    idat = zlib.compress(bytes(raw), 6)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
 # --- BMP (BI_RGB 24/32-bit) ------------------------------------------------
 
 def _bmp_decode(data: bytes) -> Decoded | None:
@@ -93,6 +146,19 @@ def _bmp_decode(data: bytes) -> Decoded | None:
     stride = (w * nch + 3) & ~3
     if pix_off + stride * h > len(data):
         return None
+    try:  # vectorized path — the loop below is the spec-reference
+        import numpy as np
+
+        arr = (np.frombuffer(data, np.uint8, count=stride * h,
+                             offset=pix_off)
+               .reshape(h, stride)[:, :w * nch]
+               .reshape(h, w, nch))
+        if bottom_up:
+            arr = arr[::-1]
+        order = [2, 1, 0] + ([3] if nch == 4 else [])  # BGR(A)->RGB(A)
+        return w, h, nch, arr[:, :, order].tobytes()
+    except ImportError:
+        pass
     out = bytearray(w * h * nch)
     for row in range(h):
         src_row = (h - 1 - row) if bottom_up else row

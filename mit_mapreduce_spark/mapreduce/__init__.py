@@ -33,7 +33,9 @@ migration. Semantics preserved (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import glob as _pyglob
 import os
+import re
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +64,27 @@ OUT_SCHEMA = T.StructType([
 ])
 
 
+def _escape_hadoop_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters so a LITERAL
+    filename like ``data [v2].txt`` addresses that file instead of
+    being parsed as a character class (fuzz find: such names matched
+    0 files)."""
+    return re.sub(r"([\[\]{}*?])", r"\\\1", path)
+
+
+def _expand_braces(pattern: str) -> list[str]:
+    """Hadoop-style ``{a,b}`` alternation for driver-side local glob
+    expansion (Python's glob has no brace support)."""
+    m = re.search(r"\{([^{}]*)\}", pattern)
+    if not m:
+        return [pattern]
+    out: list[str] = []
+    for alt in m.group(1).split(","):
+        out.extend(_expand_braces(
+            pattern[:m.start()] + alt + pattern[m.end():]))
+    return out
+
+
 def run_job(
     spark: SparkSession,
     map_fn: MapFn,
@@ -76,12 +99,45 @@ def run_job(
     ``inputs`` is a glob or explicit file list; each file becomes one
     (basename, contents) Map input, mirroring `mr/worker.go:118-130`
     (the reference passes the path as given; we pass the basename so
-    results don't depend on scratch-dir placement)."""
+    results don't depend on scratch-dir placement).
+
+    Input resolution (fuzz finds, round 6): an explicit LIST is
+    literal paths — reference semantics, `mrcoordinator` takes
+    os.Args filenames — so Hadoop glob metacharacters in the names
+    (``[] {} * ?``) are escaped and a missing file is an immediate
+    FileNotFoundError (the reference's `log.Fatalf("cannot open")`,
+    `mr/worker.go:121`). A STRING is a glob pattern; local patterns
+    are expanded driver-side (with ``{a,b}`` brace support) so a
+    zero-match pattern yields an EMPTY job — the reference would run
+    zero map tasks — instead of Hadoop's InvalidInputException at
+    first action."""
     if isinstance(inputs, (list, tuple)):
-        inputs = ",".join(inputs)
+        missing = [p for p in inputs
+                   if "://" not in p and not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(f"cannot open {missing}")
+        paths = [p if "://" in p else _escape_hadoop_glob(p)
+                 for p in inputs]
+    else:
+        paths = []
+        for piece in inputs.split(","):
+            if "://" in piece:
+                paths.append(piece)
+            else:
+                paths.extend(_escape_hadoop_glob(m) for pat in
+                             _expand_braces(piece)
+                             for m in sorted(_pyglob.glob(pat)))
+    if not paths:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    bad = [p for p in paths if "," in p]
+    if bad:
+        # Hadoop's path API is comma-separated; a comma filename is
+        # unaddressable through it — fail with a clear message.
+        raise ValueError(
+            f"filenames containing ',' are not addressable: {bad}")
 
     sc = spark.sparkContext
-    files = sc.wholeTextFiles(inputs)
+    files = sc.wholeTextFiles(",".join(paths))
 
     def apply_map(pc: tuple[str, str]) -> Iterable[tuple[str, str]]:
         path, contents = pc

@@ -339,8 +339,8 @@ PACK_BUDGET = 2048  # tokens per packed training sequence
                AS cum_excl
       FROM toks)
     SELECT doc_id, source, n_tokens,
-           cum_excl // {PACK_BUDGET} AS pack_id,
-           cum_excl % {PACK_BUDGET} AS pack_offset
+           CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM cum
     """,
 )
@@ -469,8 +469,8 @@ def _sql_pack_ready() -> str:
                AS cum_excl
       FROM kept)
     SELECT doc_id, source, lang, n_tokens,
-           cum_excl // {PACK_BUDGET} AS pack_id,
-           cum_excl % {PACK_BUDGET} AS pack_offset
+           CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS pack_offset
     FROM cum
     """
 

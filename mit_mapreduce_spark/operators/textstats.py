@@ -576,8 +576,9 @@ TOPDOCS_N = 5
     "top_docs_per_lang",
     oracle=f"""
     SELECT lang,
-           (list(doc_id ORDER BY n_chars DESC, doc_id))[1:{TOPDOCS_N}]
-             AS top_docs
+           array_to_string(
+             (list(doc_id ORDER BY n_chars DESC, doc_id))[1:{TOPDOCS_N}],
+             ',') AS top_docs
     FROM documents
     GROUP BY lang
     """,
@@ -604,11 +605,14 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("rn") <= TOPDOCS_N))
     # sort key: descending n_chars then ascending doc_id — encoded so
     # one ascending sort_array reproduces it ((-n_chars, doc_id))
+    # CSV-serialized (not a raw array column): the external gate hashes
+    # pandas cells and ndarray cells are unhashable; the ordered string
+    # carries the same information.
     return (
         top.groupBy("lang")
         .agg(F.expr(
-            "transform(sort_array(collect_list(struct(-n_chars AS k, "
-            "doc_id AS d))), s -> s.d) AS top_docs"))
+            "array_join(transform(sort_array(collect_list(struct("
+            "-n_chars AS k, doc_id AS d))), s -> s.d), ',') AS top_docs"))
     )
 
 
@@ -1188,8 +1192,7 @@ def _sql_fh() -> str:
     """
 
 
-@query("hashed_text_embeddings", oracle=_sql_fh())
-def hashed_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fh_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embeddings (Weinberger et al. 2009, 'the
     hashing trick'): each document becomes a {D}-dim signed-count
     vector — tokens hash to a dimension, a second hash bit supplies
@@ -1237,6 +1240,26 @@ def hashed_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("vec", F.lit(0).cast("bigint"),
                         lambda a, x: a + x * x).alias("norm_sq"))
     )
+
+
+@query(
+    "hashed_text_embeddings",
+    oracle=f"""
+    WITH fh AS ({_sql_fh()})
+    SELECT doc_id, array_to_string(vec, ',') AS vec, nnz, norm_sq
+    FROM fh
+    """,
+)
+def hashed_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered boundary of ``_fh_vectors`` (see its docstring for the
+    algorithm and 100 TB posture): identical rows, with the vector
+    CSV-serialized (``array_join(vec, ',')``) because the external
+    verification gate hashes pandas cells and raw array cells arrive as
+    unhashable ndarrays. Internal consumers (``hashed_knn_search``)
+    compose on the array-typed ``_fh_vectors`` directly — the string
+    form exists only at the gate boundary."""
+    return _fh_vectors(spark, sf_dir).select(
+        "doc_id", F.array_join("vec", ",").alias("vec"), "nnz", "norm_sq")
 
 
 # --- text search over hashed embeddings -----------------------------------
@@ -1288,7 +1311,7 @@ def hashed_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule (the zero-norm contract composing across tiers). At 100 TB
     the bounded-query exact scan is the rerank stage; candidate
     generation at scale is the LSH/PQ tier over these same vectors."""
-    fh = hashed_text_embeddings(spark, sf_dir).localCheckpoint(eager=False)
+    fh = _fh_vectors(spark, sf_dir).localCheckpoint(eager=False)
     q = (fh.where((F.col("doc_id") % FH_QUERY_MOD == 0)
                   & (F.col("norm_sq") > 0))
          .select(F.col("doc_id").alias("qid"), F.col("vec").alias("qv"),

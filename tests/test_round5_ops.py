@@ -312,8 +312,9 @@ def test_pq_codes_shape_and_seed_exactness(spark, sf_dir):
     rows = pq_codes(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert len(r["codes"]) == PQ_M
-        assert all(0 <= c < PQ_K for c in r["codes"])
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
         assert r["recon_scaled"] >= 0
     seeds = [r["vec_id"] for r in
              load_table(spark, sf_dir, "embeddings")
@@ -512,7 +513,7 @@ def test_hashed_embeddings_structure(spark, sf_dir):
     empty doc embeds to the zero vector; and on the fixture corpus
     norm_sq always equals the vector's own sum of squares."""
     from mit_mapreduce_spark.operators.textstats import (
-        FH_DIM, hashed_text_embeddings,
+        FH_DIM, _fh_vectors, hashed_text_embeddings,
     )
     import tempfile, os as _os
 
@@ -522,8 +523,9 @@ def test_hashed_embeddings_structure(spark, sf_dir):
          .withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
          .withColumn("n_chars", F.length("text"))
          .write.parquet(_os.path.join(td, "documents.parquet")))
-        out = {r["doc_id"]: r for r in
-               hashed_text_embeddings(spark, td).collect()}
+        out = {r["doc_id"]: r for r in _fh_vectors(spark, td).collect()}
+        gate = {r["doc_id"]: r for r in
+                hashed_text_embeddings(spark, td).collect()}
     assert len(out[1]["vec"]) == FH_DIM
     assert sorted(abs(v) for v in out[1]["vec"] if v)[-1] == 7
     assert out[1]["nnz"] == 1 and out[1]["norm_sq"] == 49
@@ -531,6 +533,10 @@ def test_hashed_embeddings_structure(spark, sf_dir):
     assert all(v == 0 for v in out[2]["vec"])
     for r in out.values():
         assert r["norm_sq"] == sum(v * v for v in r["vec"])
+    # The registered boundary is the same rows with vec CSV-serialized.
+    for did, r in out.items():
+        assert gate[did]["vec"] == ",".join(str(v) for v in r["vec"])
+        assert gate[did]["nnz"] == r["nnz"]
 
 
 def test_hashed_knn_search_self_similarity(spark):

@@ -112,3 +112,16 @@ def test_zorder_key_locality(spark):
     # the classic Morton property: the quadrant dominates the key
     assert max(keys[(a, b)] for a in range(4) for b in range(4)) < \
         min(keys[(a, b)] for a in range(4, 8) for b in range(4, 8))
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """Empty frame: min/max bounds collect to NULLs — the sink must
+    no-op-write a readable empty table instead of crashing on
+    int(None) (round-5 advisor find)."""
+    df = (spark.range(0).select(F.col("id").alias("a"),
+                                F.col("id").alias("b")))
+    out = str(tmp_path / "z_empty")
+    sources.zorder_write(df, out, "a", "b")
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"a", "b"}
