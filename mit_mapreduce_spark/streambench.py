@@ -1,0 +1,137 @@
+"""Streaming throughput capture at bench scale (SCALE.md §Streaming).
+
+The pytest throughput gate (tests/test_streaming.py::
+test_streaming_throughput_keeps_up) proves the engine keeps up at
+test scale; this module records the BENCH-scale figures the round-5
+verdict asked for (#7): the two heaviest stateful plans driven over
+the sf0.1 events table as a REAL multi-micro-batch stream.
+
+Protocol: stage events as N_SPLITS parquet files, stream them with
+``maxFilesPerTrigger=1`` under an availableNow trigger — so the query
+runs exactly N_SPLITS data micro-batches back-to-back, the same
+cadence shape as a production Kafka drain — through:
+
+- ``sessionize``: watermark + session_window + count/min/max/
+  exact-decimal sum (the native stateful session operator), and
+- ``heavy_hitters``: the applyInPandasWithState space-saving sketch
+  (bounded O(capacity) state per event type).
+
+Run: ``python -m mit_mapreduce_spark.streambench [sf_dir]``
+Prints one JSON line per query: rows, micro-batches, wall seconds,
+rows/sec, batches/sec. Figures are pasted into SCALE.md §Streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark.functions.numeric import dsum
+from mit_mapreduce_spark.session import get_spark, tune
+from mit_mapreduce_spark.streaming import _SCRATCH, STATE_PARTITIONS
+
+N_SPLITS = 12
+SESSION_GAP = "4 hours"
+
+
+def _staged_splits(spark, sf_dir: str) -> str:
+    """events.parquet re-staged as N_SPLITS files (one per trigger)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(_SCRATCH, f"streambench_events_{tag}")
+    marker = os.path.join(stage, "_STAGED")
+    src = os.path.join(sf_dir, "events.parquet")
+    if (not os.path.exists(marker)
+            or os.path.getmtime(marker) < os.path.getmtime(src)):
+        shutil.rmtree(stage, ignore_errors=True)
+        (spark.read.parquet(src).repartition(N_SPLITS)
+         .write.mode("overwrite").parquet(stage))
+        open(marker, "w").close()
+    return stage
+
+
+def _drive(stream_df, mode: str, name: str) -> dict:
+    """availableNow drain with per-file triggers; returns the figures."""
+    spark = stream_df.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    t0 = time.monotonic()
+    try:
+        q = (stream_df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    data = [p for p in progress if p.get("numInputRows", 0) > 0]
+    rows = sum(p["numInputRows"] for p in data)
+    return {
+        "rows": rows,
+        "micro_batches": len(data),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(rows / wall),
+        "batches_per_sec": round(len(data) / wall, 2),
+        "out_rows": spark.table(name).count(),
+    }
+
+
+def main(sf_dir: str) -> dict:
+    spark = get_spark("streambench")
+    spark.sparkContext.setLogLevel("ERROR")
+    tune(spark)
+    stage = _staged_splits(spark, sf_dir)
+    from mit_mapreduce_spark.catalog import _normalize_event_ts
+
+    schema = spark.read.parquet(stage).schema
+
+    def source():
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(stage))
+        return _normalize_event_ts(raw)
+
+    results = {}
+
+    ev = source().withWatermark("ts", "1 hour")
+    sess = (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("sw"),
+                   "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             dsum("value", "sum_value"))
+        .select("user_id", "n_events", "session_start", "session_end",
+                "sum_value")
+    )
+    results["sessionize"] = _drive(sess, "complete", "sb_sessionize")
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mit_mapreduce_spark.operators.streaming_queries import (
+        _heavy_hitters_fn, _HH_OUT_SCHEMA, _HH_STATE_SCHEMA,
+    )
+
+    hh = (
+        source().select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _heavy_hitters_fn,
+            outputStructType=_HH_OUT_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    results["heavy_hitters"] = _drive(hh, "update", "sb_heavy_hitters")
+
+    for name, fig in results.items():
+        print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
