@@ -1063,3 +1063,115 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.sum("n_toks").cast("bigint").alias("n_tokens"))
     )
+
+
+# --- group-aware k-fold: leakage-proof cross-validation splits -------------
+
+KFOLD_K = 5
+KFOLD_SALT = "kf#1"
+
+
+@query(
+    "group_aware_kfold",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+             CAST(len({_LTR_TOKS_SQL}) AS BIGINT) AS n_toks
+      FROM documents),
+    f AS (
+      SELECT fp, n_toks,
+             CAST({{h}} % {KFOLD_K} AS BIGINT) AS fold
+      FROM g)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM f GROUP BY fold
+    """.replace("{h}", "('0x' || substring(md5('" + KFOLD_SALT
+                + "' || fp), 1, 15))::BIGINT"),
+)
+def group_aware_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment: the fold is a hash of the
+    document's normalized-content FINGERPRINT, not its id — so every
+    exact/whitespace-case duplicate of a document lands in the SAME
+    fold by construction. This is the leakage guard naive k-fold
+    lacks: with id-hashed folds, near-duplicate pairs straddle the
+    train/eval boundary and the model is graded on its own training
+    data (the cross-validation analogue of the train/test
+    contamination `contamination_ngrams` screens for).
+
+    Same 100 TB posture as `dataset_split`: membership is a pure
+    scan-fused expression (no RNG state, no shuffle to assign;
+    speculative re-execution cannot flip a fold), one aggregation
+    shuffle for the report. Group granularity upgrades cleanly: swap
+    the exact fingerprint for a MinHash-cluster id (`dedup_clusters`)
+    and folds become near-dup-leak-proof with the identical plan."""
+    from mit_mapreduce_spark.catalog import fan_out
+    from mit_mapreduce_spark.operators.dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                        r"\s+", " ")))
+    fold = F.pmod(hash60(F.concat(F.lit(KFOLD_SALT), fp)),
+                  F.lit(KFOLD_K)).cast("bigint")
+    return (
+        fan_out(docs)
+        .select(fold.alias("fold"), fp.alias("_fp"),
+                F.size(_letter_tokens()).cast("bigint").alias("n_toks"))
+        .groupBy("fold")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.countDistinct("_fp").cast("bigint").alias("n_groups"),
+             F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+
+
+# --- packing efficiency audit ----------------------------------------------
+
+def _sql_pack_eff() -> str:
+    from mit_mapreduce_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH pk AS ({ORACLES['pack_sequences']})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+                AS BIGINT) AS n_packs,
+           CAST((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+                * {PACK_BUDGET} - SUM(n_tokens) AS BIGINT) AS tail_waste,
+           CAST(SUM(CASE WHEN pack_offset + n_tokens > {PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM pk GROUP BY source
+    """
+
+
+@query("pack_efficiency_report", oracle=_sql_pack_eff())
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing audit over `pack_sequences`' placement: per source
+    shard — docs, tokens, packs consumed, tail waste (padding tokens
+    in the final partial pack), boundary STRADDLERS (documents split
+    across two training sequences — the rows that lose cross-boundary
+    attention and the metric packing curricula minimize), and the
+    largest document (a doc > budget necessarily straddles).
+
+    Composes the certified placement with one per-source aggregation;
+    arithmetic is all-integer so the report sits under the exact hash
+    gate. At 100 TB this is the pre-flight a training launch runs to
+    size its dataloader: same single source-shard window shuffle as
+    pack_sequences plus a map-side-combined rollup."""
+    placed = pack_sequences(spark, sf_dir)
+    return (
+        placed.groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+             F.ceil(F.sum("n_tokens") / PACK_BUDGET).cast("bigint")
+             .alias("n_packs"),
+             (F.ceil(F.sum("n_tokens") / PACK_BUDGET) * PACK_BUDGET
+              - F.sum("n_tokens")).cast("bigint").alias("tail_waste"),
+             F.sum(F.when(F.col("pack_offset") + F.col("n_tokens")
+                          > PACK_BUDGET, 1).otherwise(0))
+             .cast("bigint").alias("n_straddlers"),
+             F.max("n_tokens").cast("bigint").alias("max_doc_tokens"))
+    )

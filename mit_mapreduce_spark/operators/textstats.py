@@ -1340,3 +1340,136 @@ def hashed_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= FH_TOP_K)
     )
+
+
+# --- URL extraction + per-domain rollup (web-corpus curation) --------------
+
+# The fixture text carries no URLs, so — exactly like pii_redact's
+# synthesized PII — each document is suffixed with deterministic
+# doc_id-derived URLs before extraction, proving the machinery fires.
+_URL_PAYLOAD = (
+    "text || ' see https://www.src-' || source || '.example.org/doc/'"
+    " || CAST(doc_id % 50 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    "      ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)"
+    "      || '.example.net/a?b=1' ELSE '' END"
+)
+_URL_RE = r"https?://[^\s]+"
+_DOMAIN_RE = r"^(https?)://([^/?#]+)"
+
+
+@query(
+    "url_domain_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_URL_PAYLOAD} AS payload FROM documents),
+    u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(payload, '{_URL_RE}')) AS url
+      FROM p),
+    d AS (
+      SELECT doc_id,
+             regexp_extract(url, '{_DOMAIN_RE}', 1) AS scheme,
+             regexp_extract(url, '{_DOMAIN_RE}', 2) AS domain
+      FROM u)
+    SELECT domain, scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM d GROUP BY domain, scheme
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain rollup: the first step of every
+    web-corpus curation stack (domain allow/deny lists, per-domain
+    quality priors, domain-balanced mixtures all key off this table).
+    Extraction is a JVM regexp_extract_all + one explode; domain and
+    scheme parse with a single anchored regex — no Python, no UDF.
+
+    100 TB posture: linear scan + one (domain, scheme) aggregation
+    shuffle whose cardinality is the web's domain count (~10⁸ worst
+    case — trivially shuffleable); the explode fan-out is bounded by
+    URLs-per-document. Downstream joins against allow/deny lists are
+    broadcast (list side is small by construction)."""
+    from mit_mapreduce_spark.catalog import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.expr(
+        "concat(text, ' see https://www.src-', source,"
+        " '.example.org/doc/', cast(doc_id % 50 as string),"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' and http://cdn',"
+        " cast(doc_id % 7 as string), '.example.net/a?b=1')"
+        " ELSE '' END)")
+    urls = (
+        fan_out(docs)
+        .select("doc_id", payload.alias("payload"))
+        # pattern as a lit Column, NOT inside expr(): SQL string
+        # literals eat the \s backslash (fuzz-class trap)
+        .select("doc_id",
+                F.explode(F.regexp_extract_all(
+                    "payload", F.lit(_URL_RE), F.lit(0))).alias("url"))
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.regexp_extract("url", _DOMAIN_RE, 1).alias("scheme"),
+            F.regexp_extract("url", _DOMAIN_RE, 2).alias("domain"))
+        .groupBy("domain", "scheme")
+        .agg(F.count("*").cast("bigint").alias("n_urls"),
+             F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+
+
+# --- vocabulary growth / hapax profile per source --------------------------
+
+@query(
+    "vocab_growth_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents),
+    wc AS (
+      SELECT source, w, COUNT(*) AS cnt
+      FROM toks GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS ttr,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_ratio
+    FROM wc GROUP BY source
+    """,
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary profile per source shard: token count, distinct
+    vocabulary, hapax legomena (words seen exactly once), type-token
+    ratio and hapax share. The Heaps-law inputs a tokenizer-training
+    or dedup run consults first — an unusually LOW hapax share flags
+    boilerplate/duplicated shards, an unusually HIGH one flags OCR
+    noise or encoding damage (Baayen 2001, word-frequency
+    distributions).
+
+    Plan: explode to (source, word), one map-side-combined count
+    aggregation (the wordcount shuffle), then a source-level rollup of
+    the counts table — vocabulary-sized, Heaps-sublinear in corpus
+    size. No text leaves the first aggregation; the rollup carries
+    only counts."""
+    from mit_mapreduce_spark.catalog import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        fan_out(docs)
+        .select("source", F.explode(_spark_tokens()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+             F.count("*").cast("bigint").alias("vocab"),
+             F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+             .cast("bigint").alias("hapax"),
+             (F.count("*").cast("double") / F.sum("cnt")).alias("ttr"),
+             (F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+              .cast("double") / F.count("*")).alias("hapax_ratio"))
+    )

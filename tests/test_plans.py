@@ -381,3 +381,23 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
     assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("group_aware_kfold", 3),       # fold agg with exact distinct-
+                                    # groups expand (2-phase) = 3
+    ("pack_efficiency_report", 1),  # the source rollup REUSES the
+                                    # pack window's hash partitioning
+                                    # on source — one exchange total
+    ("url_domain_stats", 3),        # url explode is narrow; (domain,
+                                    # scheme) agg + exact distinct-doc
+                                    # expand
+    ("vocab_growth_by_source", 3),  # (source, word) count + source
+                                    # rollup of the counts table
+])
+def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-6 operators: same exchange-budget discipline."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    assert "CartesianProduct" not in plans.formatted_plan(df)
