@@ -558,3 +558,58 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.expr("try_variant_get(v, '$.missing', 'string')"))
              .cast("bigint").alias("n_with_missing"))
     )
+
+
+# --- time-decayed engagement score ------------------------------------------
+
+DECAY_HALF_LIFE_DAYS = 1   # score halves per day of age
+DECAY_GRID = 1_000_000     # micro-unit integer grid for exact summation
+
+
+@query(
+    "decayed_engagement",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(ts) AS a FROM events),
+    aged AS (
+      SELECT user_id,
+             CAST(date_diff('day', ts, a) AS BIGINT) AS age_days
+      FROM events, anchor)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(power(0.5, age_days) * {DECAY_GRID})
+                         AS BIGINT)) AS BIGINT) AS score_micro
+    FROM aged GROUP BY user_id
+    """,
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user: each
+    event contributes pow(1/2, age_in_days) relative to the corpus
+    anchor (its newest event) — the recency-weighted activity signal
+    feature stores serve for ranking/churn models, where yesterday's
+    click matters half as much as today's.
+
+    Determinism contract: the per-event decay is quantized to a
+    {DECAY_GRID} integer grid BEFORE summation (pow(0.5, k) is an
+    exact binary double for integer k, and rounding it is engine-
+    stable), so the aggregation is an integer sum — order-independent
+    under any partitioning, unlike a raw double sum whose rounding
+    drifts with shuffle order (the dsum lesson applied to decay
+    weights). Plan: 1-row anchor aggregate broadcast into the scan,
+    then one user_id aggregation — a single pass at any scale; the
+    decayed score also MERGES across shards/days by integer addition,
+    which is how a feature store maintains it incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("a"))
+    aged = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id",
+                F.datediff(F.col("a"), F.col("ts")).cast("bigint")
+                .alias("age_days"))
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.sum(F.round(F.pow(F.lit(0.5), F.col("age_days"))
+                           * DECAY_GRID).cast("bigint"))
+             .cast("bigint").alias("score_micro"))
+    )

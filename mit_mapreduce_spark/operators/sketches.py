@@ -142,3 +142,86 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_nd").cast("bigint").alias("exact_nd"),
     )
     return per_scope.unionByName(union_scope)
+
+
+# --- mergeable binned quantile sketch ---------------------------------------
+
+QB_WIDTH_CENTS = 500   # 5.00-unit bins over value; error bound = 1 bin
+
+
+@query(
+    "sketch_quantile_bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // {QB_WIDTH_CENTS} AS bin
+      FROM events),
+    c AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY event_type, bin),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM c)
+    SELECT event_type, n AS n_events,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN bin * {QB_WIDTH_CENTS} END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN bin * {QB_WIDTH_CENTS} END) AS BIGINT)
+             AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN bin * {QB_WIDTH_CENTS} END) AS BIGINT)
+             AS p99_cents
+    FROM cum GROUP BY event_type, n
+    """,
+)
+def sketch_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-histogram quantiles: p50/p90/p99 of event
+    value per type, answered from fixed-width integer bins (the
+    fixed-grid cousin of KLL/t-digest). The sketch is just (bin →
+    count), so shards MERGE by adding counters — the property exact
+    percentile() lacks and the reason serving stacks precompute
+    histograms; the approximation contract is one bin width
+    ({QB_WIDTH_CENTS} cents), fixed a priori, not data-dependent.
+
+    All arithmetic is integer (values are binned on a cent grid with
+    one deterministic round) so the result sits under the exact hash
+    gate on both engines. Plan: one (type, bin) counting aggregation —
+    state bounded by bins-per-type, never by row count — one
+    per-type cumulative window over the tiny counts table, one final
+    rollup that reuses the window's partitioning. At 100 TB the first
+    aggregation is the only pass over data; everything after runs on
+    kilobytes."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select("event_type",
+                  F.expr(f"CAST(round(value * 100) AS BIGINT)"
+                         f" div {QB_WIDTH_CENTS}").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wcum = (W.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, 0))
+    wall = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type", "bin", "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"))
+
+    def pick(q: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n"))
+                   .cast("bigint"),
+                   F.col("bin") * QB_WIDTH_CENTS)
+        ).cast("bigint").alias(name)
+
+    return (
+        cum.groupBy("event_type", F.col("n").alias("n_events"))
+        .agg(pick(0.50, "p50_cents"), pick(0.90, "p90_cents"),
+             pick(0.99, "p99_cents"))
+    )

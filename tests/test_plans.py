@@ -394,6 +394,10 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
                                     # expand
     ("vocab_growth_by_source", 3),  # (source, word) count + source
                                     # rollup of the counts table
+    ("sketch_quantile_bins", 2),    # (type, bin) count + type window;
+                                    # final rollup reuses partitioning
+    ("decayed_engagement", 2),      # 1-row anchor agg broadcast +
+                                    # user_id aggregation
 ])
 def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-6 operators: same exchange-budget discipline."""

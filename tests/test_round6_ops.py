@@ -96,3 +96,79 @@ def test_vocab_growth_hand_computed(spark):
     assert (r.n_tokens, r.vocab, r.hapax) == (3, 2, 1)
     assert abs(r.ttr - 2 / 3) < 1e-12
     assert abs(r.hapax_ratio - 0.5) < 1e-12
+
+
+def test_quantile_bins_error_bound_vs_exact(spark, sf_dir):
+    """The sketch's contract: each reported quantile's bin lower bound
+    is within one bin width of the exact percentile, and the bins
+    MERGE — splitting the table in two and adding counters reproduces
+    the full-table sketch exactly."""
+    from mit_mapreduce_spark.operators.sketches import QB_WIDTH_CENTS
+
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    out = {r.event_type: r for r in
+           operators.QUERIES["sketch_quantile_bins"](spark, sf_dir).collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(round(r.value * 100))
+    for et, r in out.items():
+        xs = sorted(vals[et])
+        assert r.n_events == len(xs)
+        for q, got in ((0.50, r.p50_cents), (0.90, r.p90_cents),
+                       (0.99, r.p99_cents)):
+            # the reported value is the bin lower bound of the
+            # ceil(q*n)-th order statistic — exact rank semantics
+            x = xs[math.ceil(q * len(xs)) - 1]
+            assert got == (x // QB_WIDTH_CENTS) * QB_WIDTH_CENTS, (et, q)
+            # and therefore within one bin width of that order stat
+            assert 0 <= x - got < QB_WIDTH_CENTS
+        assert r.p50_cents <= r.p90_cents <= r.p99_cents
+    # mergeability: per-half bin counts added == full-table bin counts
+    bins = lambda df: {(r.event_type, r.bin): r.cnt for r in (  # noqa: E731
+        df.select("event_type",
+                  F.expr("CAST(round(value * 100) AS BIGINT)"
+                         f" div {QB_WIDTH_CENTS}").alias("bin"))
+        .groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+        .collect())}
+    full = bins(ev)
+    h1 = bins(ev.where(F.col("event_id") % 2 == 0))
+    h2 = bins(ev.where(F.col("event_id") % 2 == 1))
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_decayed_engagement_hand_computed(spark, tmp_path):
+    """Three events for one user at the anchor, 1 day old, and 2 days
+    old → score = (1 + 0.5 + 0.25) * 1e6 micro-units exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    td = str(tmp_path / "ev")
+    os.makedirs(td)
+    ts = [datetime(2025, 1, 3, 12), datetime(2025, 1, 2, 12),
+          datetime(2025, 1, 1, 12)]
+    tab = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "b"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    })
+    pq.write_table(tab, os.path.join(td, "events.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+    out = operators.QUERIES["decayed_engagement"](spark, td).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 7 and out[0].n_events == 3
+    assert out[0].score_micro == 1_750_000
+    ok, msg = compare(operators.QUERIES["decayed_engagement"](spark, td),
+                      operators.ORACLES["decayed_engagement"], td)
+    assert ok, msg
