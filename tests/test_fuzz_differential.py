@@ -150,7 +150,8 @@ def test_events_edge_cases(spark, tmp_path):
     for op in ["sessionize", "tumbling_hourly", "ohlc_hourly",
                "locf_fill", "anomaly_events", "retention_cohorts",
                "funnel_conversion", "snapshot_latest", "json_props",
-               "map_event_profile"]:
+               "map_event_profile", "sketch_quantile_bins",
+               "decayed_engagement"]:
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
@@ -291,6 +292,24 @@ def test_pathological_repetition_and_constant_columns(spark, tmp_path):
         df = operators.QUERIES[op](spark, tc)
         ok, msg = compare(df, operators.ORACLES[op], tc)
         assert ok, f"{op}: {msg}"
+
+    # constant event values: all quantile-sketch mass in one bin, all
+    # reported percentiles equal; decay unaffected by the value column
+    te = str(tmp_path / "constev")
+    os.makedirs(te)
+    duckdb.connect().sql(
+        f"COPY (SELECT * REPLACE (CAST(7.5 AS DOUBLE) AS value)"
+        f" FROM '{src}/events.parquet')"
+        f" TO '{te}/events.parquet' (FORMAT PARQUET)")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "orders", "documents", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", os.path.join(te, f"{t}.parquet"))
+    for op in ["sketch_quantile_bins", "decayed_engagement"]:
+        df = operators.QUERIES[op](spark, te)
+        ok, msg = compare(df, operators.ORACLES[op], te)
+        assert ok, f"{op}: {msg}"
+    qs = operators.QUERIES["sketch_quantile_bins"](spark, te).collect()
+    assert all(r.p50_cents == r.p90_cents == r.p99_cents for r in qs)
 
 
 def test_facade_empty_and_unicode_files(spark, tmp_path):
@@ -502,7 +521,9 @@ def test_null_lang_and_source_metadata(spark, tmp_path):
         os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
                    os.path.join(td, f"{t}.parquet"))
     for op in ["lang_dist", "lang_id", "top_docs_per_lang", "doc_stats",
-               "vocab_oov_rate", "dataset_split", "dedup_keep_report"]:
+               "vocab_oov_rate", "dataset_split", "dedup_keep_report",
+               "group_aware_kfold", "vocab_growth_by_source",
+               "url_domain_stats"]:
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
@@ -526,7 +547,9 @@ def test_empty_corpus_everything_degrades_to_zero_rows(spark, tmp_path):
     for op in ["doc_stats", "dedup_minhash", "dedup_clusters",
                "quality_funnel", "bpe_train_merges", "dataset_split",
                "pack_sequences", "chunk_documents", "ngram_novelty",
-               "hashed_text_embeddings", "remove_dup_passages"]:
+               "hashed_text_embeddings", "remove_dup_passages",
+               "group_aware_kfold", "pack_efficiency_report",
+               "url_domain_stats", "vocab_growth_by_source"]:
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
