@@ -1175,3 +1175,141 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("bigint").alias("n_straddlers"),
              F.max("n_tokens").cast("bigint").alias("max_doc_tokens"))
     )
+
+
+# --- RAG chunk retrieval: sparse inverted-index search over chunks ----------
+
+RAG_QUERY_MOD = 100   # doc_id % MOD == 0 plays the query set
+RAG_TOP_K = 3
+RAG_DIM = 64          # feature-hashing dimensions (matches textstats)
+
+
+def _sql_rag() -> str:
+    from mit_mapreduce_spark.operators.dedup import _sql_hash60
+    from mit_mapreduce_spark.operators.registry import ORACLES
+
+    bucket = f"{_sql_hash60('w')} % {RAG_DIM}"
+    sgn = ("CASE WHEN " + _sql_hash60("'sgn#' || w")
+           + " % 2 = 0 THEN 1 ELSE -1 END")
+    return f"""
+    WITH ch AS ({ORACLES['chunk_documents']}),
+    ctoks AS (
+      SELECT doc_id AS cdoc, chunk_id,
+             unnest(regexp_split_to_array(chunk_text, ' ')) AS w
+      FROM ch WHERE chunk_text <> ''),
+    csparse AS (
+      SELECT cdoc, chunk_id, {bucket} AS dim,
+             CAST(SUM({sgn}) AS BIGINT) AS val
+      FROM ctoks GROUP BY cdoc, chunk_id, dim),
+    cnorm AS (
+      SELECT cdoc, chunk_id, CAST(SUM(val * val) AS BIGINT) AS cn
+      FROM csparse GROUP BY cdoc, chunk_id),
+    qtoks AS (
+      SELECT doc_id AS qid, unnest({_WS_TOKS_SQL}) AS w
+      FROM documents WHERE doc_id % {RAG_QUERY_MOD} = 0),
+    qsparse AS (
+      SELECT qid, {bucket} AS dim, CAST(SUM({sgn}) AS BIGINT) AS val
+      FROM qtoks GROUP BY qid, dim),
+    qnorm AS (
+      SELECT qid, CAST(SUM(val * val) AS BIGINT) AS qn
+      FROM qsparse GROUP BY qid),
+    dots AS (
+      SELECT q.qid, c.cdoc, c.chunk_id,
+             CAST(SUM(q.val * c.val) AS BIGINT) AS dot
+      FROM qsparse q JOIN csparse c ON c.dim = q.dim
+      WHERE c.cdoc <> q.qid
+      GROUP BY q.qid, c.cdoc, c.chunk_id),
+    scored AS (
+      SELECT d.qid, d.cdoc, d.chunk_id, d.dot,
+             CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(qn.qn AS DOUBLE)) * sqrt(CAST(cn.cn AS DOUBLE)))
+               AS cosine
+      FROM dots d
+      JOIN qnorm qn ON qn.qid = d.qid AND qn.qn > 0
+      JOIN cnorm cn ON cn.cdoc = d.cdoc AND cn.chunk_id = d.chunk_id
+                    AND cn.cn > 0)
+    SELECT qid, cdoc, chunk_id, dot, cosine, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, cdoc, chunk_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {RAG_TOP_K}
+    """
+
+
+@query("rag_chunk_retrieval", oracle=_sql_rag())
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG data-prep retrieval: chunk the corpus (`chunk_documents`
+    windows), embed every chunk AND every query document with the
+    feature-hashing trick (signed integer counts — exact), and return
+    each query's top-{RAG_TOP_K} most-cosine-similar chunks from OTHER
+    documents. This is the chunk-level retrieval index a RAG pipeline
+    builds, expressed end to end in one plan.
+
+    The plan shape is the scalable one: vectors stay SPARSE as
+    (key, dim, val) postings and the query⋈chunk match is an
+    equi-join ON THE DIMENSION — the inverted-index/posting-list
+    pattern — so candidate volume is Σ_dim |q_dim|·|c_dim| (bounded
+    by query count × corpus nnz), never a dense all-pairs cross join;
+    dot products are one integer aggregation over matched postings.
+    At 100 TB the posting lists partition by dim exactly like a search
+    engine's impact-sorted index, queries ride a broadcast, and the
+    same plan serves lexical BM25-ish or learned-sparse (SPLADE-style)
+    weights by swapping the val expression. Zero-norm chunks/queries
+    are excluded on both engines (the cosine-tier contract)."""
+    from mit_mapreduce_spark.operators.dedup import hash60
+
+    ch = chunk_documents(spark, sf_dir)
+    bucket = lambda c: F.pmod(hash60(c), F.lit(RAG_DIM))  # noqa: E731
+    sgn = lambda c: (F.when(F.pmod(hash60(F.concat(F.lit("sgn#"), c)),  # noqa: E731
+                                   F.lit(2)) == 0, 1).otherwise(-1))
+    ctoks = (
+        ch.where(F.col("chunk_text") != "")
+        .select(F.col("doc_id").alias("cdoc"), "chunk_id",
+                F.explode(F.split("chunk_text", " ")).alias("w"))
+    )
+    csparse = (
+        ctoks.select("cdoc", "chunk_id", bucket(F.col("w")).alias("dim"),
+                     sgn(F.col("w")).alias("s"))
+        .groupBy("cdoc", "chunk_id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    cnorm = (csparse.groupBy("cdoc", "chunk_id")
+             .agg(F.sum(F.col("val") * F.col("val")).cast("bigint")
+                  .alias("cn")))
+    docs = load_table(spark, sf_dir, "documents")
+    qsparse = (
+        docs.where(F.col("doc_id") % RAG_QUERY_MOD == 0)
+        .select(F.col("doc_id").alias("qid"),
+                F.explode(_ws_tokens()).alias("w"))
+        .select("qid", bucket(F.col("w")).alias("dim"),
+                sgn(F.col("w")).alias("s"))
+        .groupBy("qid", "dim").agg(F.sum("s").cast("bigint").alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    qnorm = (qsparse.groupBy("qid")
+             .agg(F.sum(F.col("val") * F.col("val")).cast("bigint")
+                  .alias("qn")))
+    dots = (
+        csparse.join(F.broadcast(qsparse.withColumnRenamed("val", "qval")),
+                     "dim")
+        .where(F.col("cdoc") != F.col("qid"))
+        .groupBy("qid", "cdoc", "chunk_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm.where(F.col("qn") > 0)), "qid")
+        .join(cnorm.where(F.col("cn") > 0), ["cdoc", "chunk_id"])
+        .select("qid", "cdoc", "chunk_id", "dot",
+                (F.col("dot").cast("double")
+                 / (F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double")))).alias("cosine"))
+    )
+    from pyspark.sql import Window as W
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "cdoc",
+                                     "chunk_id")
+    return (
+        scored.select("qid", "cdoc", "chunk_id", "dot", "cosine",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= RAG_TOP_K)
+    )

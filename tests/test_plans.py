@@ -398,6 +398,9 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
                                     # final rollup reuses partitioning
     ("decayed_engagement", 2),      # 1-row anchor agg broadcast +
                                     # user_id aggregation
+    ("rag_chunk_retrieval", 6),     # chunk+query posting aggs, the
+                                    # dim equi-join's dot agg, norms,
+                                    # top-k window; queries broadcast
 ])
 def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-6 operators: same exchange-budget discipline."""

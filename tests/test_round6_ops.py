@@ -14,14 +14,30 @@ from mit_mapreduce_spark.testing import compare
 operators.load_all()
 
 _ROUND6 = ["group_aware_kfold", "pack_efficiency_report",
-           "url_domain_stats", "vocab_growth_by_source"]
+           "url_domain_stats", "vocab_growth_by_source",
+           "sketch_quantile_bins", "decayed_engagement",
+           "rag_chunk_retrieval"]
 
 
 def _stage_docs(spark, rows, td):
-    (spark.createDataFrame(rows, "doc_id long, text string, source string")
-     .withColumn("lang", F.lit("en"))
-     .withColumn("n_chars", F.length("text"))
-     .write.parquet(os.path.join(td, "documents.parquet")))
+    # single-file parquet (pyarrow): the DuckDB oracle globs
+    # {dir}/documents.parquet and cannot descend into a Spark
+    # directory write
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
 
 
 def test_round6_oracle_gate(spark, sf_dir):
@@ -172,3 +188,28 @@ def test_decayed_engagement_hand_computed(spark, tmp_path):
     ok, msg = compare(operators.QUERIES["decayed_engagement"](spark, td),
                       operators.ORACLES["decayed_engagement"], td)
     assert ok, msg
+
+
+def test_rag_retrieval_duplicate_chunk_is_top_hit(spark):
+    """A query doc that verbatim-contains another doc's chunk must
+    retrieve that chunk at rank 1 with cosine 1.0 (the chunk's tokens
+    are exactly the query's tokens here), and never retrieve chunks of
+    the query doc itself."""
+    from mit_mapreduce_spark.operators.curation import RAG_QUERY_MOD
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, base, "s"),                       # query (doc_id % MOD == 0)
+            (1, base, "s"),                       # duplicate -> its chunk
+            (2, "totally different words here about other things", "s")]
+    with tempfile.TemporaryDirectory() as td:
+        _stage_docs(spark, rows, td)
+        hits = {(r.qid, r.rnk): r for r in
+                operators.QUERIES["rag_chunk_retrieval"](spark, td).collect()}
+        ok, msg = compare(
+            operators.QUERIES["rag_chunk_retrieval"](spark, td),
+            operators.ORACLES["rag_chunk_retrieval"], td)
+    assert ok, msg
+    top = hits[(0, 1)]
+    assert top.cdoc == 1 and abs(top.cosine - 1.0) < 1e-12
+    assert all(r.cdoc != 0 for r in hits.values())
+    assert RAG_QUERY_MOD == 100
