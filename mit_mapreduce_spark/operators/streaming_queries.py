@@ -304,3 +304,54 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return spark.table(run_stream_to_table(out, "update"))
+
+
+@query("stream_quantile_bins")
+def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `sketch_quantile_bins`: the (event_type, bin)
+    counters ARE streaming-native state — integer, bounded by
+    bins-per-type, merged by addition every micro-batch — so the
+    running p50/p90/p99 per type is a complete-mode windowless
+    aggregation over the counter table. This is the serving shape for
+    'current latency percentiles': the state never holds raw values,
+    only the mergeable histogram (batch twin equality asserted in
+    tests/test_streaming.py).
+
+    Two-level plan: the stream aggregates counters (stateful, bounded
+    state); the tiny counter table finishes with the same cumulative
+    pick as the batch query per drain."""
+    from mit_mapreduce_spark.operators.sketches import QB_WIDTH_CENTS
+
+    tune(spark)
+    ev = events_stream(spark, sf_dir)
+    counters = (
+        ev.select("event_type",
+                  F.expr(f"CAST(round(value * 100) AS BIGINT)"
+                         f" div {QB_WIDTH_CENTS}").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tbl = run_stream_to_table(counters, "complete")
+
+    from pyspark.sql import Window as W
+    c = spark.table(tbl)
+    wcum = (W.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, 0))
+    wall = W.partitionBy("event_type")
+    cum = c.select(
+        "event_type", "bin", "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"))
+
+    def pick(q: float, name: str):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n"))
+                   .cast("bigint"),
+                   F.col("bin") * QB_WIDTH_CENTS)
+        ).cast("bigint").alias(name)
+
+    return (
+        cum.groupBy("event_type", F.col("n").alias("n_events"))
+        .agg(pick(0.50, "p50_cents"), pick(0.90, "p90_cents"),
+             pick(0.99, "p99_cents"))
+    )

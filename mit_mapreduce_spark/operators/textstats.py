@@ -1473,3 +1473,116 @@ def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
               .cast("double") / F.count("*")).alias("hapax_ratio"))
     )
+
+
+# --- BM25 lexical retrieval -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+BM25_QUERY_MOD = 100   # doc_id % MOD == 0 plays the query set
+BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avgdl),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    idf AS (
+      SELECT w, CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                              / (df + 0.5) + 1.0) * {BM25_GRID})
+                     AS BIGINT) AS idf_micro
+      FROM dfreq, stats),
+    q AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id % {BM25_QUERY_MOD} = 0),
+    terms AS (
+      SELECT q.qid, c.doc_id AS did,
+             CAST(round(idf.idf_micro
+                  * ((c.tf * {BM25_K1 + 1.0})
+                     / (c.tf + {BM25_K1} * ({1.0 - BM25_B}
+                        + {BM25_B} * (dl.dl / avgdl))))) AS BIGINT)
+               AS term_score
+      FROM q
+      JOIN tf c ON c.w = q.w AND c.doc_id <> q.qid
+      JOIN dl ON dl.doc_id = c.doc_id
+      JOIN idf ON idf.w = q.w
+      CROSS JOIN stats),
+    scored AS (
+      SELECT qid, did, CAST(SUM(term_score) AS BIGINT) AS score_micro
+      FROM terms GROUP BY qid, did)
+    SELECT qid, did, score_micro, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, did) AS rnk
+          FROM scored)
+    WHERE rnk <= {BM25_TOP_K}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Spärck Jones): each query
+    document's terms score the corpus with the classic
+    idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) formula (k1={BM25_K1},
+    b={BM25_B}) and the top-{BM25_TOP_K} documents come back — the
+    lexical leg of every hybrid retrieval stack, next to the hashed/
+    dense legs (`rag_chunk_retrieval`, `hashed_knn_search`).
+
+    Determinism under the hash gate: ln() is the one libm call whose
+    last bit can differ across engines, so idf is SNAPPED to a
+    {BM25_GRID} integer grid immediately (the collocations/LM-quality
+    log-free discipline, relaxed by one quantized ln); every per-term
+    score is likewise a rounded integer, so the per-(query, doc)
+    aggregation is an exact integer sum — order-independent under any
+    partitioning. Plan shape: postings (doc, term, tf) once, df/dl/
+    avgdl side tables (vocabulary- and corpus-bounded), the bounded
+    query term set broadcast against the posting list on the TERM
+    equi-join — candidate volume is Σ_term q_tf·df(term), the
+    inverted-index bound, never |Q|×|D|."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (fan_out(docs)
+            .select("doc_id", F.explode(_spark_tokens()).alias("w")))
+    tf = (toks.groupBy("doc_id", "w")
+          .agg(F.count("*").cast("bigint").alias("tf"))
+          .localCheckpoint(eager=False))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    n_docs = docs.count()
+    total_toks = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
+    avgdl = float(total_toks) / n_docs
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    idf = dfreq.select(
+        "w",
+        F.round(F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                      / (F.col("df") + 0.5) + 1.0) * BM25_GRID)
+        .cast("bigint").alias("idf_micro"))
+    q = (tf.where(F.col("doc_id") % BM25_QUERY_MOD == 0)
+         .select(F.col("doc_id").alias("qid"), "w"))
+    term_score = F.round(
+        F.col("idf_micro")
+        * ((F.col("tf") * (BM25_K1 + 1.0))
+           / (F.col("tf") + BM25_K1 * ((1.0 - BM25_B)
+              + BM25_B * (F.col("dl") / F.lit(avgdl)))))).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(q), "w")
+        .where(F.col("doc_id") != F.col("qid"))
+        .join(dl, "doc_id")
+        .join(idf, "w")
+        .select("qid", F.col("doc_id").alias("did"),
+                term_score.alias("term_score"))
+        .groupBy("qid", "did")
+        .agg(F.sum("term_score").cast("bigint").alias("score_micro"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score_micro").desc(), "did")
+    return (
+        scored.select("qid", "did", "score_micro",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= BM25_TOP_K)
+    )

@@ -401,6 +401,9 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
     ("rag_chunk_retrieval", 6),     # chunk+query posting aggs, the
                                     # dim equi-join's dot agg, norms,
                                     # top-k window; queries broadcast
+    ("bm25_topk", 6),               # postings + df/dl stats + the term
+                                    # equi-join's score agg + top-k
+                                    # window; query terms broadcast
 ])
 def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-6 operators: same exchange-budget discipline."""

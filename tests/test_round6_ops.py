@@ -16,7 +16,7 @@ operators.load_all()
 _ROUND6 = ["group_aware_kfold", "pack_efficiency_report",
            "url_domain_stats", "vocab_growth_by_source",
            "sketch_quantile_bins", "decayed_engagement",
-           "rag_chunk_retrieval"]
+           "rag_chunk_retrieval", "bm25_topk"]
 
 
 def _stage_docs(spark, rows, td):
@@ -204,12 +204,34 @@ def test_rag_retrieval_duplicate_chunk_is_top_hit(spark):
     with tempfile.TemporaryDirectory() as td:
         _stage_docs(spark, rows, td)
         hits = {(r.qid, r.rnk): r for r in
-                operators.QUERIES["rag_chunk_retrieval"](spark, td).collect()}
+                operators.QUERIES["rag_chunk_retrieval", "bm25_topk"](spark, td).collect()}
         ok, msg = compare(
-            operators.QUERIES["rag_chunk_retrieval"](spark, td),
-            operators.ORACLES["rag_chunk_retrieval"], td)
+            operators.QUERIES["rag_chunk_retrieval", "bm25_topk"](spark, td),
+            operators.ORACLES["rag_chunk_retrieval", "bm25_topk"], td)
     assert ok, msg
     top = hits[(0, 1)]
     assert top.cdoc == 1 and abs(top.cosine - 1.0) < 1e-12
     assert all(r.cdoc != 0 for r in hits.values())
     assert RAG_QUERY_MOD == 100
+
+
+def test_bm25_exact_duplicate_ranks_first(spark):
+    """A verbatim duplicate of the query doc shares every term with
+    the query's tf profile — it must be the rank-1 hit; a doc sharing
+    no terms must not appear at all."""
+    base = "retrieval with ranked lexical scoring of shared terms"
+    rows = [(0, base, "s"),
+            (100, base, "s"),                   # also a query; dup of 0
+            (1, base + " plus extra words diluting length", "s"),
+            (2, "completely disjoint vocabulary document", "s")]
+    with tempfile.TemporaryDirectory() as td:
+        _stage_docs(spark, rows, td)
+        hits = {(r.qid, r.rnk): r for r in
+                operators.QUERIES["bm25_topk"](spark, td).collect()}
+        ok, msg = compare(operators.QUERIES["bm25_topk"](spark, td),
+                          operators.ORACLES["bm25_topk"], td)
+    assert ok, msg
+    assert hits[(0, 1)].did == 100   # exact dup outranks the diluted doc
+    assert hits[(100, 1)].did == 0
+    assert all(r.did != 2 for r in hits.values())
+    assert all(r.did != r.qid for r in hits.values())

@@ -437,3 +437,17 @@ def test_streaming_throughput_keeps_up(spark, tmp_path):
     print(f"\nstreaming throughput: {len(data_batches)} batches in "
           f"{wall:.1f}s = {batches_per_sec:.1f} batches/s, "
           f"{rows_per_sec:.0f} rows/s")
+
+
+def test_stream_quantile_bins_equals_batch(spark, sf_dir):
+    """The streaming histogram-quantile sketch must equal its batch
+    twin row-for-row after the availableNow drain (counters are
+    mergeable integers, so cross-batch accumulation is exact)."""
+    got = {r.event_type: r for r in
+           QUERIES["stream_quantile_bins"](spark, sf_dir).collect()}
+    want = {r.event_type: r for r in
+            QUERIES["sketch_quantile_bins"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for et in want:
+        for col in ("n_events", "p50_cents", "p90_cents", "p99_cents"):
+            assert got[et][col] == want[et][col], (et, col)
