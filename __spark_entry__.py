@@ -82,20 +82,27 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
 })
 
 
-def _recorded_green() -> frozenset[str]:
-    """Names with an official green driver row: the static prior-round
-    set UNION every hash-green (or rows-recorded) entry in committed
-    CORRECTNESS_r*.json files. Reading the driver's own records makes
-    rotation self-maintaining — a query goes green in round N, and in
-    round N+1 it automatically yields its snapshot slot to still-
-    unrecorded queries. Red rows (hash_match false) are deliberately
-    NOT counted: they stay fresh-first until a green row lands."""
+def _recorded_green() -> dict[str, int]:
+    """Names with an official green driver row, mapped to the LATEST
+    round whose committed CORRECTNESS_r*.json shows them green (the
+    static prior-round set counts as round 0). Reading the driver's
+    own records makes rotation self-maintaining — a query goes green
+    in round N, and in round N+1 it automatically yields its snapshot
+    slot to still-unrecorded queries; with the registry closed, the
+    round number orders re-confirmation OLDEST-EVIDENCE-FIRST
+    (VERDICT r6 #8) so every oracle row cycles back through the
+    driver's 50-slot snapshot within a bounded number of rounds. Red
+    rows (hash_match false) are deliberately NOT counted: they stay
+    fresh-first until a green row lands."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    names = set(_VERIFIED_PRIOR_ROUNDS)
+    last_green = {name: 0 for name in _VERIFIED_PRIOR_ROUNDS}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -106,12 +113,13 @@ def _recorded_green() -> frozenset[str]:
         for name, row in doc.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
-            if row.get("hash_match") is True:
-                names.add(name)
-            elif row.get("hash_match") is None and row.get("rows_match") \
-                    is not False and row.get("spark_rows") is not None:
-                names.add(name)  # rows-only query with a recorded row
-    return frozenset(names)
+            green = (row.get("hash_match") is True
+                     or (row.get("hash_match") is None
+                         and row.get("rows_match") is not False
+                         and row.get("spark_rows") is not None))
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -123,25 +131,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordering (see _VERIFIED_PRIOR_ROUNDS): oracle-bearing queries with
     no official correctness row yet come first so the driver's
     50-entry snapshot extends coverage each round instead of re-proving
-    the same prefix; already-recorded and rows-only queries follow in
-    registration order. Same key set either way.
+    the same prefix; rows-only queries follow; already-recorded queries
+    come last, sorted OLDEST green evidence first (VERDICT r6 #8) so
+    the closed registry's rows are each re-confirmed by the driver
+    within a bounded number of rounds. Same key set either way.
     """
-    verified = _recorded_green()
+    last_green = _recorded_green()
     fresh_oracle = {}
     fresh_rows_only = {}
     recorded = {}
     for name, fn in operators.QUERIES.items():
-        if name in verified:
+        if name in last_green:
             recorded[name] = fn
         elif name in operators.ORACLES:
             fresh_oracle[name] = fn
         else:
             fresh_rows_only[name] = fn
-    # As of round 6 the fresh-oracle set is far below the 50-entry
-    # snapshot (only the r05 red/errored rows plus the gate-hardened
-    # hashed_text_embeddings), so no deferral is needed: fresh oracle
-    # queries first, then rows-only, then recorded — each group in
-    # plain registration order.
+    recorded = dict(sorted(recorded.items(),
+                           key=lambda kv: last_green[kv[0]]))
     return {**fresh_oracle, **fresh_rows_only, **recorded}
 
 

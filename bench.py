@@ -82,11 +82,17 @@ def main() -> None:
     # Retime protocol (round-5 verdict): the host is noisy enough that a
     # single capture can show 3-20x phantom regressions (multimodal_decode
     # recorded 38.98 s in r05, re-timed 1.86 s). Any query the delta gate
-    # flags is re-run standalone best-of-2 and the ADJUDICATED (minimum
-    # observed) time becomes the recorded number; both readings land in
-    # the ``retimed`` block so the adjudication itself is on the record.
+    # flags is re-run standalone twice and the ADJUDICATED time is the
+    # MEDIAN of the three readings (ADVICE r6: taking the minimum only
+    # for regressed queries, while everything else keeps single-capture
+    # times, would bias the recorded trend toward improvement — the
+    # median discards one phantom spike without manufacturing a best
+    # case); all readings land in the ``retimed`` block so the
+    # adjudication itself is on the record.
     retimed: dict[str, dict] = {}
     if deltas and deltas.get("regressed"):
+        import statistics
+
         for name in sorted(deltas["regressed"]):
             first = times[name]
             reruns = []
@@ -98,7 +104,7 @@ def main() -> None:
                           file=sys.stderr)
                     break
             if reruns:
-                adjudicated = round(min([first] + reruns), 3)
+                adjudicated = round(statistics.median([first] + reruns), 3)
                 retimed[name] = {"first": first, "reruns": reruns,
                                  "adjudicated": adjudicated}
                 times[name] = adjudicated

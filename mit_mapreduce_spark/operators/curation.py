@@ -1179,9 +1179,13 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- RAG chunk retrieval: sparse inverted-index search over chunks ----------
 
-RAG_QUERY_MOD = 100   # doc_id % MOD == 0 plays the query set
+RAG_QUERY_MOD = 100   # doc_id % MOD == 0 pre-filters query candidates
+RAG_N_QUERIES = 64    # constant query budget (ORDER BY doc_id LIMIT)
 RAG_TOP_K = 3
-RAG_DIM = 64          # feature-hashing dimensions (matches textstats)
+RAG_DIM = 4096        # hashing dims — high enough that the (chunk, dim)
+                      # postings are genuinely sparse (chunks have ~40
+                      # tokens, so ≤ ~40 of 4096 dims populated) and the
+                      # dim equi-join behaves like a posting-list index
 
 
 def _sql_rag() -> str:
@@ -1204,9 +1208,12 @@ def _sql_rag() -> str:
     cnorm AS (
       SELECT cdoc, chunk_id, CAST(SUM(val * val) AS BIGINT) AS cn
       FROM csparse GROUP BY cdoc, chunk_id),
+    qids AS (
+      SELECT doc_id FROM documents WHERE doc_id % {RAG_QUERY_MOD} = 0
+      ORDER BY doc_id LIMIT {RAG_N_QUERIES}),
     qtoks AS (
       SELECT doc_id AS qid, unnest({_WS_TOKS_SQL}) AS w
-      FROM documents WHERE doc_id % {RAG_QUERY_MOD} = 0),
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM qids)),
     qsparse AS (
       SELECT qid, {bucket} AS dim, CAST(SUM({sgn}) AS BIGINT) AS val
       FROM qtoks GROUP BY qid, dim),
@@ -1246,16 +1253,20 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds, expressed end to end in one plan.
 
     The plan shape is the scalable one: vectors stay SPARSE as
-    (key, dim, val) postings and the query⋈chunk match is an
-    equi-join ON THE DIMENSION — the inverted-index/posting-list
-    pattern — so candidate volume is Σ_dim |q_dim|·|c_dim| (bounded
-    by query count × corpus nnz), never a dense all-pairs cross join;
-    dot products are one integer aggregation over matched postings.
-    At 100 TB the posting lists partition by dim exactly like a search
-    engine's impact-sorted index, queries ride a broadcast, and the
-    same plan serves lexical BM25-ish or learned-sparse (SPLADE-style)
-    weights by swapping the val expression. Zero-norm chunks/queries
-    are excluded on both engines (the cosine-tier contract)."""
+    (key, dim, val) postings — {RAG_DIM} hashing dims against ~40-token
+    chunks means each chunk populates ≲1% of dims, so the query⋈chunk
+    dim equi-join is a true inverted-index/posting-list match, not a
+    dense blocked all-pairs; candidate volume is Σ_dim |q_dim|·|c_dim|,
+    and dot products are one integer aggregation over matched postings.
+    The query set is a CONSTANT budget — `% {RAG_QUERY_MOD}` pre-filter
+    then ORDER BY doc_id LIMIT {RAG_N_QUERIES} in BOTH engines — so the
+    broadcast query postings are ≤ {RAG_N_QUERIES} docs' tokens at any
+    corpus size, never corpus-proportional. At 100 TB the posting lists
+    partition by dim exactly like a search engine's impact-sorted
+    index, and the same plan serves lexical BM25-ish or learned-sparse
+    (SPLADE-style) weights by swapping the val expression. Zero-norm
+    chunks/queries are excluded on both engines (the cosine-tier
+    contract)."""
     from mit_mapreduce_spark.operators.dedup import hash60
 
     ch = chunk_documents(spark, sf_dir)
@@ -1278,14 +1289,18 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum(F.col("val") * F.col("val")).cast("bigint")
                   .alias("cn")))
     docs = load_table(spark, sf_dir, "documents")
+    qids = (docs.where(F.col("doc_id") % RAG_QUERY_MOD == 0)
+            .orderBy("doc_id").limit(RAG_N_QUERIES).select("doc_id"))
     qsparse = (
-        docs.where(F.col("doc_id") % RAG_QUERY_MOD == 0)
+        docs.join(F.broadcast(qids), "doc_id")
         .select(F.col("doc_id").alias("qid"),
                 F.explode(_ws_tokens()).alias("w"))
         .select("qid", bucket(F.col("w")).alias("dim"),
                 sgn(F.col("w")).alias("s"))
         .groupBy("qid", "dim").agg(F.sum("s").cast("bigint").alias("val"))
-        .localCheckpoint(eager=False)
+        # no checkpoint: the query side is ≤ RAG_N_QUERIES docs, cheap to
+        # recompute, and keeping its lineage visible lets the plan test
+        # assert the GlobalLimit under the broadcast
     )
     qnorm = (qsparse.groupBy("qid")
              .agg(F.sum(F.col("val") * F.col("val")).cast("bigint")

@@ -149,6 +149,20 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 QB_WIDTH_CENTS = 500   # 5.00-unit bins over value; error bound = 1 bin
 
 
+def _floor_bin_expr():
+    """Cent-grid bin with FLOOR division semantics, in exact integer
+    arithmetic: ``(c - pmod(c, w)) div w`` equals floor(c / w) for any
+    sign of c. Spark's ``div`` truncates toward zero while the DuckDB
+    oracle's ``//`` floors — they differ on negative values (ADVICE r6),
+    so both the batch sketch and its streaming twin bin through this
+    shared expression and the oracle keeps ``//``."""
+    w = QB_WIDTH_CENTS
+    return F.expr(
+        f"CAST((CAST(round(value * 100) AS BIGINT)"
+        f" - pmod(CAST(round(value * 100) AS BIGINT), {w})) div {w}"
+        f" AS BIGINT)")
+
+
 @query(
     "sketch_quantile_bins",
     oracle=f"""
@@ -199,9 +213,7 @@ def sketch_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     c = (
-        ev.select("event_type",
-                  F.expr(f"CAST(round(value * 100) AS BIGINT)"
-                         f" div {QB_WIDTH_CENTS}").alias("bin"))
+        ev.select("event_type", _floor_bin_expr().alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )

@@ -320,14 +320,13 @@ def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-level plan: the stream aggregates counters (stateful, bounded
     state); the tiny counter table finishes with the same cumulative
     pick as the batch query per drain."""
-    from mit_mapreduce_spark.operators.sketches import QB_WIDTH_CENTS
+    from mit_mapreduce_spark.operators.sketches import (
+        QB_WIDTH_CENTS, _floor_bin_expr)
 
     tune(spark)
     ev = events_stream(spark, sf_dir)
     counters = (
-        ev.select("event_type",
-                  F.expr(f"CAST(round(value * 100) AS BIGINT)"
-                         f" div {QB_WIDTH_CENTS}").alias("bin"))
+        ev.select("event_type", _floor_bin_expr().alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )

@@ -1264,7 +1264,8 @@ def hashed_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text search over hashed embeddings -----------------------------------
 
-FH_QUERY_MOD = 100   # doc_id % MOD == 0 plays the query set
+FH_QUERY_MOD = 100   # doc_id % MOD == 0 pre-filters query candidates
+FH_N_QUERIES = 64    # constant query budget (ORDER BY doc_id LIMIT)
 FH_TOP_K = 3
 
 
@@ -1272,7 +1273,8 @@ def _sql_fh_knn() -> str:
     return f"""
     WITH fh AS ({_sql_fh()}),
     q AS (SELECT doc_id AS qid, vec AS qv, norm_sq AS qn FROM fh
-          WHERE doc_id % {FH_QUERY_MOD} = 0 AND norm_sq > 0),
+          WHERE doc_id % {FH_QUERY_MOD} = 0 AND norm_sq > 0
+          ORDER BY doc_id LIMIT {FH_N_QUERIES}),
     c AS (SELECT doc_id AS cid, vec AS cv, norm_sq AS cn FROM fh
           WHERE norm_sq > 0),
     dots AS (
@@ -1305,15 +1307,19 @@ def hashed_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed counts, so there is no scaled-rounding contract at all —
     the dot column itself is a BIGINT under the hash gate).
 
-    Same plan as ann_bruteforce_topk: the bounded query set rides a
-    broadcast against a linear candidate scan, per-query top-k window;
-    zero-vector docs are excluded on both engines by the norm_sq > 0
-    rule (the zero-norm contract composing across tiers). At 100 TB
-    the bounded-query exact scan is the rerank stage; candidate
-    generation at scale is the LSH/PQ tier over these same vectors."""
+    Same plan as ann_bruteforce_topk: the query set is a CONSTANT
+    budget — `% {FH_QUERY_MOD}` pre-filter then ORDER BY doc_id
+    LIMIT {FH_N_QUERIES} in BOTH engines — so the broadcast stays
+    ≤ {FH_N_QUERIES} rows at any corpus size; candidates are a linear
+    scan with a per-query top-k window. Zero-vector docs are excluded
+    on both engines by the norm_sq > 0 rule (the zero-norm contract
+    composing across tiers). At 100 TB the bounded-query exact scan is
+    the rerank stage; candidate generation at scale is the LSH/PQ tier
+    over these same vectors."""
     fh = _fh_vectors(spark, sf_dir).localCheckpoint(eager=False)
     q = (fh.where((F.col("doc_id") % FH_QUERY_MOD == 0)
                   & (F.col("norm_sq") > 0))
+         .orderBy("doc_id").limit(FH_N_QUERIES)
          .select(F.col("doc_id").alias("qid"), F.col("vec").alias("qv"),
                  F.col("norm_sq").alias("qn")))
     c = (fh.where(F.col("norm_sq") > 0)
@@ -1480,7 +1486,8 @@ def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 5
-BM25_QUERY_MOD = 100   # doc_id % MOD == 0 plays the query set
+BM25_QUERY_MOD = 100   # doc_id % MOD == 0 pre-filters query candidates
+BM25_N_QUERIES = 64    # constant query budget (ORDER BY doc_id LIMIT)
 BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
 
 
@@ -1496,14 +1503,18 @@ BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
     stats AS (
       SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
              CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE)
-               / (SELECT COUNT(*) FROM documents) AS avgdl),
+               / NULLIF((SELECT COUNT(*) FROM documents), 0) AS avgdl),
     dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
     idf AS (
       SELECT w, CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
                               / (df + 0.5) + 1.0) * {BM25_GRID})
                      AS BIGINT) AS idf_micro
       FROM dfreq, stats),
-    q AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id % {BM25_QUERY_MOD} = 0),
+    qids AS (
+      SELECT doc_id FROM documents WHERE doc_id % {BM25_QUERY_MOD} = 0
+      ORDER BY doc_id LIMIT {BM25_N_QUERIES}),
+    q AS (SELECT doc_id AS qid, w FROM tf
+          WHERE doc_id IN (SELECT doc_id FROM qids)),
     terms AS (
       SELECT q.qid, c.doc_id AS did,
              CAST(round(idf.idf_micro
@@ -1540,11 +1551,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-free discipline, relaxed by one quantized ln); every per-term
     score is likewise a rounded integer, so the per-(query, doc)
     aggregation is an exact integer sum — order-independent under any
-    partitioning. Plan shape: postings (doc, term, tf) once, df/dl/
-    avgdl side tables (vocabulary- and corpus-bounded), the bounded
-    query term set broadcast against the posting list on the TERM
-    equi-join — candidate volume is Σ_term q_tf·df(term), the
-    inverted-index bound, never |Q|×|D|."""
+    partitioning.
+
+    Plan shape: postings (doc, term, tf) once, df/dl side tables
+    (vocabulary- and corpus-bounded), and a CONSTANT query budget —
+    `% {BM25_QUERY_MOD}` pre-filter then ORDER BY doc_id
+    LIMIT {BM25_N_QUERIES} in BOTH engines — so the broadcast query
+    term set is genuinely bounded at any corpus size (≤ {BM25_N_QUERIES}
+    docs' terms), never corpus-proportional. Candidate volume is
+    Σ_term q_tf·df(term), the inverted-index bound, never |Q|×|D|.
+    n_docs/avgdl are a 1-row in-plan aggregate riding a broadcast
+    (no driver collect; an empty corpus degrades to zero rows through
+    NULL avgdl, no division error)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1554,22 +1572,33 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.count("*").cast("bigint").alias("tf"))
           .localCheckpoint(eager=False))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    n_docs = docs.count()
-    total_toks = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
-    avgdl = float(total_toks) / n_docs
+    stats = (
+        docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
+                          .alias("_total")))
+        .select("n_docs",
+                (F.col("_total")
+                 / F.nullif(F.col("n_docs"), F.lit(0)).cast("double"))
+                .alias("avgdl"))
+    )
     dfreq = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
-    idf = dfreq.select(
-        "w",
-        F.round(F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                      / (F.col("df") + 0.5) + 1.0) * BM25_GRID)
-        .cast("bigint").alias("idf_micro"))
-    q = (tf.where(F.col("doc_id") % BM25_QUERY_MOD == 0)
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "w", "avgdl",
+            F.round(F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5) + 1.0) * BM25_GRID)
+            .cast("bigint").alias("idf_micro"))
+    )
+    qids = (docs.where(F.col("doc_id") % BM25_QUERY_MOD == 0)
+            .orderBy("doc_id").limit(BM25_N_QUERIES).select("doc_id"))
+    q = (tf.join(F.broadcast(qids), "doc_id")
          .select(F.col("doc_id").alias("qid"), "w"))
     term_score = F.round(
         F.col("idf_micro")
         * ((F.col("tf") * (BM25_K1 + 1.0))
            / (F.col("tf") + BM25_K1 * ((1.0 - BM25_B)
-              + BM25_B * (F.col("dl") / F.lit(avgdl)))))).cast("bigint")
+              + BM25_B * (F.col("dl") / F.col("avgdl")))))).cast("bigint")
     scored = (
         tf.join(F.broadcast(q), "w")
         .where(F.col("doc_id") != F.col("qid"))
@@ -1585,4 +1614,73 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "did", "score_micro",
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= BM25_TOP_K)
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of the two legs ---------------
+
+RRF_K = 60            # the standard RRF damping constant (Cormack et al.)
+RRF_GRID = 10 ** 9    # 1/(k+rank) on an integer micro-grid (exact sums)
+RRF_TOP_K = 5
+
+
+def _sql_rrf() -> str:
+    from mit_mapreduce_spark.operators.registry import ORACLES
+
+    return f"""
+    WITH bm AS ({ORACLES['bm25_topk']}),
+    kn AS ({ORACLES['hashed_knn_search']}),
+    united AS (
+      SELECT qid, did, {RRF_GRID} // ({RRF_K} + rnk) AS rrf FROM bm
+      UNION ALL
+      SELECT qid, cid AS did, {RRF_GRID} // ({RRF_K} + rnk) AS rrf FROM kn),
+    fused AS (
+      SELECT qid, did, CAST(SUM(rrf) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_legs
+      FROM united GROUP BY qid, did)
+    SELECT qid, did, rrf_micro, n_legs, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_micro DESC, did) AS rnk
+          FROM fused)
+    WHERE rnk <= {RRF_TOP_K}
+    """
+
+
+@query("hybrid_rrf_retrieval", oracle=_sql_rrf())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): union the lexical leg (`bm25_topk`) and the dense
+    leg (`hashed_knn_search`), score each (query, doc) hit as
+    Σ_legs 1/({RRF_K}+rank), keep the top-{RRF_TOP_K} — the standard
+    production recipe for combining keyword and embedding search
+    without score calibration (ranks are comparable, raw scores are
+    not). `n_legs` records how many legs retrieved the doc (2 = both,
+    the high-confidence band).
+
+    Determinism: 1/(k+rank) is snapped to a {RRF_GRID} integer grid
+    (floor division — identical in both engines for positive ints), so
+    the fusion sum is exact integer arithmetic under the hash gate.
+    Scale posture: both legs already carry the constant query budget
+    (ORDER BY doc_id LIMIT) and their certified plans; the fusion adds
+    one union + one (qid, did) aggregation over ≤ 2·|Q|·top_k rows —
+    kilobytes at any corpus size. At 100 TB this is the cheap head of
+    the funnel's output, not a data-scale operator."""
+    from pyspark.sql import Window as W
+
+    rrf = lambda rnk: F.expr(f"{RRF_GRID} div ({RRF_K} + {rnk})")  # noqa: E731
+    bm = (bm25_topk(spark, sf_dir)
+          .select("qid", "did", rrf("rnk").alias("rrf")))
+    kn = (hashed_knn_search(spark, sf_dir)
+          .select("qid", F.col("cid").alias("did"), rrf("rnk").alias("rrf")))
+    fused = (
+        bm.unionByName(kn)
+        .groupBy("qid", "did")
+        .agg(F.sum("rrf").cast("bigint").alias("rrf_micro"),
+             F.count("*").cast("bigint").alias("n_legs"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), "did")
+    return (
+        fused.select("qid", "did", "rrf_micro", "n_legs",
+                     F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= RRF_TOP_K)
     )

@@ -549,7 +549,8 @@ def test_empty_corpus_everything_degrades_to_zero_rows(spark, tmp_path):
                "pack_sequences", "chunk_documents", "ngram_novelty",
                "hashed_text_embeddings", "remove_dup_passages",
                "group_aware_kfold", "pack_efficiency_report",
-               "url_domain_stats", "vocab_growth_by_source"]:
+               "url_domain_stats", "vocab_growth_by_source",
+               "bm25_topk", "rag_chunk_retrieval", "hashed_knn_search"]:
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
@@ -693,3 +694,117 @@ def test_fuzz_sources_roundtrips(spark, tmp_path):
         got = _canon_rows(sources.read_xml(
             spark, str(base / "xml"), schema=schema))
         assert got == want, f"trial {trial} XML diff"
+
+
+# --- round-7 fuzz: retrieval tier (bm25 / RAG / hashed kNN) -----------------
+
+_RETRIEVAL_OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search"]
+
+
+def _stage_retrieval_docs(td: str, rows) -> None:
+    """Stage a documents table (doc_id, text, source) as a SINGLE
+    parquet file (the DuckDB oracle reads one file) + symlink the rest."""
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+
+
+def test_retrieval_empty_query_set(spark, tmp_path):
+    """No doc survives the `% MOD == 0` query pre-filter (all doc_ids
+    are non-multiples of 100) → the bounded query set is empty and all
+    three retrieval ops must return zero rows on BOTH engines, never
+    crash."""
+    rows = [(i, f"some words number {i} repeated here", "s")
+            for i in (1, 2, 3, 57, 99, 101, 199)]
+    td = str(tmp_path / "noq")
+    os.makedirs(td)
+    _stage_retrieval_docs(td, rows)
+    for op in _RETRIEVAL_OPS:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
+        assert df.count() == 0, op
+
+
+def test_retrieval_zero_norm_corpus(spark, tmp_path):
+    """Every document is empty or whitespace-only → every vector is
+    zero-norm and every tf profile empty; the zero-norm exclusion must
+    fire on both engines and all retrieval ops degrade to zero rows
+    (this is also the bm25 empty/degenerate-avgdl path — ADVICE r6:
+    the old driver-side avgdl divide crashed here)."""
+    rows = [(0, "", "s"), (100, "   \t ", "s"), (1, "", "s"),
+            (2, " \n ", "s")]
+    td = str(tmp_path / "zn")
+    os.makedirs(td)
+    _stage_retrieval_docs(td, rows)
+    for op in _RETRIEVAL_OPS:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
+        assert df.count() == 0, op
+
+
+def test_retrieval_single_doc_corpus(spark, tmp_path):
+    """A single document that IS the only query: the self-match
+    exclusion (did <> qid / cdoc <> qid) leaves no candidates — zero
+    rows, both engines."""
+    rows = [(0, "the only document in the whole corpus", "s")]
+    td = str(tmp_path / "one")
+    os.makedirs(td)
+    _stage_retrieval_docs(td, rows)
+    for op in _RETRIEVAL_OPS:
+        df = operators.QUERIES[op](spark, td)
+        ok, msg = compare(df, operators.ORACLES[op], td)
+        assert ok, f"{op}: {msg}"
+        assert df.count() == 0, op
+
+
+def test_retrieval_tie_break_determinism(spark, tmp_path):
+    """Many verbatim duplicates → identical scores/cosines across
+    candidates; rank must be tie-broken by id on both engines (the
+    oracle hash gate catches any nondeterministic ordering). Runs the
+    compare TWICE to catch partition-order flakiness."""
+    base = "alpha beta gamma delta epsilon"
+    rows = ([(0, base, "s"), (100, base, "s")]
+            + [(i, base, "s") for i in range(1, 9)]
+            + [(9, "unrelated disjoint vocabulary entirely", "s")])
+    td = str(tmp_path / "ties")
+    os.makedirs(td)
+    _stage_retrieval_docs(td, rows)
+    for op in _RETRIEVAL_OPS:
+        for attempt in range(2):
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"{op} attempt {attempt}: {msg}"
+
+
+def test_quantile_bins_negative_values(spark, tmp_path):
+    """Negative event values cross the floor-vs-truncate divide
+    (ADVICE r6: Spark `div` truncates toward zero, DuckDB `//`
+    floors — bins differ for values in (-width, 0)); the shared
+    floor-division expression must agree with the oracle exactly."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    td = str(tmp_path / "negev")
+    os.makedirs(td)
+    duckdb.connect().sql(
+        f"COPY (SELECT * REPLACE (CASE WHEN event_id % 3 = 0"
+        f" THEN -value - 0.01 ELSE value END AS value)"
+        f" FROM '{src}/events.parquet')"
+        f" TO '{td}/events.parquet' (FORMAT PARQUET)")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", os.path.join(td, f"{t}.parquet"))
+    df = operators.QUERIES["sketch_quantile_bins"](spark, td)
+    ok, msg = compare(df, operators.ORACLES["sketch_quantile_bins"], td)
+    assert ok, msg

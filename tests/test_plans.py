@@ -401,9 +401,12 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
     ("rag_chunk_retrieval", 6),     # chunk+query posting aggs, the
                                     # dim equi-join's dot agg, norms,
                                     # top-k window; queries broadcast
-    ("bm25_topk", 6),               # postings + df/dl stats + the term
+    ("bm25_topk", 7),               # postings + df/dl stats + the term
                                     # equi-join's score agg + top-k
-                                    # window; query terms broadcast
+                                    # window; query terms broadcast.
+                                    # 7th exchange = the 1-row n_docs/
+                                    # avgdl stats agg folded IN-PLAN
+                                    # (replaced two driver collects)
 ])
 def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-6 operators: same exchange-budget discipline."""
@@ -411,3 +414,31 @@ def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     n = plans.shuffle_count(df)
     assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
     assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("hybrid_rrf_retrieval", 10),   # both legs' certified plans (7 + 2)
+                                    # + the one (qid, did) fusion agg
+                                    # over ≤ 2·|Q|·top_k rows
+])
+def test_round7_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-7 operators: same exchange-budget discipline."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+@pytest.mark.parametrize("name", [
+    "bm25_topk", "rag_chunk_retrieval", "hashed_knn_search",
+])
+def test_retrieval_query_side_is_bounded_broadcast(spark, sf_dir, name):
+    """The retrieval tier's scale contract (VERDICT r6 #2): the query
+    side must be a CONSTANT budget — a LIMIT under the `% MOD`
+    pre-filter — and it must ride a broadcast. A corpus-proportional
+    broadcast would pin ~1 TB of postings into every executor at
+    100 TB; the LIMIT is what makes the broadcast hint honest."""
+    df = QUERIES[name](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan, name
+    assert "BroadcastExchange" in plan, name

@@ -204,10 +204,10 @@ def test_rag_retrieval_duplicate_chunk_is_top_hit(spark):
     with tempfile.TemporaryDirectory() as td:
         _stage_docs(spark, rows, td)
         hits = {(r.qid, r.rnk): r for r in
-                operators.QUERIES["rag_chunk_retrieval", "bm25_topk"](spark, td).collect()}
+                operators.QUERIES["rag_chunk_retrieval"](spark, td).collect()}
         ok, msg = compare(
-            operators.QUERIES["rag_chunk_retrieval", "bm25_topk"](spark, td),
-            operators.ORACLES["rag_chunk_retrieval", "bm25_topk"], td)
+            operators.QUERIES["rag_chunk_retrieval"](spark, td),
+            operators.ORACLES["rag_chunk_retrieval"], td)
     assert ok, msg
     top = hits[(0, 1)]
     assert top.cdoc == 1 and abs(top.cosine - 1.0) < 1e-12
