@@ -1489,6 +1489,20 @@ BM25_TOP_K = 5
 BM25_QUERY_MOD = 100   # doc_id % MOD == 0 pre-filters query candidates
 BM25_N_QUERIES = 64    # constant query budget (ORDER BY doc_id LIMIT)
 BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
+BM25_POSTING_TOP = 1024  # impact-sorted static index pruning: each TERM
+                         # keeps its top-M postings by (tf desc,
+                         # doc_id). Stop terms post in every document,
+                         # so untruncated posting lists grow with the
+                         # corpus and the term join degenerates toward
+                         # |Q| x n_docs — while contributing near-zero
+                         # score (idf ≈ 0 at df ≈ N). Truncation bounds
+                         # candidates by Σ_q q_terms x M, a constant
+                         # per query at any corpus size (Anh & Moffat
+                         # impact ordering / WAND-family pruning); df,
+                         # dl, avgdl and idf stay EXACT (computed
+                         # pre-truncation), so only the reachable
+                         # candidate set is approximate — identically
+                         # in both engines under the hash gate.
 
 
 @query(
@@ -1515,6 +1529,13 @@ BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
       ORDER BY doc_id LIMIT {BM25_N_QUERIES}),
     q AS (SELECT doc_id AS qid, w FROM tf
           WHERE doc_id IN (SELECT doc_id FROM qids)),
+    postings AS (
+      SELECT doc_id, w, tf FROM (
+        SELECT doc_id, w, tf,
+               row_number() OVER (PARTITION BY w
+                 ORDER BY tf DESC, doc_id) AS r
+        FROM tf)
+      WHERE r <= {BM25_POSTING_TOP}),
     terms AS (
       SELECT q.qid, c.doc_id AS did,
              CAST(round(idf.idf_micro
@@ -1523,7 +1544,7 @@ BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
                         + {BM25_B} * (dl.dl / avgdl))))) AS BIGINT)
                AS term_score
       FROM q
-      JOIN tf c ON c.w = q.w AND c.doc_id <> q.qid
+      JOIN postings c ON c.w = q.w AND c.doc_id <> q.qid
       JOIN dl ON dl.doc_id = c.doc_id
       JOIN idf ON idf.w = q.w
       CROSS JOIN stats),
@@ -1558,11 +1579,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `% {BM25_QUERY_MOD}` pre-filter then ORDER BY doc_id
     LIMIT {BM25_N_QUERIES} in BOTH engines — so the broadcast query
     term set is genuinely bounded at any corpus size (≤ {BM25_N_QUERIES}
-    docs' terms), never corpus-proportional. Candidate volume is
-    Σ_term q_tf·df(term), the inverted-index bound, never |Q|×|D|.
-    n_docs/avgdl are a 1-row in-plan aggregate riding a broadcast
-    (no driver collect; an empty corpus degrades to zero rows through
-    NULL avgdl, no division error)."""
+    docs' terms), never corpus-proportional. Posting lists are
+    impact-truncated to {BM25_POSTING_TOP} per term (BM25_POSTING_TOP
+    comment: the Zipf/stop-term candidate bound), so candidate volume
+    is ≤ Σ_q q_terms·{BM25_POSTING_TOP} — constant per query, never
+    |Q|×|D|. n_docs/avgdl are a 1-row in-plan aggregate riding a
+    broadcast (no driver collect; an empty corpus degrades to zero
+    rows through NULL avgdl, no division error)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1594,13 +1617,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id").limit(BM25_N_QUERIES).select("doc_id"))
     q = (tf.join(F.broadcast(qids), "doc_id")
          .select(F.col("doc_id").alias("qid"), "w"))
+    # impact-sorted static pruning (see BM25_POSTING_TOP): the term
+    # join sees at most M postings per term; df/dl/idf above stay exact
+    wp = W.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
+    postings = (tf.withColumn("_r", F.row_number().over(wp))
+                .where(F.col("_r") <= BM25_POSTING_TOP).drop("_r"))
     term_score = F.round(
         F.col("idf_micro")
         * ((F.col("tf") * (BM25_K1 + 1.0))
            / (F.col("tf") + BM25_K1 * ((1.0 - BM25_B)
               + BM25_B * (F.col("dl") / F.col("avgdl")))))).cast("bigint")
     scored = (
-        tf.join(F.broadcast(q), "w")
+        postings.join(F.broadcast(q), "w")
         .where(F.col("doc_id") != F.col("qid"))
         .join(dl, "doc_id")
         .join(idf, "w")

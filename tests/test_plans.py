@@ -398,15 +398,20 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
                                     # final rollup reuses partitioning
     ("decayed_engagement", 2),      # 1-row anchor agg broadcast +
                                     # user_id aggregation
-    ("rag_chunk_retrieval", 6),     # chunk+query posting aggs, the
+    ("rag_chunk_retrieval", 8),     # chunk+query posting aggs, the
                                     # dim equi-join's dot agg, norms,
-                                    # top-k window; queries broadcast
-    ("bm25_topk", 7),               # postings + df/dl stats + the term
+                                    # top-k window; queries broadcast.
+                                    # +2 in r7: the impact-truncation
+                                    # windows (per-dim posting top-M,
+                                    # per-query top-m dims) that bound
+                                    # candidates at |Q|*m*M
+    ("bm25_topk", 8),               # postings + df/dl stats + the term
                                     # equi-join's score agg + top-k
                                     # window; query terms broadcast.
-                                    # 7th exchange = the 1-row n_docs/
-                                    # avgdl stats agg folded IN-PLAN
-                                    # (replaced two driver collects)
+                                    # +1 r7: the 1-row n_docs/avgdl
+                                    # stats agg folded IN-PLAN (replaced
+                                    # two driver collects); +1 r7: the
+                                    # per-term posting-truncation window
 ])
 def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-6 operators: same exchange-budget discipline."""
