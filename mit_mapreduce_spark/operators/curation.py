@@ -1190,52 +1190,91 @@ RAG_Q_TOP_DIMS = 64   # impact pruning, query side: each query keeps its
                       # top-m dims by |val| (ties → lower dim), so long
                       # query docs can never blow up the join; short
                       # queries (< m populated dims) are untouched
-RAG_POSTING_TOP = 256 # impact pruning, index side: each DIM keeps its
-                      # top-M chunk postings by (|val| desc, cdoc,
-                      # chunk_id). The candidate blow-up is Zipf, not
-                      # dimensionality: stop-word dims post in (nearly)
-                      # every chunk, so their lists grow with the corpus
-                      # and the dim join degenerates to |Q| x n_chunks
-                      # (measured 7.7M matched postings at sf0.1 with
-                      # 4096 dims and only ~23 dims per query). Impact-
-                      # sorted truncation is the standard static-pruning
-                      # answer (Anh & Moffat; WAND-family engines): the
-                      # chunks that can actually win a cosine top-k
-                      # carry high |val| on the shared dim and survive;
-                      # candidates are bounded by |Q| x m x M — a
-                      # CONSTANT at any corpus size. Norms stay exact
-                      # (computed pre-truncation); the truncated dot is
-                      # the documented approximation, identical in both
-                      # engines, so the oracle gate still hashes exactly.
+RAG_IDF_GRID = 1000   # idf weight micro-grid: the hashed vectors are
+                      # non-negative tf-idf (idf over the CHUNK corpus,
+                      # +1-smoothed, snapped to this integer grid — the
+                      # bm25 quantized-ln discipline). Weights are
+                      # UNSIGNED by design: signed-hash dots are
+                      # non-monotone under any posting truncation
+                      # (dropping a negative product can inflate a
+                      # score), which is why real posting-list engines
+                      # are non-negative; the sign trick's collision
+                      # unbiasing matters at low dims, and at
+                      # {RAG_DIM} dims vs ~40-token chunks collisions
+                      # are rare. OOV query words get the max (df=0)
+                      # idf.
+RAG_POSTING_TOP = 256 # per-dim impact-truncation depth for the PRUNED
+                      # VARIANT (top-M chunk postings per dim by |val|
+                      # desc, id — Anh & Moffat impact ordering). NOT
+                      # the registered semantics: the candidate bound
+                      # it buys (|Q| x m x M constant; measured 7.68M
+                      # -> 298k matched postings at sf0.1, 26x) costs
+                      # recall@3 vs exact of 3/150 on this corpus
+                      # (bulk-common-vocabulary neighbors — the
+                      # pruning-adversarial case), so the registered
+                      # rag_chunk_retrieval serves the EXACT index and
+                      # this constant parameterizes the pruned twin
+                      # that retrieval_pruning_recall keeps honest.
 
 
-def _sql_rag() -> str:
+def _sql_rag(posting_top: int | None = None,
+             q_top_dims: int | None = None) -> str:
+    """RAG oracle; ``None`` means the registered impact-pruned
+    defaults, an explicit value overrides, and 0 disables that pruning
+    (the exact index — retrieval_pruning_recall's ground truth)."""
     from mit_mapreduce_spark.operators.dedup import _sql_hash60
     from mit_mapreduce_spark.operators.registry import ORACLES
 
+    ptop = RAG_POSTING_TOP if posting_top is None else posting_top
+    qtop = RAG_Q_TOP_DIMS if q_top_dims is None else q_top_dims
     bucket = f"{_sql_hash60('w')} % {RAG_DIM}"
-    sgn = ("CASE WHEN " + _sql_hash60("'sgn#' || w")
-           + " % 2 = 0 THEN 1 ELSE -1 END")
+    csparse = (
+        "SELECT cdoc, chunk_id, dim, val FROM csparse_all"
+        if ptop == 0 else f"""
+      SELECT cdoc, chunk_id, dim, val FROM (
+        SELECT cdoc, chunk_id, dim, val,
+               row_number() OVER (PARTITION BY dim
+                 ORDER BY abs(val) DESC, cdoc, chunk_id) AS r
+        FROM csparse_all WHERE val <> 0)
+      WHERE r <= {ptop}""")
+    qsparse = (
+        "SELECT qid, dim, val FROM qsparse_all"
+        if qtop == 0 else f"""
+      SELECT qid, dim, val FROM (
+        SELECT qid, dim, val, row_number() OVER (PARTITION BY qid
+                 ORDER BY abs(val) DESC, dim) AS r
+        FROM qsparse_all WHERE val <> 0)
+      WHERE r <= {qtop}""")
     return f"""
     WITH ch AS ({ORACLES['chunk_documents']}),
     ctoks AS (
       SELECT doc_id AS cdoc, chunk_id,
              unnest(regexp_split_to_array(chunk_text, ' ')) AS w
       FROM ch WHERE chunk_text <> ''),
+    nch AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks
+      FROM ch WHERE chunk_text <> ''),
+    cdf AS (
+      SELECT w, CAST(COUNT(DISTINCT (cdoc, chunk_id)) AS BIGINT) AS df
+      FROM ctoks GROUP BY w),
+    cidf AS (
+      SELECT w, CAST(round(ln((CAST(n_chunks AS DOUBLE) + 1.0)
+                              / (df + 1.0)) * {RAG_IDF_GRID})
+                     AS BIGINT) + 1 AS idf_i
+      FROM cdf CROSS JOIN nch),
+    oov AS (
+      SELECT CAST(round(ln(CAST(n_chunks AS DOUBLE) + 1.0)
+                        * {RAG_IDF_GRID}) AS BIGINT) + 1 AS idf_i
+      FROM nch),
     csparse_all AS (
       SELECT cdoc, chunk_id, {bucket} AS dim,
-             CAST(SUM({sgn}) AS BIGINT) AS val
-      FROM ctoks GROUP BY cdoc, chunk_id, dim),
+             CAST(SUM(ci.idf_i) AS BIGINT) AS val
+      FROM ctoks JOIN cidf ci USING (w)
+      GROUP BY cdoc, chunk_id, dim),
     cnorm AS (
       SELECT cdoc, chunk_id, CAST(SUM(val * val) AS BIGINT) AS cn
       FROM csparse_all GROUP BY cdoc, chunk_id),
-    csparse AS (
-      SELECT cdoc, chunk_id, dim, val FROM (
-        SELECT cdoc, chunk_id, dim, val,
-               row_number() OVER (PARTITION BY dim
-                 ORDER BY abs(val) DESC, cdoc, chunk_id) AS r
-        FROM csparse_all WHERE val <> 0)
-      WHERE r <= {RAG_POSTING_TOP}),
+    csparse AS ({csparse}),
     qids AS (
       SELECT doc_id FROM documents WHERE doc_id % {RAG_QUERY_MOD} = 0
       ORDER BY doc_id LIMIT {RAG_N_QUERIES}),
@@ -1243,14 +1282,12 @@ def _sql_rag() -> str:
       SELECT doc_id AS qid, unnest({_WS_TOKS_SQL}) AS w
       FROM documents WHERE doc_id IN (SELECT doc_id FROM qids)),
     qsparse_all AS (
-      SELECT qid, {bucket} AS dim, CAST(SUM({sgn}) AS BIGINT) AS val
-      FROM qtoks GROUP BY qid, dim),
-    qsparse AS (
-      SELECT qid, dim, val FROM (
-        SELECT qid, dim, val, row_number() OVER (PARTITION BY qid
-                 ORDER BY abs(val) DESC, dim) AS r
-        FROM qsparse_all WHERE val <> 0)
-      WHERE r <= {RAG_Q_TOP_DIMS}),
+      SELECT qid, {bucket} AS dim,
+             CAST(SUM(COALESCE(ci.idf_i, oov.idf_i))
+                  AS BIGINT) AS val
+      FROM qtoks LEFT JOIN cidf ci USING (w) CROSS JOIN oov
+      GROUP BY qid, dim),
+    qsparse AS ({qsparse}),
     qnorm AS (
       SELECT qid, CAST(SUM(val * val) AS BIGINT) AS qn
       FROM qsparse GROUP BY qid),
@@ -1277,53 +1314,83 @@ def _sql_rag() -> str:
     """
 
 
-@query("rag_chunk_retrieval", oracle=_sql_rag())
+@query("rag_chunk_retrieval", oracle=_sql_rag(posting_top=0))
 def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG data-prep retrieval: chunk the corpus (`chunk_documents`
-    windows), embed every chunk AND every query document with the
-    feature-hashing trick (signed integer counts — exact), and return
-    each query's top-{RAG_TOP_K} most-cosine-similar chunks from OTHER
-    documents. This is the chunk-level retrieval index a RAG pipeline
-    builds, expressed end to end in one plan.
+    windows), embed every chunk AND every query document as hashed
+    tf-idf vectors (non-negative integer counts weighted by a
+    quantized chunk-corpus idf — see RAG_IDF_GRID; exact integers
+    throughout), and return each query's top-{RAG_TOP_K}
+    most-cosine-similar chunks from OTHER documents. This is the
+    chunk-level retrieval index a RAG pipeline builds, expressed end
+    to end in one plan.
 
-    The plan shape is the scalable one: vectors stay SPARSE as
-    (key, dim, val) postings — {RAG_DIM} hashing dims against ~40-token
-    chunks means each chunk populates ≲1% of dims, so the query⋈chunk
-    dim equi-join is a true inverted-index/posting-list match, not a
-    dense blocked all-pairs; candidate volume is Σ_dim |q_dim|·|c_dim|,
-    and dot products are one integer aggregation over matched postings.
-    The query set is a CONSTANT budget — `% {RAG_QUERY_MOD}` pre-filter
-    then ORDER BY doc_id LIMIT {RAG_N_QUERIES} in BOTH engines — so the
-    broadcast query postings are ≤ {RAG_N_QUERIES} docs' tokens at any
-    corpus size, never corpus-proportional; and each query is IMPACT
-    PRUNED to its top-{RAG_Q_TOP_DIMS} dims by |val| (query docs are
-    whole documents whose hashed vectors are dense at any dim — the
-    pruned vector is the query, SPLADE-style), capping the dim join at
-    {RAG_N_QUERIES}·{RAG_Q_TOP_DIMS} query postings; and posting lists
-    are impact-truncated to {RAG_POSTING_TOP} chunks per dim (the Zipf
-    bound — see RAG_POSTING_TOP), measured 7.68M → 298k matched
-    postings at sf0.1 (26×, SCALE.md) and CONSTANT in the corpus size. At 100 TB the posting lists
-    partition by dim exactly like a search engine's impact-sorted
-    index, and the same plan serves lexical BM25-ish or learned-sparse
-    (SPLADE-style) weights by swapping the val expression. Zero-norm
-    chunks/queries are excluded on both engines (the cosine-tier
-    contract)."""
+    The plan shape: vectors stay SPARSE as (key, dim, val) postings —
+    {RAG_DIM} hashing dims against ~40-token chunks means each chunk
+    populates ≲1% of dims, so the query⋈chunk dim equi-join is a true
+    inverted-index/posting-list match, never a dense all-pairs cross
+    join; dot products are one integer aggregation over matched
+    postings. The query set is a CONSTANT budget — `% {RAG_QUERY_MOD}`
+    pre-filter then ORDER BY doc_id LIMIT {RAG_N_QUERIES} in BOTH
+    engines — so the broadcast query postings are bounded at any
+    corpus size, never corpus-proportional; each query additionally
+    keeps only its top-{RAG_Q_TOP_DIMS} dims by |val| (the pruned
+    vector IS the query, SPLADE-style — a no-op for short docs,
+    a hard bound for long ones). Candidate volume is therefore
+    Σ_dim |q_dim|·|c_dim| with a constant query factor: LINEAR in the
+    corpus, the same complexity class as the documented exact-rerank
+    scan.
+
+    Registered semantics are the EXACT posting lists. Per-dim impact
+    truncation (RAG_POSTING_TOP) was implemented and MEASURED by
+    `retrieval_pruning_recall`: on this synthetic corpus recall@3 vs
+    exact collapses (3/150 at sf0.1) because top neighbors here share
+    bulk common vocabulary — cosine's l2 normalization rewards exactly
+    the mass truncation drops, and signed-hash variants are worse
+    (truncation becomes non-monotone). The pruned twin stays available
+    as `_rag_topk_impl(spark, sf_dir, RAG_POSTING_TOP,
+    RAG_Q_TOP_DIMS)`, kept honest by the registered recall harness.
+    Zero-norm chunks/queries are excluded on both engines (the
+    cosine-tier contract)."""
+    return _rag_topk_impl(spark, sf_dir, 0, RAG_Q_TOP_DIMS)
+
+
+def _rag_topk_impl(spark: SparkSession, sf_dir: str, posting_top: int,
+                   q_top_dims: int) -> DataFrame:
+    """rag_chunk_retrieval body with the pruning depths as parameters;
+    0 disables that pruning (the exact index, ground truth for
+    retrieval_pruning_recall)."""
     from pyspark.sql import Window as W
 
     from mit_mapreduce_spark.operators.dedup import hash60
 
     ch = chunk_documents(spark, sf_dir)
     bucket = lambda c: F.pmod(hash60(c), F.lit(RAG_DIM))  # noqa: E731
-    sgn = lambda c: (F.when(F.pmod(hash60(F.concat(F.lit("sgn#"), c)),  # noqa: E731
-                                   F.lit(2)) == 0, 1).otherwise(-1))
     ctoks = (
         ch.where(F.col("chunk_text") != "")
         .select(F.col("doc_id").alias("cdoc"), "chunk_id",
                 F.explode(F.split("chunk_text", " ")).alias("w"))
     )
+    # tf-idf weighting (see RAG_IDF_GRID): chunk-corpus df per word,
+    # +1-smoothed idf on an integer grid, broadcast-joined onto the
+    # token stream; the vocabulary-sized cidf table is the only state
+    nch = (ch.where(F.col("chunk_text") != "")
+           .agg(F.count("*").cast("bigint").alias("n_chunks")))
+    cdf = (ctoks.groupBy("w")
+           .agg(F.countDistinct("cdoc", "chunk_id").cast("bigint")
+                .alias("df")))
+    idf_expr = (F.round(F.log((F.col("n_chunks").cast("double") + 1.0)
+                              / (F.col("df") + 1.0)) * RAG_IDF_GRID)
+                .cast("bigint") + 1)
+    cidf = (cdf.crossJoin(F.broadcast(nch))
+            .select("w", idf_expr.alias("idf_i"))
+            .localCheckpoint(eager=False))
+    oov_idf = (F.round(F.log(F.col("n_chunks").cast("double") + 1.0)
+                       * RAG_IDF_GRID).cast("bigint") + 1)
     csparse = (
-        ctoks.select("cdoc", "chunk_id", bucket(F.col("w")).alias("dim"),
-                     sgn(F.col("w")).alias("s"))
+        ctoks.join(cidf, "w")
+        .select("cdoc", "chunk_id", bucket(F.col("w")).alias("dim"),
+                F.col("idf_i").alias("s"))
         .groupBy("cdoc", "chunk_id", "dim")
         .agg(F.sum("s").cast("bigint").alias("val"))
         .localCheckpoint(eager=False)
@@ -1335,11 +1402,12 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact (computed above, pre-truncation); the dim join sees at most
     # RAG_POSTING_TOP postings per dim, so candidate volume is bounded
     # by |Q| x RAG_Q_TOP_DIMS x RAG_POSTING_TOP at any corpus size
-    wc = W.partitionBy("dim").orderBy(F.abs(F.col("val")).desc(),
-                                      "cdoc", "chunk_id")
-    csparse = (csparse.where(F.col("val") != 0)
-               .withColumn("_r", F.row_number().over(wc))
-               .where(F.col("_r") <= RAG_POSTING_TOP).drop("_r"))
+    if posting_top:
+        wc = W.partitionBy("dim").orderBy(F.abs(F.col("val")).desc(),
+                                          "cdoc", "chunk_id")
+        csparse = (csparse.where(F.col("val") != 0)
+                   .withColumn("_r", F.row_number().over(wc))
+                   .where(F.col("_r") <= posting_top).drop("_r"))
     docs = load_table(spark, sf_dir, "documents")
     qids = (docs.where(F.col("doc_id") % RAG_QUERY_MOD == 0)
             .orderBy("doc_id").limit(RAG_N_QUERIES).select("doc_id"))
@@ -1347,17 +1415,21 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(qids), "doc_id")
         .select(F.col("doc_id").alias("qid"),
                 F.explode(_ws_tokens()).alias("w"))
+        .join(F.broadcast(cidf), "w", "left")
+        .crossJoin(F.broadcast(nch))
         .select("qid", bucket(F.col("w")).alias("dim"),
-                sgn(F.col("w")).alias("s"))
+                F.coalesce(F.col("idf_i"), oov_idf).alias("s"))
         .groupBy("qid", "dim").agg(F.sum("s").cast("bigint").alias("val"))
         # no checkpoint: the query side is ≤ RAG_N_QUERIES docs, cheap to
         # recompute, and keeping its lineage visible lets the plan test
         # assert the GlobalLimit under the broadcast
     )
-    wq = W.partitionBy("qid").orderBy(F.abs(F.col("val")).desc(), "dim")
-    qsparse = (qsparse.where(F.col("val") != 0)
-               .withColumn("_r", F.row_number().over(wq))
-               .where(F.col("_r") <= RAG_Q_TOP_DIMS).drop("_r"))
+    if q_top_dims:
+        wq = W.partitionBy("qid").orderBy(F.abs(F.col("val")).desc(),
+                                          "dim")
+        qsparse = (qsparse.where(F.col("val") != 0)
+                   .withColumn("_r", F.row_number().over(wq))
+                   .where(F.col("_r") <= q_top_dims).drop("_r"))
     qnorm = (qsparse.groupBy("qid")
              .agg(F.sum(F.col("val") * F.col("val")).cast("bigint")
                   .alias("qn")))
@@ -1383,3 +1455,87 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= RAG_TOP_K)
     )
+
+
+# --- pruning-quality certification: pruned vs exact retrieval ---------------
+
+def _sql_pruning_recall() -> str:
+    from mit_mapreduce_spark.operators.textstats import _sql_bm25
+
+    return f"""
+    WITH bm_exact AS ({_sql_bm25(posting_top=0)}),
+    bm_pruned AS ({_sql_bm25()}),
+    rag_exact AS ({_sql_rag(posting_top=0, q_top_dims=0)}),
+    rag_pruned AS ({_sql_rag()}),
+    bm_ov AS (
+      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM bm_exact e JOIN bm_pruned p
+        ON p.qid = e.qid AND p.did = e.did
+      GROUP BY e.qid),
+    bm AS (
+      SELECT 'bm25' AS leg, qid, CAST(COUNT(*) AS BIGINT) AS k_exact,
+             COALESCE(ANY_VALUE(o.n_overlap), 0) AS n_overlap
+      FROM bm_exact LEFT JOIN bm_ov o USING (qid)
+      GROUP BY qid),
+    rag_ov AS (
+      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM rag_exact e JOIN rag_pruned p
+        ON p.qid = e.qid AND p.cdoc = e.cdoc AND p.chunk_id = e.chunk_id
+      GROUP BY e.qid),
+    rag AS (
+      SELECT 'rag' AS leg, qid, CAST(COUNT(*) AS BIGINT) AS k_exact,
+             COALESCE(ANY_VALUE(o.n_overlap), 0) AS n_overlap
+      FROM rag_exact LEFT JOIN rag_ov o USING (qid)
+      GROUP BY qid)
+    SELECT leg, qid, k_exact, n_overlap FROM bm
+    UNION ALL
+    SELECT leg, qid, k_exact, n_overlap FROM rag
+    """
+
+
+@query("retrieval_pruning_recall", oracle=_sql_pruning_recall())
+def retrieval_pruning_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured approximation quality of impact-pruned retrieval
+    indexes: per query, how many of the EXACT top-k results the
+    pruned-index twin reproduces — recall@k of static index pruning,
+    the number every search engine publishes before turning pruning
+    on. THIS measurement is why the registered bm25_topk and
+    rag_chunk_retrieval serve the exact index: on this corpus it read
+    13%/2% (bm25, sf0.1/10×) and 3/150 (rag), the bulk-common-
+    vocabulary adversarial case for truncation — shipping the pruned
+    index as default would have been a silent quality cliff that only
+    this harness catches. One row per (leg, query): leg ∈ {bm25, rag},
+    k_exact = |exact top-k|, n_overlap = |exact ∩ pruned| — recall is
+    n_overlap/k_exact, left as two exact integers so the row sits
+    under the value-hash gate.
+
+    Cost shape: runs each leg twice (exact + pruned); priced for audit
+    runs, not the serving path. At 100 TB both legs ride the constant
+    query budget, so the eval stays a bounded fraction of a corpus
+    scan."""
+    from mit_mapreduce_spark.operators.textstats import (
+        BM25_POSTING_TOP, _bm25_topk_impl)
+
+    def overlap(exact: DataFrame, pruned: DataFrame, keys: list[str],
+                leg: str) -> DataFrame:
+        ov = (exact.select("qid", *keys)
+              .join(pruned.select("qid", *keys), ["qid", *keys])
+              .groupBy("qid")
+              .agg(F.count("*").cast("bigint").alias("n_overlap")))
+        return (
+            exact.groupBy("qid")
+            .agg(F.count("*").cast("bigint").alias("k_exact"))
+            .join(ov, "qid", "left")
+            .select(F.lit(leg).alias("leg"), "qid", "k_exact",
+                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"))
+        )
+
+    bm = overlap(_bm25_topk_impl(spark, sf_dir, 0),
+                 _bm25_topk_impl(spark, sf_dir, BM25_POSTING_TOP),
+                 ["did"], "bm25")
+    rag = overlap(_rag_topk_impl(spark, sf_dir, 0, 0),
+                  _rag_topk_impl(spark, sf_dir, RAG_POSTING_TOP,
+                                 RAG_Q_TOP_DIMS),
+                  ["cdoc", "chunk_id"], "rag")
+    return bm.unionByName(rag)

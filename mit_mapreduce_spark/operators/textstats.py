@@ -1489,25 +1489,36 @@ BM25_TOP_K = 5
 BM25_QUERY_MOD = 100   # doc_id % MOD == 0 pre-filters query candidates
 BM25_N_QUERIES = 64    # constant query budget (ORDER BY doc_id LIMIT)
 BM25_GRID = 1_000_000  # idf/term-score micro-grid (exact integer sums)
-BM25_POSTING_TOP = 1024  # impact-sorted static index pruning: each TERM
-                         # keeps its top-M postings by (tf desc,
-                         # doc_id). Stop terms post in every document,
-                         # so untruncated posting lists grow with the
-                         # corpus and the term join degenerates toward
-                         # |Q| x n_docs — while contributing near-zero
-                         # score (idf ≈ 0 at df ≈ N). Truncation bounds
-                         # candidates by Σ_q q_terms x M, a constant
-                         # per query at any corpus size (Anh & Moffat
-                         # impact ordering / WAND-family pruning); df,
-                         # dl, avgdl and idf stay EXACT (computed
-                         # pre-truncation), so only the reachable
-                         # candidate set is approximate — identically
-                         # in both engines under the hash gate.
+BM25_POSTING_TOP = 1024  # impact-sorted static index pruning depth for
+                         # the PRUNED VARIANT (top-M postings per term
+                         # by tf desc, doc_id — Anh & Moffat impact
+                         # ordering / the static half of WAND). NOT the
+                         # registered semantics: retrieval_pruning_recall
+                         # measured recall@5 vs exact of 13% (sf0.1) and
+                         # 1.6% (10x corpus) on this flat-vocabulary
+                         # synthetic text, where rankings are decided by
+                         # accumulated common-term score — exactly the
+                         # mass truncation removes. The registered
+                         # bm25_topk therefore serves the EXACT index;
+                         # this constant parameterizes the pruned twin
+                         # that the recall harness keeps honest.
 
 
-@query(
-    "bm25_topk",
-    oracle=f"""
+def _sql_bm25(posting_top: int | None = None) -> str:
+    """BM25 oracle; ``posting_top=None`` means the registered
+    impact-truncated index ({BM25_POSTING_TOP} postings/term), an
+    explicit value overrides, and 0 disables truncation (the exact
+    index — used by retrieval_pruning_recall as ground truth)."""
+    top = BM25_POSTING_TOP if posting_top is None else posting_top
+    postings = (
+        "SELECT doc_id, w, tf FROM tf" if top == 0 else f"""
+      SELECT doc_id, w, tf FROM (
+        SELECT doc_id, w, tf,
+               row_number() OVER (PARTITION BY w
+                 ORDER BY tf DESC, doc_id) AS r
+        FROM tf)
+      WHERE r <= {top}""")
+    return f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
     tf AS (
       SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1529,13 +1540,7 @@ BM25_POSTING_TOP = 1024  # impact-sorted static index pruning: each TERM
       ORDER BY doc_id LIMIT {BM25_N_QUERIES}),
     q AS (SELECT doc_id AS qid, w FROM tf
           WHERE doc_id IN (SELECT doc_id FROM qids)),
-    postings AS (
-      SELECT doc_id, w, tf FROM (
-        SELECT doc_id, w, tf,
-               row_number() OVER (PARTITION BY w
-                 ORDER BY tf DESC, doc_id) AS r
-        FROM tf)
-      WHERE r <= {BM25_POSTING_TOP}),
+    postings AS ({postings}),
     terms AS (
       SELECT q.qid, c.doc_id AS did,
              CAST(round(idf.idf_micro
@@ -1556,8 +1561,10 @@ BM25_POSTING_TOP = 1024  # impact-sorted static index pruning: each TERM
                ORDER BY score_micro DESC, did) AS rnk
           FROM scored)
     WHERE rnk <= {BM25_TOP_K}
-    """,
-)
+    """
+
+
+@query("bm25_topk", oracle=_sql_bm25(posting_top=0))
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (Robertson-Spärck Jones): each query
     document's terms score the corpus with the classic
@@ -1579,13 +1586,34 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `% {BM25_QUERY_MOD}` pre-filter then ORDER BY doc_id
     LIMIT {BM25_N_QUERIES} in BOTH engines — so the broadcast query
     term set is genuinely bounded at any corpus size (≤ {BM25_N_QUERIES}
-    docs' terms), never corpus-proportional. Posting lists are
-    impact-truncated to {BM25_POSTING_TOP} per term (BM25_POSTING_TOP
-    comment: the Zipf/stop-term candidate bound), so candidate volume
-    is ≤ Σ_q q_terms·{BM25_POSTING_TOP} — constant per query, never
-    |Q|×|D|. n_docs/avgdl are a 1-row in-plan aggregate riding a
-    broadcast (no driver collect; an empty corpus degrades to zero
-    rows through NULL avgdl, no division error)."""
+    docs' terms), never corpus-proportional. Candidate volume is
+    Σ_term q_tf·df(term) — the inverted-index bound, LINEAR in the
+    corpus with a constant query factor (the same complexity class as
+    the documented exact-rerank scan), never |Q|×|D| superlinear.
+    n_docs/avgdl are a 1-row in-plan aggregate riding a broadcast
+    (no driver collect; an empty corpus degrades to zero rows through
+    NULL avgdl, no division error).
+
+    Registered semantics are the EXACT index. Impact-truncated posting
+    lists (BM25_POSTING_TOP) looked like the obvious 100 TB candidate
+    bound, but `retrieval_pruning_recall` MEASURED the quality cost on
+    this corpus — recall@5 vs exact of 13% at sf0.1 and 1.6% at the
+    10× corpus, because this synthetic vocabulary is flat enough that
+    rankings are decided by accumulated common-term score, exactly the
+    mass truncation removes. The pruned variant stays available as
+    `_bm25_topk_impl(spark, sf_dir, BM25_POSTING_TOP)` and is kept
+    honest by the registered recall harness — the production pattern
+    (never ship static pruning without a recall eval on YOUR corpus;
+    on Zipf-natural corpora the same pruning is near-lossless, see
+    SCALE.md round-7)."""
+    return _bm25_topk_impl(spark, sf_dir, 0)
+
+
+def _bm25_topk_impl(spark: SparkSession, sf_dir: str,
+                    posting_top: int) -> DataFrame:
+    """bm25_topk body with the truncation depth as a parameter;
+    ``posting_top=0`` disables pruning (the exact index, ground truth
+    for retrieval_pruning_recall)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1619,9 +1647,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("doc_id").alias("qid"), "w"))
     # impact-sorted static pruning (see BM25_POSTING_TOP): the term
     # join sees at most M postings per term; df/dl/idf above stay exact
-    wp = W.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
-    postings = (tf.withColumn("_r", F.row_number().over(wp))
-                .where(F.col("_r") <= BM25_POSTING_TOP).drop("_r"))
+    if posting_top:
+        wp = W.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
+        postings = (tf.withColumn("_r", F.row_number().over(wp))
+                    .where(F.col("_r") <= posting_top).drop("_r"))
+    else:
+        postings = tf
     term_score = F.round(
         F.col("idf_micro")
         * ((F.col("tf") * (BM25_K1 + 1.0))

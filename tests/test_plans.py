@@ -398,20 +398,20 @@ def test_round5_shuffle_budgets(spark, sf_dir, name, budget):
                                     # final rollup reuses partitioning
     ("decayed_engagement", 2),      # 1-row anchor agg broadcast +
                                     # user_id aggregation
-    ("rag_chunk_retrieval", 8),     # chunk+query posting aggs, the
+    ("rag_chunk_retrieval", 10),    # chunk+query posting aggs, the
                                     # dim equi-join's dot agg, norms,
                                     # top-k window; queries broadcast.
-                                    # +2 in r7: the impact-truncation
-                                    # windows (per-dim posting top-M,
-                                    # per-query top-m dims) that bound
-                                    # candidates at |Q|*m*M
-    ("bm25_topk", 8),               # postings + df/dl stats + the term
+                                    # r7: +2 for the tf-idf weighting
+                                    # side tables (chunk-df agg + 1-row
+                                    # n_chunks agg, both broadcast) and
+                                    # +1 for the per-query top-m-dims
+                                    # window that bounds long queries
+    ("bm25_topk", 7),               # postings + df/dl stats + the term
                                     # equi-join's score agg + top-k
                                     # window; query terms broadcast.
                                     # +1 r7: the 1-row n_docs/avgdl
                                     # stats agg folded IN-PLAN (replaced
-                                    # two driver collects); +1 r7: the
-                                    # per-term posting-truncation window
+                                    # two driver collects)
 ])
 def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-6 operators: same exchange-budget discipline."""
@@ -425,6 +425,12 @@ def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
     ("hybrid_rrf_retrieval", 10),   # both legs' certified plans (7 + 2)
                                     # + the one (qid, did) fusion agg
                                     # over ≤ 2·|Q|·top_k rows
+    ("retrieval_pruning_recall", 60),  # compositional like
+                                    # ann_recall_report: FOUR full
+                                    # retrieval pipelines (exact +
+                                    # pruned, both legs) + overlap
+                                    # joins — generous headroom, the
+                                    # lock is against runaway growth
 ])
 def test_round7_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-7 operators: same exchange-budget discipline."""
