@@ -354,3 +354,50 @@ def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(pick(0.50, "p50_cents"), pick(0.90, "p90_cents"),
              pick(0.99, "p99_cents"))
     )
+
+
+@query("stream_decayed_engagement")
+def stream_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `decayed_engagement`: per-(user, day) event
+    COUNTERS are the streaming state — integer, mergeable by addition
+    every micro-batch, bounded by active users × retention days, never
+    by event volume — and the exponential decay is applied AT DRAIN
+    over the tiny counter table (anchor = newest day seen). This is
+    exactly how a feature store maintains recency-weighted engagement:
+    store per-day activity counters incrementally, decay at read time,
+    so yesterday's weights never need rewriting when today arrives.
+
+    Exact batch parity (asserted in tests/test_streaming.py): the
+    batch op's per-event age is datediff(date(max ts), date(ts)), so
+    grouping events into day counters first loses nothing — the decay
+    weight is constant within a day — and the per-event {DECAY_GRID}
+    integer quantization commutes with the count multiplication.
+    Two-level plan: stateful (user, day) count aggregation over the
+    stream; 1-row anchor broadcast + one user rollup over counters at
+    drain."""
+    from mit_mapreduce_spark.operators.events import DECAY_GRID
+
+    tune(spark)
+    ev = events_stream(spark, sf_dir)
+    counters = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tbl = run_stream_to_table(counters, "complete")
+
+    c = spark.table(tbl)
+    anchor = c.agg(F.max("day").alias("a"))
+    aged = (
+        c.crossJoin(F.broadcast(anchor))
+        .select("user_id", "cnt",
+                F.datediff(F.col("a"), F.col("day")).cast("bigint")
+                .alias("age_days"))
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(F.sum("cnt").cast("bigint").alias("n_events"),
+             F.sum(F.round(F.pow(F.lit(0.5), F.col("age_days"))
+                           * DECAY_GRID).cast("bigint") * F.col("cnt"))
+             .cast("bigint").alias("score_micro"))
+    )

@@ -128,6 +128,14 @@ def main(sf_dir: str) -> dict:
     )
     results["heavy_hitters"] = _drive(hh, "update", "sb_heavy_hitters")
 
+    dec = (
+        source().select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    results["decayed_counters"] = _drive(dec, "complete",
+                                         "sb_decayed_counters")
+
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
     return results

@@ -550,7 +550,8 @@ def test_empty_corpus_everything_degrades_to_zero_rows(spark, tmp_path):
                "hashed_text_embeddings", "remove_dup_passages",
                "group_aware_kfold", "pack_efficiency_report",
                "url_domain_stats", "vocab_growth_by_source",
-               "bm25_topk", "rag_chunk_retrieval", "hashed_knn_search"]:
+               "bm25_topk", "rag_chunk_retrieval", "hashed_knn_search",
+               "hybrid_rrf_retrieval", "retrieval_pruning_recall"]:
         df = operators.QUERIES[op](spark, td)
         ok, msg = compare(df, operators.ORACLES[op], td)
         assert ok, f"{op}: {msg}"
@@ -698,7 +699,8 @@ def test_fuzz_sources_roundtrips(spark, tmp_path):
 
 # --- round-7 fuzz: retrieval tier (bm25 / RAG / hashed kNN) -----------------
 
-_RETRIEVAL_OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search"]
+_RETRIEVAL_OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search",
+                  "hybrid_rrf_retrieval", "retrieval_pruning_recall"]
 
 
 def _stage_retrieval_docs(td: str, rows) -> None:

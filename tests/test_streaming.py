@@ -451,3 +451,18 @@ def test_stream_quantile_bins_equals_batch(spark, sf_dir):
     for et in want:
         for col in ("n_events", "p50_cents", "p90_cents", "p99_cents"):
             assert got[et][col] == want[et][col], (et, col)
+
+
+def test_stream_decayed_engagement_equals_batch(spark, sf_dir):
+    """The streaming per-(user, day) counter design must reproduce the
+    batch decayed score EXACTLY: the decay weight is constant within a
+    day, so counting first and weighting at drain commutes with the
+    batch per-event quantized sum."""
+    got = {r.user_id: r for r in
+           QUERIES["stream_decayed_engagement"](spark, sf_dir).collect()}
+    want = {r.user_id: r for r in
+            QUERIES["decayed_engagement"](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u].n_events == want[u].n_events, u
+        assert got[u].score_micro == want[u].score_micro, u
