@@ -1237,3 +1237,122 @@ def dedup_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / F.col("tokens_total"))
         .cast("double").alias("kept_frac"),
     )
+
+
+# --- asymmetric containment join (quote / sub-document detection) ----------
+
+CONT_T = 0.98    # containment threshold |A∩B| / |A| — "≥98% of A's
+                 # vocabulary appears in B". Asymmetric by design:
+                 # containment catches a small doc quoted/absorbed by a
+                 # large one, which symmetric Jaccard MISSES (a 40-word
+                 # doc inside a 4000-word doc has J ≈ 0.01 but C = 1.0)
+                 # — the sub-document duplication signal of Lee et al.
+                 # 2022 ("Deduplicating Training Data Makes LMs
+                 # Better") at word-set granularity.
+CONT_MOD = 50    # deterministic 1-in-50 suspect sample (this corpus is
+                 # pathologically self-similar — see NGRAM_MOD; real
+                 # corpora run unscoped with the identical plan).
+
+
+def _sql_containment_bruteforce() -> str:
+    """Brute-force all-pairs containment — deliberately naive; hashing
+    the prefix-filtered Spark result against it proves losslessness."""
+    return f"""
+    WITH atoks AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                    x -> x <> '')) AS word
+      FROM documents WHERE doc_id % {CONT_MOD} = 0),
+    btoks AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                    x -> x <> '')) AS word
+      FROM documents),
+    asizes AS (SELECT doc_id, COUNT(*) AS n FROM atoks GROUP BY doc_id),
+    bsizes AS (SELECT doc_id, COUNT(*) AS n FROM btoks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM atoks a JOIN btoks b ON b.word = a.word
+                               AND b.doc_id <> a.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(za.n AS BIGINT) AS n_a,
+           CAST(zb.n AS BIGINT) AS n_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(i.n_inter AS DOUBLE) / za.n AS containment
+    FROM inter i
+    JOIN asizes za ON za.doc_id = i.doc_a
+    JOIN bsizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_inter >= CAST(ceil({CONT_T} * za.n) AS BIGINT)
+    """
+
+
+@query("dedup_containment", oracle=_sql_containment_bruteforce())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment pairs (|A∩B|/|A| ≥ {CONT_T})
+    without the all-pairs join — the quote/sub-document detector that
+    completes the dedup tier: Jaccard (symmetric near-dup), MinHash
+    (probabilistic), SimHash, dup passages (positional) … and now
+    containment, which is the only one that flags a small document
+    absorbed verbatim into a much larger one.
+
+    Lossless candidate filter: if C(A→B) ≥ t, then at most
+    n_a − ceil(t·n_a) of A's tokens are missing from B, so among ANY
+    fixed n_a − ceil(t·n_a) + 1 of A's tokens at least one is shared —
+    A's prefix under the global df-ascending order (rarest first, the
+    dedup_ngram_jaccard order) therefore must hit B, and rare-first
+    makes the candidate join buckets maximally selective. Unlike the
+    Jaccard AllPairs there is NO symmetric size bound (that's the
+    point: n_b may be huge), so the B side joins its full posting
+    list; verification is one array_intersect per candidate pair
+    against the oracle's brute-force all-pairs.
+
+    At 100 TB: suspect-side prefixes are (1−t)·|doc| tokens — ~2% of
+    the sample's token volume at t={CONT_T} — joined against the
+    corpus posting lists on rare words; df broadcasts; the per-doc
+    word arrays are the same corpus-linear state an inverted index
+    carries."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_expr = F.array_distinct(
+        F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != ""))
+    toks_all = (fan_out(docs)
+                .select("doc_id", F.explode(words_expr).alias("word")))
+    dfreq = toks_all.groupBy("word").agg(F.count("*").alias("df"))
+    ordered_b = (
+        toks_all.join(F.broadcast(dfreq), "word")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "word"))).alias("o"),
+             F.count("*").cast("bigint").alias("n"))
+        .select("doc_id", "n",
+                F.expr("transform(o, s -> s.word)").alias("words"))
+        .localCheckpoint(eager=False)
+    )
+    ordered_a = ordered_b.where(F.col("doc_id") % CONT_MOD == 0)
+    prefix_a = ordered_a.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"),
+        F.explode(F.expr(
+            f"slice(words, 1,"
+            f" cast(n - ceil({CONT_T} * n) + 1 as int))")).alias("word"),
+    )
+    cands = (
+        prefix_a.join(toks_all.withColumnRenamed("doc_id", "doc_b"), "word")
+        .where(F.col("doc_b") != F.col("doc_a"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    a_side = ordered_a.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("n_a"),
+                              F.col("words").alias("wa"))
+    b_side = ordered_b.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("n_b"),
+                              F.col("words").alias("wb"))
+    verified = (
+        cands.join(a_side, "doc_a").join(b_side, "doc_b")
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("wa", "wb")).cast("bigint"))
+        .where(F.col("n_inter")
+               >= F.ceil(F.lit(CONT_T) * F.col("n_a")).cast("bigint"))
+    )
+    return verified.select(
+        "doc_a", "doc_b", "n_a", "n_b", "n_inter",
+        (F.col("n_inter").cast("double") / F.col("n_a"))
+        .alias("containment"))

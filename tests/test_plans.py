@@ -431,6 +431,12 @@ def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
                                     # pruned, both legs) + overlap
                                     # joins — generous headroom, the
                                     # lock is against runaway growth
+    ("dedup_containment", 4),       # df agg + per-doc word-array agg
+                                    # (checkpoint-shared by suspect
+                                    # prefixes and both verify legs) +
+                                    # candidate distinct; the prefix
+                                    # join keys on rare words, never
+                                    # all-pairs
 ])
 def test_round7_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-7 operators: same exchange-budget discipline."""

@@ -86,3 +86,40 @@ def test_rrf_single_leg_docs_still_fuse(spark):
     legs = {r.did: r.n_legs for r in by_q}
     assert legs[1] == 2                     # duplicate seen by both
     assert set(legs.values()) <= {1, 2}
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The defining asymmetric case: a small doc whose vocabulary is
+    fully absorbed by a much larger doc. Jaccard is tiny (small/large),
+    containment is exactly 1.0 — and only the (small ⊆ large)
+    direction fires, never the reverse."""
+    from mit_mapreduce_spark.operators.dedup import CONT_MOD, CONT_T
+
+    import string
+
+    small = "quoted passage with distinctive vocabulary tokens"
+    # letter-only filler words: the \\p{L} tokenizer drops digits, so
+    # "filler0" and "filler1" would collapse into one word
+    letters = string.ascii_lowercase
+    big = small + " " + " ".join(
+        "filler" + letters[i % 26] + letters[i // 26]
+        for i in range(200))
+    rows = [(0, small, "s"),            # suspect (doc_id % CONT_MOD == 0)
+            (1, big, "s"),
+            (CONT_MOD, "unrelated disjoint words entirely", "s")]
+    with tempfile.TemporaryDirectory() as td:
+        _stage_docs(spark, rows, td)
+        out = operators.QUERIES["dedup_containment"](spark, td).collect()
+        ok, msg = compare(operators.QUERIES["dedup_containment"](spark, td),
+                          operators.ORACLES["dedup_containment"], td)
+    assert ok, msg
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    hit = pairs[(0, 1)]
+    assert hit.containment == 1.0 and hit.n_inter == hit.n_a
+    # Jaccard for the same pair is far below any near-dup threshold
+    assert hit.n_inter / (hit.n_a + hit.n_b - hit.n_inter) < 0.05
+    # asymmetry: big is NOT contained in small; the suspect sample is
+    # doc_id % CONT_MOD so doc 1 is never a suspect anyway, and the
+    # disjoint suspect produces nothing
+    assert all(a % CONT_MOD == 0 for a, _ in pairs)
+    assert all(a != CONT_MOD for a, _ in pairs), CONT_T
