@@ -58,3 +58,29 @@ def test_oracle_outputs_are_canonicalizer_safe(spark, sf_dir):
             if "HUGEINT" in u or "[]" in typ or "MAP" in u or "STRUCT" in u:
                 bad.append(f"{name}.{col}: oracle {typ}")
     assert not bad, "gate-unsafe output columns:\n" + "\n".join(bad)
+
+
+def test_snapshot_rotation_is_oldest_evidence_first():
+    """VERDICT r6 #8: with the registry closed, the driver's 50-slot
+    snapshot must cycle through recorded queries oldest-green-evidence
+    first so every oracle row is re-confirmed within a bounded number
+    of rounds. The ordering contract: fresh-oracle queries lead,
+    rows-only follow, recorded queries come last sorted by the round
+    of their most recent committed green row (non-decreasing)."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    last_green = e._recorded_green()
+    oracles = e.oracle_sql()
+
+    fresh = [n for n in names if n not in last_green and n in oracles]
+    rows_only = [n for n in names if n not in last_green
+                 and n not in oracles]
+    recorded = [n for n in names if n in last_green]
+    # group order: fresh, rows-only, recorded
+    assert names == fresh + rows_only + recorded
+    # recorded tail is sorted by evidence round, oldest first
+    rounds = [last_green[n] for n in recorded]
+    assert rounds == sorted(rounds)
+    # and every registered query appears exactly once
+    assert len(names) == len(set(names))
