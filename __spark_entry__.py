@@ -93,7 +93,11 @@ def _recorded_green() -> dict[str, int]:
     (VERDICT r6 #8) so every oracle row cycles back through the
     driver's 50-slot snapshot within a bounded number of rounds. Red
     rows (hash_match false) are deliberately NOT counted: they stay
-    fresh-first until a green row lands."""
+    fresh-first until a green row lands. Likewise, a rows-only green
+    row does NOT count for a query that NOW has an oracle (r8: the
+    nine streaming drains gained oracles after rounds of rows-only
+    records) — such queries need their first official HASH-green row,
+    so they re-enter the fresh-first tier."""
     import glob
     import json
     import re
@@ -115,6 +119,7 @@ def _recorded_green() -> dict[str, int]:
                 continue
             green = (row.get("hash_match") is True
                      or (row.get("hash_match") is None
+                         and name not in operators.ORACLES
                          and row.get("rows_match") is not False
                          and row.get("spark_rows") is not None))
             if green:
@@ -154,10 +159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin SQL for each SQL-expressible query; queries absent
-    here (stateful streaming, stubbed-codec multimodal kernels,
-    rand()-based sampling demos, engine-specific HLL sketches) get the
+    here (stubbed-codec multimodal kernels, rand()-based sampling
+    demos, engine-specific HLL sketches, and the one order-dependent
+    approximate streaming sketch `stream_heavy_hitters`) get the
     driver's weaker rows-only check by design — every deterministic
-    operator, including the LSH/MinHash pipelines and all Python-UDF
-    variants, is fully oracle-checked.
+    operator, including the LSH/MinHash pipelines, all Python-UDF
+    variants, and (since r8) the nine deterministic streaming drains,
+    is fully oracle-checked.
     """
     return dict(operators.ORACLES)

@@ -1,14 +1,27 @@
-"""Streaming twins of the batch event queries (oracle-exempt: the
-driver records rows-only checks for streaming, __spark_entry__
-contract; exact parity with the batch results is asserted in
-tests/test_streaming.py instead).
+"""Streaming twins of the batch event queries.
 
-Both queries run a real Structured Streaming job (file source →
+Each query runs a real Structured Streaming job (file source →
 watermark → stateful aggregation → memory sink, one availableNow
-micro-batch) and return the drained result as a batch DataFrame.
+micro-batch) and returns the drained result as a batch DataFrame.
 At 100 TB-scale deployments the identical plan runs continuously
 against Kafka with the same watermark/window semantics; the
 availableNow drain is the test-harness shape.
+
+Oracle status (VERDICT r7 #1): the drains are DETERMINISTIC tables —
+the fixture arrives in one micro-batch, the watermark starts at epoch
+(nothing is dropped), complete/update modes emit one final row per
+key and the append-mode operators (interval join, watermark dedup)
+emit rows on arrival — so each drain equals its batch twin exactly
+(proved per-query in tests/test_streaming.py). That makes the batch
+twin's DuckDB SQL a valid oracle for the drained table, and every
+deterministic drain below registers one; the driver's hash gate now
+covers the streaming tier. The ONE exception kept rows-only is
+``stream_heavy_hitters``: at sf0.01 the fixture has ~150 distinct
+users per event type against HH_CAPACITY=64 sketch slots, so
+space-saving eviction fires and the overestimated counts depend on
+arrival order within the micro-batch (pandas chunk order) — a
+genuinely engine-specific approximate answer whose ε=n/capacity bound
+is asserted in pytest instead.
 """
 
 from __future__ import annotations
@@ -16,19 +29,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_mapreduce_spark.functions.numeric import dsum
-from mit_mapreduce_spark.operators.registry import query
+from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
+# Imported for their oracle registrations (reused verbatim below so a
+# fix to a batch oracle automatically fixes its streaming twin).
+from mit_mapreduce_spark.operators import events as _events_batch  # noqa: F401
+from mit_mapreduce_spark.operators import sketches as _sketches_batch  # noqa: F401
+from mit_mapreduce_spark.operators.events import SESSION_GAP_US
+from mit_mapreduce_spark.operators.registry import ORACLES, query
 from mit_mapreduce_spark.session import tune
 from mit_mapreduce_spark.streaming import events_stream, run_stream_to_table
 
 SESSION_GAP = "4 hours"   # matches operators.events.SESSION_GAP_US
 
 
-@query("stream_tumbling_hourly")
+@query(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hourly tumbling rollup: watermark + window + count/
     exact-decimal sum, complete-mode drain. Matches the batch
-    `tumbling_hourly` aggregates (asserted in tests)."""
+    `tumbling_hourly` aggregates (asserted in tests); the oracle is
+    the batch twin's SQL minus its nd_users column — valid because the
+    complete-mode drain of a single availableNow batch is exactly the
+    batch aggregation (nothing is late against an epoch watermark)."""
     tune(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
@@ -40,12 +71,44 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_stream_to_table(agg, "complete"))
 
 
-@query("stream_sessionize")
+@query(
+    "stream_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {sql_dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-based sessionization via session_window: the
     stateful native operator whose merge semantics equal the batch
     lag/cumsum construction in operators/events.py (asserted in
-    tests). Complete-mode drain emits every session's final state."""
+    tests). Complete-mode drain emits every session's final state.
+
+    Oracle: the batch sessionize gap/cumsum SQL, grouped to this
+    query's columns. Boundary semantics verified empirically: Spark's
+    session_window MERGES an event at exactly gap distance (a 4h00m00s
+    silence continues the session; only diff > gap splits), matching
+    the oracle's strict ``> {SESSION_GAP_US}`` flag — the two
+    formulations agree on every input, not just gap-tie-free ones."""
     tune(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
@@ -101,15 +164,31 @@ def _user_stats_fn(key, pdfs, state):
     })
 
 
-@query("stream_user_stats")
+@query(
+    "stream_user_stats",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')},
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming via applyInPandasWithState: per-user
     running (count, exact sum, last-seen) maintained in GroupState
     across micro-batches. State is O(1) per user; the shuffle is the
     single user_id exchange — the template for bespoke stateful
     operators the built-in window/session aggregations can't express.
-    Oracle-exempt (stateful custom op); equality with a batch groupBy
-    is asserted in tests/test_streaming.py."""
+
+    Oracle: the plain per-user groupBy. Valid because the update-mode
+    drain of one availableNow batch emits each user's final state
+    exactly once, and the state's integer 1e-4 accumulation equals
+    dsum on the 2-decimal fixture values (floor(v*1e4+0.5) == the
+    HALF_UP round, and int-sum/1e4 and decimal-sum-cast-double are
+    both the correctly rounded double of the same exact rational) —
+    equality asserted in tests/test_streaming.py."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     tune(spark)
@@ -127,14 +206,31 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_stream_to_table(out, "update"))
 
 
-@query("stream_interval_join")
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           c.ts AS click_ts,
+           e.ts AS err_ts,
+           e.value AS err_value
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts - INTERVAL 1 HOUR
+     AND e.ts <= c.ts
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each click joined to the same
     user's errors from the preceding hour. Both sides carry watermarks
     and the join condition bounds event-time distance, so state for
     either side is evicted an hour behind the watermark — bounded
     regardless of stream length (the canonical funnel/attribution
-    join). Oracle-exempt; batch-join parity asserted in tests."""
+    join). Oracle: the equivalent batch self-join — valid because the
+    inner stream-stream join emits each matched pair exactly once on
+    arrival (no watermark-gated flush is involved in emission, only in
+    state eviction), so the append-mode drain is the full match set."""
     tune(spark)
     clicks = (
         events_stream(spark, sf_dir)
@@ -162,7 +258,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_stream_to_table(joined, "append"))
 
 
-@query("stream_dedup")
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication via dropDuplicatesWithinWatermark: first
     occurrence of each (user_id, event_type) is emitted, repeats are
@@ -171,8 +270,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every key forever; the watermark variant evicts keys once no late
     duplicate can still arrive). Only the key columns are projected so
     the emitted row set is deterministic (batch twin: DISTINCT —
-    asserted in tests/test_streaming.py). Oracle-exempt (stateful
-    streaming)."""
+    asserted in tests/test_streaming.py).
+    Oracle: DISTINCT over the key columns — valid because
+    first-occurrence emission projected to the keys IS the distinct
+    key set (asserted in tests/test_streaming.py)."""
     tune(spark)
     ev = (
         events_stream(spark, sf_dir)
@@ -184,15 +285,38 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_stream_to_table(ev, "append"))
 
 
-@query("stream_sliding_windows")
+@query(
+    "stream_sliding_windows",
+    oracle=f"""
+    WITH k AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    x AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000 - i) * 1800000000)
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN k)
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM x
+    GROUP BY 1, 2, 3
+    """,
+)
 def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SLIDING windows: 2-hour windows advancing every 30
     minutes, so each event lands in 4 overlapping windows — the
     hopping-aggregate shape (rate trends, alerting) the tumbling query
     can't express. Spark expands each row to its 4 windows before the
-    keyed aggregation; state is one row per (window, event_type).
-    Oracle-exempt; equality with the identical batch window expression
-    is asserted in tests/test_streaming.py."""
+    keyed aggregation; state is one row per (window, event_type);
+    equality with the identical batch window expression is asserted in
+    tests/test_streaming.py.
+
+    Oracle: the same 4-window expansion written out — Spark aligns
+    hop windows to epoch multiples of the slide, so the containing
+    window starts are floor(epoch_us/slide)·slide minus k·slide for
+    k = 0..3 (duration/slide = 4 windows per event; the floor-div ``//``
+    on non-negative epoch micros matches Spark's alignment exactly)."""
     tune(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
@@ -206,7 +330,17 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_stream_to_table(agg, "complete"))
 
 
-@query("stream_static_enrich")
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joined against the
     static `customer` dimension (user_id = c_custkey) and rolled up
@@ -215,9 +349,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it under AQE, the canonical pattern for enriching a
     100 TB/day stream with slowly-changing reference data (no state
     store involvement for the join itself; state is only the final
-    windowless aggregation). Oracle-exempt (streaming); equality with
-    the identical batch join+rollup is asserted in
-    tests/test_streaming.py."""
+    windowless aggregation). Oracle: the identical batch join+rollup
+    (equality asserted in tests/test_streaming.py)."""
     from mit_mapreduce_spark.catalog import load_table
 
     tune(spark)
@@ -290,8 +423,10 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch is EXACT and tests/test_streaming.py asserts equality
     with the batch groupBy top-{HH_TOP}; at production cardinalities
     the same operator degrades gracefully to the ε = n/capacity
-    overestimate guarantee. Oracle-exempt (stateful custom op) per
-    the __spark_entry__ contract."""
+    overestimate guarantee. The ONE remaining oracle-exempt streaming
+    query (module docstring): at sf0.01 eviction fires (~150 users per
+    type > 64 slots) and the overestimates depend on intra-batch
+    arrival order — approximate-by-design, pytest-bounded instead."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     tune(spark)
@@ -306,7 +441,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_stream_to_table(out, "update"))
 
 
-@query("stream_quantile_bins")
+@query("stream_quantile_bins", oracle=ORACLES["sketch_quantile_bins"])
 def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `sketch_quantile_bins`: the (event_type, bin)
     counters ARE streaming-native state — integer, bounded by
@@ -319,7 +454,10 @@ def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-level plan: the stream aggregates counters (stateful, bounded
     state); the tiny counter table finishes with the same cumulative
-    pick as the batch query per drain."""
+    pick as the batch query per drain. Oracle: reused verbatim from
+    `sketch_quantile_bins` — the drained counter table equals the
+    batch (type, bin) aggregation, and everything downstream is the
+    same deterministic integer cumulative pick."""
     from mit_mapreduce_spark.operators.sketches import (
         QB_WIDTH_CENTS, _floor_bin_expr)
 
@@ -356,7 +494,7 @@ def stream_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_decayed_engagement")
+@query("stream_decayed_engagement", oracle=ORACLES["decayed_engagement"])
 def stream_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `decayed_engagement`: per-(user, day) event
     COUNTERS are the streaming state — integer, mergeable by addition
@@ -374,7 +512,9 @@ def stream_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quantization commutes with the count multiplication.
     Two-level plan: stateful (user, day) count aggregation over the
     stream; 1-row anchor broadcast + one user rollup over counters at
-    drain."""
+    drain. Oracle: reused verbatim from `decayed_engagement` — the
+    grouping commutes with the per-day-constant decay weight, as the
+    parity argument above proves."""
     from mit_mapreduce_spark.operators.events import DECAY_GRID
 
     tune(spark)
