@@ -104,8 +104,21 @@ def main() -> None:
                           file=sys.stderr)
                     break
             if reruns:
-                adjudicated = round(statistics.median([first] + reruns), 3)
+                readings = [first] + reruns
+                # ADVICE r7 #1: median of TWO readings is their mean — a
+                # value never observed. With a full set of 3 the median
+                # is an observed reading and trend-unbiased (r6 fix);
+                # with only 2 (a rerun died) fall back to the min — an
+                # observed measurement, and the right bias for a box
+                # unhealthy enough to kill a rerun. min-of-3 is recorded
+                # alongside either way (VERDICT r7: min adjudicates
+                # load-contamination, median tracks trend).
+                if len(readings) >= 3:
+                    adjudicated = round(statistics.median(readings), 3)
+                else:
+                    adjudicated = round(min(readings), 3)
                 retimed[name] = {"first": first, "reruns": reruns,
+                                 "min": round(min(readings), 3),
                                  "adjudicated": adjudicated}
                 times[name] = adjudicated
         # Re-derive the delta report against the adjudicated times so

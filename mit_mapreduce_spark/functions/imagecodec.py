@@ -249,6 +249,72 @@ def _png_decode(data: bytes) -> Decoded | None:
     return w, h, nch, bytes(out)
 
 
+# --- header-only metadata (no pixel decode) --------------------------------
+
+# SOF0..SOF15 carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_components) from a JPEG's SOF marker segment —
+    a pure-stdlib walk of the public JFIF/JPEG marker layout (VERDICT
+    r7 #5): every segment after SOI is FF <marker> <u16 big-endian
+    length incl. itself>, and any SOF0–SOF15 frame header holds
+    [precision u8][height u16][width u16][ncomp u8]. HEADER parse
+    only — entropy-coded pixel data is never touched, so this works on
+    any box with no codec dependency (and on the deterministic
+    pseudo-JPEGs the encode kernel emits by default). None = not a
+    parseable JPEG (the quarantine signal, as in decode_image)."""
+    if not data.startswith(b"\xff\xd8"):
+        return None
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xFF:          # fill byte before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before any SOF
+            return None
+        (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+        if seglen < 2 or i + 2 + seglen > n:
+            return None
+        if marker in _JPEG_SOF:
+            if seglen < 8:
+                return None
+            height, width = struct.unpack(">HH", data[i + 5:i + 9])
+            ncomp = data[i + 9]
+            return width, height, ncomp
+        i += 2 + seglen
+    return None
+
+
+def parse_image_meta(data: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from container HEADERS only — the
+    manifest-scan primitive: cheap enough to run over every asset
+    because no pixel data is decompressed or validated. Covers the
+    four asset formats (PPM/BMP/PNG headers + the JPEG SOF walk);
+    None = unrecognized container (quarantine)."""
+    if data.startswith(b"P6"):
+        dec = _ppm_decode(data)          # header ints + length check
+        return ("ppm", dec[0], dec[1]) if dec else None
+    if data.startswith(b"BM") and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return ("bmp", w, abs(h)) if w > 0 and h != 0 else None
+    if data.startswith(_PNG_MAGIC) and len(data) >= 24 \
+            and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return ("png", w, h) if w > 0 and h > 0 else None
+    jd = jpeg_dimensions(data)
+    if jd is not None:
+        return ("jpeg", jd[0], jd[1])
+    return None
+
+
 # --- public API ------------------------------------------------------------
 
 def decode_image(data: bytes) -> Decoded | None:

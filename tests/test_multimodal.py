@@ -159,9 +159,12 @@ def test_image_assets_are_valid_mixed_formats(spark, sf_dir):
     """Every built payload must carry the right container magic and
     mime across all FOUR formats (asset_format: PPM/BMP/PNG + the
     JPEG leg); the lossless three must decode to the doc_id-formula
-    dimensions. The JPEG leg decodes via PIL on PIL boxes; on
-    PIL-less boxes it is the quarantine-bound pseudo-JPEG (valid
-    SOI/EOI framing, stdlib-undecodable by design)."""
+    dimensions. The JPEG leg is (by default on EVERY box — ADVICE r7
+    #4) the deterministic pseudo-JPEG: valid SOI/EOI framing, a real
+    SOF0 whose dimensions the stdlib marker walk must read back, and
+    no scan data, so the pixel decoder must return the quarantine
+    signal."""
+    from mit_mapreduce_spark.functions.imagecodec import jpeg_dimensions
     from mit_mapreduce_spark.operators.multimodal import asset_format
 
     rows = image_assets(spark, sf_dir).limit(30).collect()
@@ -179,26 +182,59 @@ def test_image_assets_are_valid_mixed_formats(spark, sf_dir):
                                "png": "image/png",
                                "jpeg": "image/jpeg"}[fmt]
         assert r.meta.n_bytes == len(data)
+        exp_w = 36 + (r.asset_id % 13) * 2
+        exp_h = 20 + (r.asset_id % 11) * 3
         if fmt == "jpeg":
             assert data.endswith(b"\xff\xd9")  # EOI framing
-            if _has_pil():
-                import io
-
-                from PIL import Image
-
-                img = Image.open(io.BytesIO(data))
-                assert img.size == (36 + (r.asset_id % 13) * 2,
-                                    20 + (r.asset_id % 11) * 3)
-            else:
-                assert decode_image(data) is None  # quarantine signal
+            # real parsed dimensions from the SOF0 marker walk — on
+            # PIL-less boxes too (VERDICT r7 #5)
+            assert jpeg_dimensions(data) == (exp_w, exp_h, 3)
+            assert decode_image(data) is None  # pixel-quarantine signal
             continue
         dec = decode_image(data)
         assert dec is not None, f"asset {r.asset_id} not decodable"
         w, h, nch, pix = dec
-        assert w == 36 + (r.asset_id % 13) * 2
-        assert h == 20 + (r.asset_id % 11) * 3
+        assert w == exp_w and h == exp_h
         assert nch == 3 and len(pix) == w * h * 3
     assert seen == {"ppm", "bmp", "png", "jpeg"}
+
+
+def test_parse_image_meta_all_formats_and_quarantine():
+    """Header-only meta parse: all four container formats report their
+    true dimensions without pixel decode; junk bytes and truncated
+    JPEG marker streams quarantine as None instead of raising."""
+    from mit_mapreduce_spark.functions.imagecodec import (
+        encode_bmp, encode_png, encode_ppm, parse_image_meta,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _encode_jpeg
+
+    rgb = bytes((i * 7) % 256 for i in range(5 * 4 * 3))
+    assert parse_image_meta(encode_ppm(5, 4, rgb)) == ("ppm", 5, 4)
+    assert parse_image_meta(encode_bmp(5, 4, rgb)) == ("bmp", 5, 4)
+    assert parse_image_meta(encode_png(5, 4, rgb)) == ("png", 5, 4)
+    assert parse_image_meta(_encode_jpeg(5, 4, rgb)) == ("jpeg", 5, 4)
+    assert parse_image_meta(b"not an image") is None
+    assert parse_image_meta(b"\xff\xd8\xff") is None       # truncated
+    assert parse_image_meta(b"\xff\xd8\xff\xd9") is None   # SOI+EOI only
+    assert parse_image_meta(b"") is None
+
+
+def test_multimodal_image_meta_matches_formulas(spark, sf_dir):
+    """The registered header-parse query reads back exactly the format
+    and dimensions the encoders wrote — including JPEG dims on this
+    (PIL-less) box via the SOF0 walk. Mirrors the DuckDB oracle's
+    doc_id-formula recomputation."""
+    from mit_mapreduce_spark.operators.multimodal import asset_format
+
+    rows = QUERIES["multimodal_image_meta"](spark, sf_dir).collect()
+    assert rows
+    fmts = set()
+    for r in rows:
+        assert r.fmt == asset_format(r.asset_id)
+        assert r.width == 36 + (r.asset_id % 13) * 2
+        assert r.height == 20 + (r.asset_id % 11) * 3
+        fmts.add(r.fmt)
+    assert fmts == {"ppm", "bmp", "png", "jpeg"}
 
 
 def test_image_assets_pixels_identical_across_formats(spark, sf_dir):

@@ -431,12 +431,15 @@ def test_round6_shuffle_budgets(spark, sf_dir, name, budget):
                                     # pruned, both legs) + overlap
                                     # joins — generous headroom, the
                                     # lock is against runaway growth
-    ("dedup_containment", 4),       # df agg + per-doc word-array agg
-                                    # (checkpoint-shared by suspect
-                                    # prefixes and both verify legs) +
-                                    # candidate distinct; the prefix
-                                    # join keys on rare words, never
-                                    # all-pairs
+    ("dedup_containment", 5),       # df agg + vocab-sized word-id
+                                    # window (r8: dense int IDs make
+                                    # the arrays/joins int-typed, 15x
+                                    # faster full-population verify) +
+                                    # per-doc id-array agg (checkpoint-
+                                    # shared by suspect prefixes and
+                                    # both verify legs) + candidate
+                                    # distinct; the prefix join keys
+                                    # on rare ids, never all-pairs
 ])
 def test_round7_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-7 operators: same exchange-budget discipline."""

@@ -36,13 +36,18 @@ def build_tenx():
     shutil.rmtree(TENX, ignore_errors=True)
     os.makedirs(TENX)
     con = duckdb.connect()
+    # n_chars is recomputed from the NEW text (ADVICE r7 #2: the old
+    # `n_chars + 12` approximation disagreed with length(text) for
+    # most rows), so the invariant n_chars = length(text) holds on the
+    # certification corpus exactly as it does on the source tables.
     copies = " UNION ALL ".join(
         f"SELECT doc_id * 10 + {k} AS doc_id,"
         f" text || ' uniq{k}tok' || CAST(doc_id AS VARCHAR) AS text,"
-        f" source, lang, n_chars + 12 AS n_chars"
+        f" source, lang"
         f" FROM '{SRC}/documents.parquet'" for k in range(10))
-    con.sql(f"COPY ({copies}) TO '{TENX}/documents.parquet'"
-            f" (FORMAT PARQUET)")
+    con.sql(f"COPY (SELECT doc_id, text, lang, source,"
+            f" CAST(length(text) AS BIGINT) AS n_chars FROM ({copies}))"
+            f" TO '{TENX}/documents.parquet' (FORMAT PARQUET)")
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"]:
         os.symlink(f"{SRC}/{t}.parquet", os.path.join(TENX, f"{t}.parquet"))
