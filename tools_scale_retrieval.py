@@ -27,7 +27,8 @@ operators.load_all()
 
 SRC = "/root/testdata/sf0.1"
 TENX = "/tmp/scale10x_docs"
-OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search"]
+OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search",
+       "hybrid_rrf_retrieval", "retrieval_pruning_recall"]
 
 
 def build_tenx():
