@@ -84,3 +84,54 @@ def test_snapshot_rotation_is_oldest_evidence_first():
     assert rounds == sorted(rounds)
     # and every registered query appears exactly once
     assert len(names) == len(set(names))
+
+
+def test_recorded_evidence_for_oracle_queries_is_hash_green():
+    """r8 rule (VERDICT r7 #1 enabler): a rows-only green row does NOT
+    count as recorded evidence for a query that HAS an oracle — such a
+    query must re-enter the fresh-first tier until an official
+    hash-green row lands (this is what rotated the nine promoted
+    streaming drains into the r8 snapshot head despite rounds of
+    rows-only records). Invariant: every recorded oracle-bearing
+    query's evidence round has an actual hash_match=True row in that
+    round's committed CORRECTNESS file (round 0 = the static seed
+    set)."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    last_green = e._recorded_green()
+    oracles = e.oracle_sql()
+    by_round = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            by_round[rnd] = json.load(f)
+    for name, rnd in last_green.items():
+        if name not in oracles:
+            continue
+        if rnd == 0:
+            assert name in e._VERIFIED_PRIOR_ROUNDS, name
+            continue
+        row = by_round[rnd].get(name)
+        assert isinstance(row, dict) and row.get("hash_match") is True, (
+            name, rnd, row)
+
+
+def test_streaming_drains_reuse_batch_twin_oracles():
+    """The two streaming counter twins register their batch queries'
+    oracle SQL VERBATIM (streaming_queries.py) so a fix to a batch
+    oracle automatically fixes its streaming twin — pin the reuse."""
+    from mit_mapreduce_spark.operators.registry import ORACLES
+
+    assert ORACLES["stream_quantile_bins"] == ORACLES["sketch_quantile_bins"]
+    assert (ORACLES["stream_decayed_engagement"]
+            == ORACLES["decayed_engagement"])
+    # and all nine deterministic drains are oracle-bearing; only the
+    # order-dependent sketch stays rows-only
+    streaming = [n for n in ORACLES if n.startswith("stream_")]
+    assert len(streaming) == 9
+    assert "stream_heavy_hitters" not in ORACLES
