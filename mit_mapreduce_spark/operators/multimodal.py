@@ -19,6 +19,13 @@ text-only). The pattern for image/audio/video at 100 TB:
   bytes — a corrupt image must be quarantined, never kill a
   million-task job. Video frame-sampling stays a stand-in (ffmpeg
   absent); its 1-row-in/N-rows-out Arrow contract is the real part.
+- the AUDIO leg (r8) is fully real AND fully hash-gated:
+  ``functions/audiocodec.py`` encodes/parses/decodes integer-PCM WAV
+  with stdlib ``struct``, and both registered audio queries
+  (`multimodal_audio_meta`, `multimodal_audio_features`) carry DuckDB
+  oracles that independently reconstruct the expected values — the
+  features oracle rebuilds the PCM signal itself from the sha256
+  chain and recomputes the integer DSP cross-engine.
 
 The fixture tables carry no binary column, so payloads are
 synthesized: ``binary_assets`` wraps ``documents.text`` as opaque
@@ -356,6 +363,263 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fan_out(assets.select("asset_id", "payload"))
         .mapInPandas(_image_meta_batch, _IMAGE_META_SCHEMA)
+    )
+
+
+# --- audio tier: real RIFF/PCM WAV assets + header meta + DSP ---------------
+
+_AUDIO_RATES = (8000, 16000, 22050, 44100)   # sample_rate = [doc_id % 4]
+_AUDIO_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _encode_audio_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched WAV ENCODE kernel: raw PCM bytes + format params
+    in, RIFF/WAVE/fmt/data container out (pure-stdlib encode_wav —
+    pytest asserts parse/decode round-trips)."""
+    from mit_mapreduce_spark.functions.audiocodec import encode_wav
+
+    for pdf in batches:
+        payloads = [
+            encode_wav(int(rate), int(ch), bytes(pcm))
+            for rate, ch, pcm in zip(pdf["_rate"], pdf["_ch"], pdf["pcm"])
+        ]
+        yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                            "lang": pdf["lang"], "payload": payloads})
+
+
+def audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (asset_id, payload binary, meta struct) where the
+    payload is a VALID 16-bit integer-PCM WAV: format params vary per
+    doc (sample_rate {_AUDIO_RATES} by doc_id % 4, 1–2 channels by
+    doc_id % 2, 400–1000 frames by doc_id % 7) and the sample bytes
+    are a sha256 chain over the text — fully deterministic on every
+    box (no codec library anywhere), built with JVM expressions and
+    container-wrapped in an Arrow-batched kernel so payloads never
+    transit the driver. The audio twin of image_assets, completing
+    the image/audio/video multimodal column story."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.element_at(F.array(*[F.lit(r) for r in _AUDIO_RATES]),
+                        (F.col("doc_id") % 4 + 1).cast("int"))
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    nf = (F.lit(400) + (F.col("doc_id") % 7) * 100).cast("int")
+    # ceil(need/32) sha256 digests -> >= need bytes, sliced to need
+    pcm = F.expr(
+        "substring(unhex(concat_ws('', transform("
+        "  sequence(0, cast(ceil((_nf * _ch * 2) / 32.0) as int) - 1),"
+        "  i -> sha2(concat(text, '|', cast(i as string)), 256)))),"
+        " 1, _nf * _ch * 2)")
+    raw = (
+        fan_out(docs)
+        .withColumn("_rate", rate).withColumn("_ch", ch)
+        .withColumn("_nf", nf)
+        .select(F.col("doc_id").alias("asset_id"), "_rate", "_ch", "lang",
+                pcm.alias("pcm"))
+    )
+    encoded = raw.mapInPandas(_encode_audio_batch, _AUDIO_SCHEMA)
+    return encoded.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+            F.lit("audio/wav").alias("mime"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+_AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("bits", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+])
+
+
+def _audio_meta_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched WAV header parse (fmt/data chunk walk, zero
+    sample bytes touched); unparseable payloads quarantine as -1s."""
+    from mit_mapreduce_spark.functions.audiocodec import parse_wav_meta
+
+    for pdf in batches:
+        cols = {"sample_rate": [], "channels": [], "bits": [],
+                "n_frames": []}
+        for payload in pdf["payload"]:
+            meta = parse_wav_meta(bytes(payload)) or (-1, -1, -1, -1)
+            for k, v in zip(cols, meta):
+                cols[k].append(v)
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], **{
+            k: pd.Series(v, dtype="int64") for k, v in cols.items()}})
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST([{", ".join(map(str, _AUDIO_RATES))}][
+                CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n_frames,
+           CAST((400 + (doc_id % 7) * 100) * 1000
+                // [{", ".join(map(str, _AUDIO_RATES))}][
+                     CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio manifest scan: sample rate / channels / bit depth / frame
+    count parsed from the RIFF headers of the actual payload bytes
+    (no sample data touched), plus integer duration_ms — hash-gated
+    like `multimodal_image_meta`: the oracle recomputes every value
+    independently from doc_id (audio_assets' format formulas), so the
+    check proves the header parser reads back exactly what the
+    encoder wrote. duration is n_frames·1000 div rate — positive
+    integer floor division, identical in both engines."""
+    assets = audio_assets(spark, sf_dir)
+    parsed = (
+        fan_out(assets.select("asset_id", "payload"))
+        .mapInPandas(_audio_meta_batch, _AUDIO_META_SCHEMA)
+    )
+    return parsed.select(
+        "asset_id", "sample_rate", "channels", "bits", "n_frames",
+        F.expr("n_frames * 1000 div sample_rate").cast("bigint")
+        .alias("duration_ms"))
+
+
+_AUDIO_FEAT_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("peak", T.LongType()),
+])
+
+
+def _audio_features_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched PCM DSP kernel: decode the WAV, then integer
+    signal statistics — energy Σs² over all interleaved samples,
+    zero-crossing count over the channel-0 sequence (sign change with
+    0 counted non-negative), peak |s| — all int64-exact so the op
+    sits under the cross-engine hash gate."""
+    import numpy as np
+
+    from mit_mapreduce_spark.functions.audiocodec import decode_wav
+
+    for pdf in batches:
+        out = {k: [] for k in ("asset_id", "n_frames", "sum_sq",
+                               "zero_crossings", "peak")}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            dec = decode_wav(bytes(payload))
+            if dec is None:
+                vals = (-1, -1, -1, -1)
+            else:
+                _, channels, _, pcm = dec
+                a = np.frombuffer(pcm, "<i2").astype(np.int64)
+                ch0 = a[::channels]
+                neg = ch0 < 0
+                vals = (len(a) // channels,
+                        int(np.sum(a * a)),
+                        int(np.sum(neg[1:] != neg[:-1])),
+                        int(np.max(np.abs(a))) if len(a) else 0)
+            out["asset_id"].append(asset_id)
+            for k, v in zip(("n_frames", "sum_sq", "zero_crossings",
+                             "peak"), vals):
+                out[k].append(v)
+        yield pd.DataFrame({k: (pd.Series(v, dtype="int64")
+                                if k != "asset_id" else v)
+                            for k, v in out.items()})
+
+
+_HEXPOS = "strpos('0123456789abcdef', substr(hex, CAST({p} AS INT), 1)) - 1"
+
+
+def _sql_audio_features() -> str:
+    """DuckDB twin: reconstruct the PCM signal INDEPENDENTLY from the
+    sha256 chain (the same construction audio_assets uses), parse the
+    little-endian int16 samples out of the hex, and recompute the
+    identical integer DSP — a full differential check of encode →
+    container → decode → signal math, not just of the header walk.
+    The per-sample decode happens INSIDE the list lambda (struct of
+    (s, v)) so the multi-KB hex string never rides the 10M exploded
+    sample rows — the naive carry-hex-per-row form spilled
+    unboundedly at sf0.1; this one runs in ~8 s."""
+    lo = (f"({_HEXPOS.format(p='4*s + 1')}) * 16"
+          f" + ({_HEXPOS.format(p='4*s + 2')})")
+    hi = (f"({_HEXPOS.format(p='4*s + 3')}) * 16"
+          f" + ({_HEXPOS.format(p='4*s + 4')})")
+    return f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n_frames
+      FROM documents),
+    hx AS (
+      SELECT doc_id, channels, n_frames,
+             n_frames * channels AS n_samples,
+             substr(array_to_string(list_transform(
+                      generate_series(0, CAST(ceil(n_frames * channels
+                        * 2 / 32.0) AS INT) - 1),
+                      i -> sha256(text || '|' || CAST(i AS VARCHAR))), ''),
+                    1, CAST(n_frames * channels * 4 AS INT)) AS hex
+      FROM p),
+    vals AS (
+      SELECT doc_id, channels, n_frames, u.s AS s,
+             CASE WHEN u.v >= 32768 THEN u.v - 65536 ELSE u.v END
+               AS sample
+      FROM hx, UNNEST(list_transform(
+             generate_series(0, CAST(n_samples - 1 AS INT)),
+             s -> struct_pack(s := s,
+                              v := ({lo}) + 256 * ({hi})))) AS t(u)),
+    feat AS (
+      SELECT doc_id, ANY_VALUE(n_frames) AS n_frames,
+             CAST(SUM(sample * sample) AS BIGINT) AS sum_sq,
+             CAST(MAX(abs(sample)) AS BIGINT) AS peak
+      FROM vals GROUP BY doc_id),
+    zc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS zero_crossings
+      FROM (
+        SELECT doc_id, sample < 0 AS neg,
+               LAG(sample < 0) OVER (PARTITION BY doc_id ORDER BY s)
+                 AS pneg
+        FROM vals WHERE s % channels = 0)
+      WHERE pneg IS NOT NULL AND neg <> pneg
+      GROUP BY doc_id)
+    SELECT f.doc_id AS asset_id, f.n_frames, f.sum_sq,
+           CAST(COALESCE(z.zero_crossings, 0) AS BIGINT)
+             AS zero_crossings, f.peak
+    FROM feat f LEFT JOIN zc z ON z.doc_id = f.doc_id
+    """
+
+
+@query("multimodal_audio_features", oracle=_sql_audio_features())
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DSP features over REAL decoded PCM: per asset, integer
+    energy (Σ s² over all interleaved samples), zero-crossing count of
+    the channel-0 sequence, and peak amplitude — the manifest →
+    batched decode → signal-statistics pipeline every speech/audio
+    curation stack runs before filtering, expressed with the same
+    Arrow plumbing as the image kernels.
+
+    Uniquely for a pixel/sample kernel, this one IS hash-gated: the
+    DuckDB oracle rebuilds the PCM from the sha256 chain (the
+    construction audio_assets documents), parses the little-endian
+    int16 samples out of hex, and recomputes the identical integer
+    DSP — so encoder, RIFF container, decoder, AND the signal math
+    are all cross-engine-verified. Everything is int64-exact; no
+    float enters the plan."""
+    assets = audio_assets(spark, sf_dir)
+    return (
+        fan_out(assets.select("asset_id", "payload"))
+        .mapInPandas(_audio_features_batch, _AUDIO_FEAT_SCHEMA)
     )
 
 
