@@ -17,8 +17,16 @@ text-only). The pattern for image/audio/video at 100 TB:
   (formats the stdlib codec can't parse, e.g. JPEG), then a
   clearly-marked deterministic md5-seeded stand-in for undecodable
   bytes — a corrupt image must be quarantined, never kill a
-  million-task job. Video frame-sampling stays a stand-in (ffmpeg
-  absent); its 1-row-in/N-rows-out Arrow contract is the real part.
+  million-task job. (`multimodal_framesample` keeps the byte-chunking
+  stand-in for the arbitrary-binary contract; real video is the Y4M
+  tier below.)
+- the VIDEO leg (r8) is real: ``functions/videocodec.py`` speaks
+  YUV4MPEG2 (the uncompressed interchange format of every ffmpeg
+  pipeline) with stdlib slicing — `multimodal_video_meta` parses the
+  stream header + FRAME markers, `multimodal_video_frames` extracts
+  TRUE frames (1-in/N-out) with per-frame digests and Y-plane sums,
+  and both are hash-gated against doc_id-formula /
+  chain-reconstruction oracles.
 - the AUDIO leg (r8) is fully real AND fully hash-gated:
   ``functions/audiocodec.py`` encodes/parses/decodes integer-PCM WAV
   with stdlib ``struct``, and both registered audio queries
@@ -620,6 +628,242 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fan_out(assets.select("asset_id", "payload"))
         .mapInPandas(_audio_features_batch, _AUDIO_FEAT_SCHEMA)
+    )
+
+
+# --- video tier: real Y4M (YUV4MPEG2) assets + meta + frame stats -----------
+
+_VIDEO_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _encode_video_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched Y4M ENCODE kernel: the contiguous YUV byte stream
+    in, FRAME-delimited YUV4MPEG2 container out (pure-stdlib
+    encode_y4m; pytest asserts parse/extract round-trips)."""
+    from mit_mapreduce_spark.functions.videocodec import encode_y4m
+
+    for pdf in batches:
+        payloads = []
+        for w, h, nf, fps, yuv in zip(pdf["_w"], pdf["_h"], pdf["_nf"],
+                                      pdf["_fps"], pdf["yuv"]):
+            w, h, nf = int(w), int(h), int(nf)
+            data = bytes(yuv)
+            fsz = 3 * w * h
+            frames = [data[f * fsz:(f + 1) * fsz] for f in range(nf)]
+            payloads.append(encode_y4m(w, h, frames, fps_num=int(fps)))
+        yield pd.DataFrame({"asset_id": pdf["asset_id"],
+                            "lang": pdf["lang"], "payload": payloads})
+
+
+def video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (asset_id, payload binary, meta struct) where the
+    payload is a VALID uncompressed C444 YUV4MPEG2 stream: dimensions
+    8–16 × 6–8, 24/25 fps, 3–6 frames by doc_id formulas, every
+    frame's YUV bytes from the sha256 chain over the text — the video
+    twin of image_assets/audio_assets, real container + real frames,
+    deterministic on every box, payloads never transiting the
+    driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(8) + (F.col("doc_id") % 3) * 4).cast("int")
+    h = (F.lit(6) + (F.col("doc_id") % 2) * 2).cast("int")
+    nf = (F.lit(3) + F.col("doc_id") % 4).cast("int")
+    fps = (F.lit(24) + F.col("doc_id") % 2).cast("int")
+    yuv = F.expr(
+        "substring(unhex(concat_ws('', transform("
+        "  sequence(0, cast(ceil((_nf * 3 * _w * _h) / 32.0) as int) - 1),"
+        "  i -> sha2(concat(text, '|', cast(i as string)), 256)))),"
+        " 1, _nf * 3 * _w * _h)")
+    raw = (
+        fan_out(docs)
+        .withColumn("_w", w).withColumn("_h", h)
+        .withColumn("_nf", nf).withColumn("_fps", fps)
+        .select(F.col("doc_id").alias("asset_id"), "_w", "_h", "_nf",
+                "_fps", "lang", yuv.alias("yuv"))
+    )
+    encoded = raw.mapInPandas(_encode_video_batch, _VIDEO_SCHEMA)
+    return encoded.select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+            F.lit("video/x-yuv4mpeg").alias("mime"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+_VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("fps_num", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+])
+
+
+def _video_meta_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched Y4M header/FRAME-marker walk (no pixel bytes
+    copied); unparseable payloads quarantine as -1s."""
+    from mit_mapreduce_spark.functions.videocodec import parse_y4m_meta
+
+    for pdf in batches:
+        cols = {"width": [], "height": [], "fps_num": [], "n_frames": []}
+        for payload in pdf["payload"]:
+            meta = parse_y4m_meta(bytes(payload))
+            w, h, fps_num, _, n = meta if meta else (-1, -1, -1, -1, -1)
+            for k, v in zip(cols, (w, h, fps_num, n)):
+                cols[k].append(v)
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], **{
+            k: pd.Series(v, dtype="int64") for k, v in cols.items()}})
+
+
+@query(
+    "multimodal_video_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS width,
+           CAST(6 + (doc_id % 2) * 2 AS BIGINT) AS height,
+           CAST(24 + doc_id % 2 AS BIGINT) AS fps_num,
+           CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST((3 + doc_id % 4) * 1000 // (24 + doc_id % 2) AS BIGINT)
+             AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video manifest scan: dimensions / frame rate / frame count from
+    the Y4M stream header and FRAME markers of the actual payload
+    bytes (no pixel data copied), plus integer duration — hash-gated
+    like the image/audio meta queries: the oracle recomputes every
+    value independently from doc_id (video_assets' formulas), proving
+    the parser reads back exactly what the encoder wrote."""
+    assets = video_assets(spark, sf_dir)
+    parsed = (
+        fan_out(assets.select("asset_id", "payload"))
+        .mapInPandas(_video_meta_batch, _VIDEO_META_SCHEMA)
+    )
+    return parsed.select(
+        "asset_id", "width", "height", "fps_num", "n_frames",
+        F.expr("n_frames * 1000 div fps_num").cast("bigint")
+        .alias("duration_ms"))
+
+
+_VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_digest", T.StringType()),
+    T.StructField("y_sum", T.LongType()),
+])
+
+
+def _video_frames_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched TRUE frame extraction: one asset row fans out to
+    one row per decoded frame (the 1-in/N-out video contract, now over
+    a real container) with an md5 digest of the frame's lowercase hex
+    and the integer Y-plane (luma) byte sum."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from mit_mapreduce_spark.functions.videocodec import (
+        iter_y4m_frames, parse_y4m_meta,
+    )
+
+    for pdf in batches:
+        out = {"asset_id": [], "frame_idx": [], "frame_digest": [],
+               "y_sum": []}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            data = bytes(payload)
+            meta = parse_y4m_meta(data)
+            if meta is None:
+                out["asset_id"].append(asset_id)
+                out["frame_idx"].append(-1)
+                out["frame_digest"].append("quarantine")
+                out["y_sum"].append(-1)
+                continue
+            w, h, _, _, _ = meta
+            for idx, frame in enumerate(iter_y4m_frames(data)):
+                y = np.frombuffer(frame, np.uint8)[:w * h]
+                out["asset_id"].append(asset_id)
+                out["frame_idx"].append(idx)
+                out["frame_digest"].append(
+                    _hashlib.md5(frame.hex().encode()).hexdigest())
+                out["y_sum"].append(int(y.astype(np.int64).sum()))
+        yield pd.DataFrame({
+            "asset_id": out["asset_id"],
+            "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+            "frame_digest": out["frame_digest"],
+            "y_sum": pd.Series(out["y_sum"], dtype="int64"),
+        })
+
+
+def _sql_video_frames() -> str:
+    """DuckDB twin: rebuild each frame's byte stream from the sha256
+    chain (the construction video_assets uses), digest the hex slice
+    with md5, and re-sum the Y plane by decoding hex pairs inside a
+    list lambda — same independent-reconstruction discipline as the
+    audio features oracle."""
+    hexpos = "strpos('0123456789abcdef', substr(hex, CAST({p} AS INT), 1)) - 1"
+    byte_at = (f"(({hexpos.format(p='off + 2*j + 1')}) * 16"
+               f" + ({hexpos.format(p='off + 2*j + 2')}))")
+    return f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS w,
+             CAST(6 + (doc_id % 2) * 2 AS BIGINT) AS h,
+             CAST(3 + doc_id % 4 AS BIGINT) AS nf
+      FROM documents),
+    hx AS (
+      SELECT doc_id, w, h, nf,
+             substr(array_to_string(list_transform(
+                      generate_series(0, CAST(ceil(nf * 3 * w * h / 32.0)
+                        AS INT) - 1),
+                      i -> sha256(text || '|' || CAST(i AS VARCHAR))), ''),
+                    1, CAST(nf * 3 * w * h * 2 AS INT)) AS hex
+      FROM p),
+    fr AS (
+      SELECT doc_id, w, h, hex,
+             unnest(generate_series(0, CAST(nf - 1 AS INT))) AS frame_idx
+      FROM hx)
+    SELECT doc_id AS asset_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substr(hex, CAST(frame_idx * 3 * w * h * 2 + 1 AS INT),
+                      CAST(3 * w * h * 2 AS INT))) AS frame_digest,
+           CAST(list_sum(list_transform(
+                  generate_series(0, CAST(w * h - 1 AS INT)),
+                  j -> {byte_at})) AS BIGINT) AS y_sum
+    FROM fr, LATERAL (SELECT frame_idx * 3 * w * h * 2 AS off) o
+    """
+
+
+@query("multimodal_video_frames", oracle=_sql_video_frames())
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE frame extraction over a real video container: each Y4M
+    asset fans out to one row per decoded frame inside mapInPandas
+    (frames never transit the driver) carrying an md5 digest of the
+    frame bytes and the integer luma-plane sum — the per-frame
+    manifest a video curation pipeline builds before any ML scoring.
+
+    Hash-gated end to end, like the audio features: the oracle
+    reconstructs every frame's bytes from the sha256 chain in SQL,
+    digests the same lowercase-hex slice, and re-sums the Y plane by
+    hex-pair decode — encoder, FRAME framing, extractor, and the
+    plane arithmetic all cross-engine-verified. (The original
+    byte-chunking `multimodal_framesample` stand-in stays registered
+    for the arbitrary-binary contract; this op supersedes it for real
+    video.)"""
+    assets = video_assets(spark, sf_dir)
+    return (
+        fan_out(assets.select("asset_id", "payload"))
+        .mapInPandas(_video_frames_batch, _VIDEO_FRAME_SCHEMA)
     )
 
 
