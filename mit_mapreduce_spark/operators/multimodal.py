@@ -369,7 +369,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real JPEG's SOF0 holds the same true dimensions anyway)."""
     assets = image_assets(spark, sf_dir)
     return (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_image_meta_batch, _IMAGE_META_SCHEMA)
     )
 
@@ -493,7 +493,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer floor division, identical in both engines."""
     assets = audio_assets(spark, sf_dir)
     parsed = (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_audio_meta_batch, _AUDIO_META_SCHEMA)
     )
     return parsed.select(
@@ -626,7 +626,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     float enters the plan."""
     assets = audio_assets(spark, sf_dir)
     return (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_audio_features_batch, _AUDIO_FEAT_SCHEMA)
     )
 
@@ -746,7 +746,7 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parser reads back exactly what the encoder wrote."""
     assets = video_assets(spark, sf_dir)
     parsed = (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_video_meta_batch, _VIDEO_META_SCHEMA)
     )
     return parsed.select(
@@ -862,8 +862,102 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     video.)"""
     assets = video_assets(spark, sf_dir)
     return (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_video_frames_batch, _VIDEO_FRAME_SCHEMA)
+    )
+
+
+# --- corruption-injection quarantine audit ----------------------------------
+
+_CORRUPT_MOD = 29     # deterministic 1-in-29 payload corruption
+_CORRUPT_KEEP = 9     # corrupted payloads keep only their first 9 bytes
+
+
+def _corrupt(assets: DataFrame) -> DataFrame:
+    """Deterministically corrupt every {_CORRUPT_MOD}th payload by
+    truncating it to {_CORRUPT_KEEP} bytes — enough to keep (part of)
+    the magic, never enough to parse, for every container format."""
+    return assets.select(
+        "asset_id",
+        F.when(F.col("asset_id") % _CORRUPT_MOD == 0,
+               F.expr(f"substring(payload, 1, {_CORRUPT_KEEP})"))
+        .otherwise(F.col("payload")).alias("payload"),
+    )
+
+
+_QUAR_SCHEMA = T.StructType([
+    T.StructField("modality", T.StringType()),
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("parsed", T.IntegerType()),
+])
+
+
+def _quarantine_probe_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-asset parse attempt with the modality's real header parser;
+    1 = parsed, 0 = quarantined (None). Never raises — the contract
+    this audit exists to prove."""
+    from mit_mapreduce_spark.functions.audiocodec import parse_wav_meta
+    from mit_mapreduce_spark.functions.imagecodec import parse_image_meta
+    from mit_mapreduce_spark.functions.videocodec import parse_y4m_meta
+
+    parsers = {"image": parse_image_meta, "audio": parse_wav_meta,
+               "video": parse_y4m_meta}
+    for pdf in batches:
+        parsed = [
+            int(parsers[m](bytes(p)) is not None)
+            for m, p in zip(pdf["modality"], pdf["payload"])
+        ]
+        yield pd.DataFrame({"modality": pdf["modality"],
+                            "asset_id": pdf["asset_id"],
+                            "parsed": pd.Series(parsed, dtype="int32")})
+
+
+@query(
+    "multimodal_quarantine_report",
+    oracle=f"""
+    SELECT m.modality,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+    FROM documents
+    CROSS JOIN (SELECT unnest(['audio', 'image', 'video']) AS modality) m
+    GROUP BY m.modality
+    """,
+)
+def multimodal_quarantine_report(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Corruption-resilience audit across all three modalities: every
+    {_CORRUPT_MOD}th asset's payload is deterministically truncated
+    ({_CORRUPT_KEEP} bytes — magic survives, structure doesn't), the
+    real header parsers run over the damaged corpus, and the report
+    counts parsed vs quarantined per modality. Hash-gated: the oracle
+    knows exactly which doc_ids were corrupted, so the check proves
+    the quarantine DISPATCH — parsers return None (never raise) on
+    exactly the damaged payloads and parse everything else. This is
+    the ingest-resilience contract of a 100 TB media pipeline as a
+    registered, cross-engine-verified behavior rather than only a
+    unit test; the per-asset probes ride the same single-fan-out,
+    payloads-never-shuffle plan as the meta queries (the three
+    modality scans union before one tiny aggregation)."""
+    probes = []
+    for modality, assets in (("image", image_assets(spark, sf_dir)),
+                             ("audio", audio_assets(spark, sf_dir)),
+                             ("video", video_assets(spark, sf_dir))):
+        probes.append(
+            _corrupt(assets.select("asset_id", "payload"))
+            .withColumn("modality", F.lit(modality))
+            .select("modality", "asset_id", "payload")
+            .mapInPandas(_quarantine_probe_batch, _QUAR_SCHEMA))
+    union = probes[0].unionByName(probes[1]).unionByName(probes[2])
+    return (
+        union.groupBy("modality")
+        .agg(F.count("*").cast("bigint").alias("n_assets"),
+             F.sum("parsed").cast("bigint").alias("n_parsed"),
+             (F.count("*") - F.sum("parsed")).cast("bigint")
+             .alias("n_quarantined"))
     )
 
 

@@ -338,3 +338,38 @@ def test_binary_assets_meta_is_manifest_only(spark, sf_dir):
     rows = binary_assets(spark, sf_dir).limit(3).collect()
     for r in rows:
         assert r.meta.n_bytes == len(bytes(r.payload))
+
+
+def test_corruption_truncation_quarantines_every_container():
+    """The quarantine audit's corruption model (truncate to 9 bytes)
+    must defeat every container parser — magic survives, structure
+    doesn't — and parsers must return None, never raise."""
+    import struct as _struct
+
+    from mit_mapreduce_spark.functions.audiocodec import (
+        encode_wav, parse_wav_meta,
+    )
+    from mit_mapreduce_spark.functions.imagecodec import (
+        encode_bmp, encode_png, encode_ppm, parse_image_meta,
+    )
+    from mit_mapreduce_spark.functions.videocodec import (
+        encode_y4m, parse_y4m_meta,
+    )
+    from mit_mapreduce_spark.operators.multimodal import (
+        _CORRUPT_KEEP, _encode_jpeg,
+    )
+
+    rgb = bytes((i * 3) % 256 for i in range(6 * 4 * 3))
+    payloads = [
+        encode_ppm(6, 4, rgb), encode_bmp(6, 4, rgb),
+        encode_png(6, 4, rgb), _encode_jpeg(6, 4, rgb),
+    ]
+    for p in payloads:
+        assert parse_image_meta(p) is not None
+        assert parse_image_meta(p[:_CORRUPT_KEEP]) is None
+    wav = encode_wav(8000, 1, _struct.pack("<4h", 1, -1, 2, -2))
+    assert parse_wav_meta(wav) is not None
+    assert parse_wav_meta(wav[:_CORRUPT_KEEP]) is None
+    y4m = encode_y4m(2, 2, [bytes(12)])
+    assert parse_y4m_meta(y4m) is not None
+    assert parse_y4m_meta(y4m[:_CORRUPT_KEEP]) is None

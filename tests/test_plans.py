@@ -462,3 +462,21 @@ def test_retrieval_query_side_is_bounded_broadcast(spark, sf_dir, name):
     plan = plans.formatted_plan(df)
     assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan, name
     assert "BroadcastExchange" in plan, name
+
+
+@pytest.mark.parametrize("name", [
+    "multimodal_image_meta", "multimodal_audio_meta",
+    "multimodal_audio_features", "multimodal_video_meta",
+    "multimodal_video_frames",
+])
+def test_round8_multimodal_single_exchange(spark, sf_dir, name):
+    """Round-8 multimodal queries: exactly ONE exchange — the gated
+    fan_out of the narrow text scan BEFORE the encode kernel. The
+    built payload bytes must never ride a shuffle (the parse kernels
+    consume the encode kernel's output partition-locally); at 100 TB
+    the payload column is the bill, so a second exchange here would
+    be the plan bug this test exists to catch."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= 1, f"{name}: {n} exchanges (payloads must not shuffle)"
+    assert "CartesianProduct" not in plans.formatted_plan(df)
