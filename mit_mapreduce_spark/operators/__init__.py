@@ -15,6 +15,7 @@ def load_all() -> None:
         windows,
         events,
         dedup,
+        linkage,
         similarity,
         textstats,
         curation,

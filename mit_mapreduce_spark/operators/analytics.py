@@ -671,3 +671,96 @@ def recursive_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mit_mapreduce_spark.catalog import register_views
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(_SQL_RECURSIVE_MONTHS)
+
+
+# --- closed-form OLS trend per nation --------------------------------------
+
+# Monthly revenue is converted to exact BIGINT units of 1e-4 dollars
+# (the decimal sum is integral at scale 4, so the cast is lossless),
+# making every regression moment an exact integer aggregate: the
+# slope's numerator/denominator are bit-identical in both engines and
+# hash-gateable, with one deterministic IEEE division at the end.
+_SQL_OLS_TREND = """
+    WITH monthly AS (
+      SELECT c.c_nationkey AS nationkey,
+             (YEAR(o.o_orderdate) - 1995) * 12
+               + MONTH(o.o_orderdate) - 1 AS x,
+             CAST(SUM(CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(28,4)))
+                  * 10000 AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey,
+               (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) - 1
+    ),
+    fit AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM monthly GROUP BY nationkey
+    )
+    SELECT n.n_name,
+           f.n AS n_months,
+           CAST(f.n * f.sxy - f.sx * f.sy AS BIGINT) AS slope_num,
+           CAST(f.n * f.sxx - f.sx * f.sx AS BIGINT) AS slope_den,
+           CASE WHEN f.n * f.sxx - f.sx * f.sx = 0 THEN NULL
+                ELSE CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                     / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE)
+                     / 10000.0
+           END AS slope_dollars_per_month
+    FROM fit f JOIN nation n ON f.nationkey = n.n_nationkey
+"""
+
+
+@query("ols_trend_by_nation", oracle=_SQL_OLS_TREND)
+def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form simple linear regression
+    of monthly order revenue on the month index, slope = (n·Sxy −
+    Sx·Sy) / (n·Sxx − Sx²). The regression-aggregate surface (SQL
+    REGR_SLOPE family) expressed as exact integer moments: monthly
+    revenue becomes BIGINT units of 1e-4 dollars (lossless — the
+    scale-4 decimal sum is integral), so Sx/Sy/Sxy/Sxx are plain
+    integer sums, mergeable map-side and bit-identical under any
+    partial-aggregation order; numerator and denominator are emitted
+    exactly and the slope is one IEEE division.
+
+    100 TB posture: stage 1 is the only row-scale shuffle (a groupBy
+    on (nation, month) — map-side combined); stage 2 runs over
+    |nations|·|months| rows, thousands at any corpus size, and the
+    nation dim joins broadcast. Integer headroom: the num/den products
+    stay in BIGINT for monthly cells up to ~1e14 units (~$10 B/month
+    per nation); beyond that, swap units (cents) or DECIMAL(38,0)
+    moments — the shape is unchanged. A single-month group (den = 0)
+    yields NULL slope instead of a div-by-zero artifact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), x.alias("x"))
+        .agg((F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)"))
+              * 10000).cast("bigint").alias("y"))
+    )
+    fit = monthly.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        fit.join(F.broadcast(n), fit.nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n").alias("n_months"),
+            num.cast("bigint").alias("slope_num"),
+            den.cast("bigint").alias("slope_den"),
+            F.when(den == 0, F.lit(None).cast("double"))
+            .otherwise(num.cast("double") / den.cast("double") / 10000.0)
+            .alias("slope_dollars_per_month"),
+        )
+    )

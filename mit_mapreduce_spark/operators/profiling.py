@@ -400,3 +400,95 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"),
              dsum("o_totalprice", "sum_price"))
     )
+
+
+# --- privacy: k-anonymity audit + suppression plan -------------------------
+
+# Quasi-identifier grid for the customer table: nation x market
+# segment x account-balance band. Band arithmetic is FLOOR of one
+# IEEE double division — bit-identical in both engines (same caveat
+# discipline as min_cost_supplier's snap idiom).
+K_ANON = 5
+BAL_BAND = 5000.0
+
+_SQL_QI_CLASSES = f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / {BAL_BAND}) AS INT) AS bal_band,
+           COUNT(*) AS class_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {BAL_BAND}) AS INT)
+"""
+
+
+def _qi_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(BAL_BAND)).cast("int")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"SELECT * FROM ({_SQL_QI_CLASSES}) WHERE class_size < {K_ANON}",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (Sweeney, k-anonymity, 2002): equivalence classes
+    of the quasi-identifier grid (nation, segment, balance band) with
+    fewer than K_ANON members — the rows re-identifiable by linking
+    on those attributes. One map-side-combined groupBy over the scan
+    plus a HAVING on the aggregate; the class table this produces is
+    bounded by the QI grid's cardinality (|nations| x |segments| x
+    bands), not by row count, so the audit output stays small at any
+    corpus scale. The generalization loop a release pipeline runs
+    (widen bands until every class passes) re-evaluates this same
+    cheap aggregate per candidate grid."""
+    return _qi_classes(spark, sf_dir).where(F.col("class_size") < K_ANON)
+
+
+@query(
+    "k_anonymity_suppress",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN r.class_size IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppressed
+    FROM customer c
+    LEFT JOIN (SELECT * FROM ({_SQL_QI_CLASSES})
+               WHERE class_size < {K_ANON}) r
+      ON c.c_nationkey = r.c_nationkey
+     AND c.c_mktsegment = r.c_mktsegment
+     AND CAST(FLOOR(c.c_acctbal / {BAL_BAND}) AS INT) = r.bal_band
+    GROUP BY c.c_nationkey
+    """,
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enforcement half of the audit: per nation, how many
+    customer rows a k-anonymous release would suppress (rows whose QI
+    class is under K_ANON). The risky-class table is bounded by the
+    QI grid, so Catalyst broadcasts it and the enforcement pass is a
+    broadcast hash join riding the original scan — no extra wide
+    shuffle at 100 TB beyond the audit aggregate itself."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(BAL_BAND)).cast("int")
+    risky = (
+        _qi_classes(spark, sf_dir)
+        .where(F.col("class_size") < K_ANON)
+        .withColumnsRenamed({"c_nationkey": "r_nationkey",
+                             "c_mktsegment": "r_mktsegment",
+                             "bal_band": "r_bal_band"})
+    )
+    joined = c.withColumn("bal_band", band).join(
+        F.broadcast(risky),
+        (F.col("c_nationkey") == F.col("r_nationkey"))
+        & (F.col("c_mktsegment") == F.col("r_mktsegment"))
+        & (F.col("bal_band") == F.col("r_bal_band")),
+        "left",
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("class_size").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_suppressed"),
+    )

@@ -1,0 +1,212 @@
+"""Hand-checkable property tests for the round-8 session-2 operators
+(record linkage / entity resolution, k-anonymity, OLS trend), plus
+their live oracle gates on crafted corpora. The sf0.01 differential
+runs in selfcheck/driver."""
+
+import os
+import tempfile
+
+from mit_mapreduce_spark import operators
+from mit_mapreduce_spark.testing import compare
+
+operators.load_all()
+
+
+def _stage_parts(spark, names, td):
+    """Crafted part.parquet (one row per name occurrence); every other
+    table symlinks to the sf0.001 fixtures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "p_partkey": pa.array(range(len(names)), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+        "p_brand": pa.array(["Brand#1"] * len(names), pa.string()),
+        "p_type": pa.array(["ECONOMY"] * len(names), pa.string()),
+        "p_size": pa.array([1] * len(names), pa.int64()),
+        "p_retailprice": pa.array([100.0] * len(names), pa.float64()),
+    })
+    pq.write_table(tab, os.path.join(td, "part.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+
+
+def test_fuzzy_match_crafted_graph(spark):
+    """cold bolt ~1~ old bolt ~1~ bold bolt (cold~bold also dist 1,
+    one substitution); hot gear matches nothing (different block); big
+    gear is in gear's block but 3 edits from hot gear. Duplicate rows
+    of one name collapse to a single vocabulary node with n_parts
+    support."""
+    names = ["cold bolt", "old bolt", "bold bolt", "bold bolt",
+             "hot gear", "big gear"]
+    with tempfile.TemporaryDirectory() as td:
+        _stage_parts(spark, names, td)
+        df = operators.QUERIES["fuzzy_blocked_match"](spark, td)
+        rows = {(r.name_a, r.name_b): (r.dist, r.parts_a, r.parts_b)
+                for r in df.collect()}
+        assert rows == {
+            ("cold bolt", "old bolt"): (1, 1, 1),
+            ("bold bolt", "old bolt"): (1, 2, 1),
+            ("bold bolt", "cold bolt"): (1, 2, 1),
+        }
+        ok, msg = compare(df, operators.ORACLES["fuzzy_blocked_match"], td)
+        assert ok, msg
+
+
+def test_entity_resolution_crafted_components(spark):
+    """The three bolt variants resolve to one entity labeled by the
+    lexicographic min name; the two gears stay singletons (distance 3
+    exceeds the cap). n_parts aggregates row support, not name count."""
+    names = ["cold bolt", "old bolt", "bold bolt", "bold bolt",
+             "hot gear", "big gear"]
+    with tempfile.TemporaryDirectory() as td:
+        _stage_parts(spark, names, td)
+        df = operators.QUERIES["entity_resolution"](spark, td)
+        ents = {r.entity_id: (r.n_names, r.n_parts, r.first_name,
+                              r.last_name) for r in df.collect()}
+        assert ents == {
+            "bold bolt": (3, 4, "bold bolt", "old bolt"),
+            "hot gear": (1, 1, "hot gear", "hot gear"),
+            "big gear": (1, 1, "big gear", "big gear"),
+        }
+        ok, msg = compare(df, operators.ORACLES["entity_resolution"], td)
+        assert ok, msg
+
+
+def test_levenshtein_parity_spark_vs_duckdb(spark):
+    """The fuzzy predicate is only portable if both engines implement
+    identical unit-cost Levenshtein (no transposition discount):
+    pinned on empty strings, pure inserts, substitutions, and the
+    transposition case (abcd→abdc is 2, not Damerau's 1)."""
+    import duckdb
+
+    cases = [("", "abc"), ("abc", ""), ("abcd", "abdc"),
+             ("kitten", "sitting"), ("small ring", "small king"),
+             ("bolt", "bolt"), ("a", "b"), ("flaw", "lawn")]
+    sdf = spark.createDataFrame(cases, "a string, b string")
+    from pyspark.sql import functions as F
+    got = {(r.a, r.b): r.d for r in
+           sdf.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()}
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_fuzzy_match_plan_no_cartesian(spark, sf_dir):
+    """Blocking must make the candidate join an equi-join: no
+    CartesianProduct, no BroadcastNestedLoopJoin anywhere in the
+    physical plan."""
+    from mit_mapreduce_spark import plans
+
+    df = operators.QUERIES["fuzzy_blocked_match"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _stage_customers(spark, rows, td):
+    """Crafted customer.parquet: rows = (custkey, nationkey, acctbal,
+    mktsegment); every other table symlinks to sf0.001."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([f"Customer#{r[0]:09d}" for r in rows],
+                           pa.string()),
+        "c_nationkey": pa.array([r[1] for r in rows], pa.int64()),
+        "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+        "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(tab, os.path.join(td, "customer.parquet"))
+    for t in ["region", "nation", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+
+
+def test_k_anonymity_crafted(spark):
+    """Five identical-QI customers form a k=5-safe class; a lone
+    customer in a different segment is risky; a negative balance lands
+    in band -1 (FLOOR, not truncation). Suppression counts only the
+    risky rows, per nation."""
+    rows = ([(i, 1, 2500.0, "AUTO") for i in range(5)]     # class of 5: safe
+            + [(10, 1, 2500.0, "BUILDING"),                # singleton: risky
+               (11, 2, -100.0, "AUTO")])                   # band -1 singleton
+    with tempfile.TemporaryDirectory() as td:
+        _stage_customers(spark, rows, td)
+        audit = operators.QUERIES["k_anonymity_audit"](spark, td)
+        got = {(r.c_nationkey, r.c_mktsegment, r.bal_band): r.class_size
+               for r in audit.collect()}
+        assert got == {(1, "BUILDING", 0): 1, (2, "AUTO", -1): 1}
+        ok, msg = compare(audit, operators.ORACLES["k_anonymity_audit"], td)
+        assert ok, msg
+
+        sup = operators.QUERIES["k_anonymity_suppress"](spark, td)
+        got = {r.c_nationkey: (r.n_customers, r.n_suppressed)
+               for r in sup.collect()}
+        assert got == {1: (6, 1), 2: (1, 1)}
+        ok, msg = compare(sup, operators.ORACLES["k_anonymity_suppress"], td)
+        assert ok, msg
+
+
+def test_k_anonymity_suppress_plan_broadcast(spark, sf_dir):
+    """The risky-class side must ride a broadcast hash join (the class
+    table is QI-grid-bounded), and nothing in the plan may be a
+    cartesian product."""
+    from mit_mapreduce_spark import plans
+
+    df = operators.QUERIES["k_anonymity_suppress"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ols_trend_crafted_exact_slope(spark):
+    """Three months of revenue 10/20/30 for one customer in nation 0:
+    closed form gives num=600000, den=6 (1e-4-dollar units), slope
+    exactly 10 $/month. A second nation with a single month must
+    report NULL slope (den=0), not a division artifact."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_name": pa.array(["Customer#1", "Customer#2"], pa.string()),
+            "c_nationkey": pa.array([0, 1], pa.int64()),
+            "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+            "c_mktsegment": pa.array(["AUTO", "AUTO"], pa.string()),
+        })
+        pq.write_table(cust, os.path.join(td, "customer.parquet"))
+        dt = datetime.datetime
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 7.0], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt(1995, 1, 15), dt(1995, 2, 15), dt(1995, 3, 15),
+                 dt(1995, 5, 1)], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+        })
+        pq.write_table(orders, os.path.join(td, "orders.parquet"))
+        for t in ["region", "nation", "supplier", "part", "lineitem",
+                  "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+
+        df = operators.QUERIES["ols_trend_by_nation"](spark, td)
+        got = {r.n_name: (r.n_months, r.slope_num, r.slope_den,
+                          r.slope_dollars_per_month) for r in df.collect()}
+        trend = [v for k, v in got.items()]
+        assert len(got) == 2
+        by_months = {v[0]: v for v in trend}
+        assert by_months[3] == (3, 600000, 6, 10.0)
+        assert by_months[1][1:] == (0, 0, None)
+        ok, msg = compare(df, operators.ORACLES["ols_trend_by_nation"], td)
+        assert ok, msg
