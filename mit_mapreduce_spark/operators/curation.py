@@ -1481,37 +1481,66 @@ def _rag_topk_impl(spark: SparkSession, sf_dir: str, posting_top: int,
 
 # --- pruning-quality certification: pruned vs exact retrieval ---------------
 
+# Rank-discount weights for the NDCG columns, on a fixed integer grid
+# so the gain sums are exact integers in both engines: w(r) =
+# round(1e6 / log2(r + 1)), computed ONCE here in Python and embedded
+# as literals in both the Spark plan and the oracle SQL — no runtime
+# log() whose last-ulp could differ between engines ever touches the
+# hash gate. IDCG is the prefix sum of the same table.
+NDCG_GRID = 1_000_000
+
+
+def _ndcg_weights(max_k: int) -> tuple[int, ...]:
+    import math
+
+    return tuple(round(NDCG_GRID / math.log2(r + 1))
+                 for r in range(1, max_k + 1))
+
+
 def _sql_pruning_recall() -> str:
-    from mit_mapreduce_spark.operators.textstats import _sql_bm25
+    from mit_mapreduce_spark.operators.textstats import BM25_TOP_K, _sql_bm25
+
+    w = _ndcg_weights(max(BM25_TOP_K, RAG_TOP_K))
+    cum = [sum(w[:i + 1]) for i in range(len(w))]
+    w_case = ("CASE p.rnk "
+              + " ".join(f"WHEN {r + 1} THEN {wt}" for r, wt in enumerate(w))
+              + " ELSE 0 END")
+    idcg_case = ("CASE k_exact "
+                 + " ".join(f"WHEN {r + 1} THEN {c}"
+                            for r, c in enumerate(cum))
+                 + " ELSE 0 END")
+
+    def leg(name: str, exact: str, pruned: str, keys: str) -> str:
+        on = " AND ".join(f"p.{k} = e.{k}" for k in keys.split())
+        return f"""
+    {name}_ov AS (
+      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+             CAST(SUM({w_case}) AS BIGINT) AS dcg_micro
+      FROM {exact} e JOIN {pruned} p ON p.qid = e.qid AND {on}
+      GROUP BY e.qid),
+    {name} AS (
+      SELECT '{"bm25" if name == "bm" else "rag"}' AS leg, qid,
+             CAST(COUNT(*) AS BIGINT) AS k_exact,
+             COALESCE(ANY_VALUE(o.n_overlap), 0) AS n_overlap,
+             COALESCE(ANY_VALUE(o.dcg_micro), 0) AS dcg_micro
+      FROM {exact} LEFT JOIN {name}_ov o USING (qid)
+      GROUP BY qid)"""
 
     return f"""
     WITH bm_exact AS ({_sql_bm25(posting_top=0)}),
     bm_pruned AS ({_sql_bm25()}),
     rag_exact AS ({_sql_rag(posting_top=0, q_top_dims=0)}),
     rag_pruned AS ({_sql_rag()}),
-    bm_ov AS (
-      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
-      FROM bm_exact e JOIN bm_pruned p
-        ON p.qid = e.qid AND p.did = e.did
-      GROUP BY e.qid),
-    bm AS (
-      SELECT 'bm25' AS leg, qid, CAST(COUNT(*) AS BIGINT) AS k_exact,
-             COALESCE(ANY_VALUE(o.n_overlap), 0) AS n_overlap
-      FROM bm_exact LEFT JOIN bm_ov o USING (qid)
-      GROUP BY qid),
-    rag_ov AS (
-      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
-      FROM rag_exact e JOIN rag_pruned p
-        ON p.qid = e.qid AND p.cdoc = e.cdoc AND p.chunk_id = e.chunk_id
-      GROUP BY e.qid),
-    rag AS (
-      SELECT 'rag' AS leg, qid, CAST(COUNT(*) AS BIGINT) AS k_exact,
-             COALESCE(ANY_VALUE(o.n_overlap), 0) AS n_overlap
-      FROM rag_exact LEFT JOIN rag_ov o USING (qid)
-      GROUP BY qid)
-    SELECT leg, qid, k_exact, n_overlap FROM bm
-    UNION ALL
-    SELECT leg, qid, k_exact, n_overlap FROM rag
+    {leg("bm", "bm_exact", "bm_pruned", "did")},
+    {leg("rag", "rag_exact", "rag_pruned", "cdoc chunk_id")},
+    unioned AS (
+      SELECT leg, qid, k_exact, n_overlap, dcg_micro FROM bm
+      UNION ALL
+      SELECT leg, qid, k_exact, n_overlap, dcg_micro FROM rag)
+    SELECT leg, qid, k_exact, n_overlap, dcg_micro,
+           CAST({idcg_case} AS BIGINT) AS idcg_micro,
+           CAST(dcg_micro AS DOUBLE) / CAST({idcg_case} AS DOUBLE) AS ndcg
+    FROM unioned
     """
 
 
@@ -1529,7 +1558,14 @@ def retrieval_pruning_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this harness catches. One row per (leg, query): leg ∈ {bm25, rag},
     k_exact = |exact top-k|, n_overlap = |exact ∩ pruned| — recall is
     n_overlap/k_exact, left as two exact integers so the row sits
-    under the value-hash gate.
+    under the value-hash gate. Rank-aware quality rides the same rows
+    (r8): dcg_micro = Σ w(pruned rank) over the overlap with w(r) =
+    round(1e6/log2(r+1)) integer-grid discounts (weights are Python-
+    computed literals embedded in BOTH engines — no runtime log in the
+    gate), idcg_micro = the prefix sum at k_exact, ndcg = one IEEE
+    division of the two exact integers. Recall says WHETHER the pruned
+    index finds the exact top-k; NDCG says whether it keeps them in
+    the right ORDER.
 
     Cost shape: runs each leg twice (exact + pruned), but the
     expensive corpus builds are STAGED (VERDICT r7 #3): the bm25 pair
@@ -1541,21 +1577,34 @@ def retrieval_pruning_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving path. At 100 TB both legs ride the constant query
     budget, so the eval stays a bounded fraction of a corpus scan."""
     from mit_mapreduce_spark.operators.textstats import (
-        BM25_POSTING_TOP, _bm25_topk_impl, _doc_tf)
+        BM25_POSTING_TOP, BM25_TOP_K, _bm25_topk_impl, _doc_tf)
+
+    w = _ndcg_weights(max(BM25_TOP_K, RAG_TOP_K))
+    cum = [sum(w[:i + 1]) for i in range(len(w))]
+    w_arr = F.array(*[F.lit(x) for x in w])          # 1-indexed by rank
+    idcg_arr = F.array(*[F.lit(x) for x in cum])     # 1-indexed by k_exact
 
     def overlap(exact: DataFrame, pruned: DataFrame, keys: list[str],
                 leg: str) -> DataFrame:
         ov = (exact.select("qid", *keys)
-              .join(pruned.select("qid", *keys), ["qid", *keys])
+              .join(pruned.select("qid", *keys, "rnk"), ["qid", *keys])
               .groupBy("qid")
-              .agg(F.count("*").cast("bigint").alias("n_overlap")))
+              .agg(F.count("*").cast("bigint").alias("n_overlap"),
+                   F.sum(F.element_at(w_arr, F.col("rnk")))
+                   .cast("bigint").alias("dcg_micro")))
         return (
             exact.groupBy("qid")
             .agg(F.count("*").cast("bigint").alias("k_exact"))
             .join(ov, "qid", "left")
             .select(F.lit(leg).alias("leg"), "qid", "k_exact",
                     F.coalesce("n_overlap", F.lit(0)).cast("bigint")
-                    .alias("n_overlap"))
+                    .alias("n_overlap"),
+                    F.coalesce("dcg_micro", F.lit(0)).cast("bigint")
+                    .alias("dcg_micro"),
+                    F.element_at(idcg_arr, F.col("k_exact").cast("int"))
+                    .cast("bigint").alias("idcg_micro"))
+            .withColumn("ndcg", F.col("dcg_micro").cast("double")
+                        / F.col("idcg_micro").cast("double"))
         )
 
     tf = _doc_tf(spark, sf_dir)

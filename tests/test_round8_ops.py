@@ -210,3 +210,34 @@ def test_ols_trend_crafted_exact_slope(spark):
         assert by_months[1][1:] == (0, 0, None)
         ok, msg = compare(df, operators.ORACLES["ols_trend_by_nation"], td)
         assert ok, msg
+
+
+def test_ndcg_weight_grid_exact_values():
+    """The rank-discount table is Python-computed once and embedded in
+    both engines; pin its exact integers so a platform/libm change in
+    the build environment cannot silently move the gate."""
+    from mit_mapreduce_spark.operators.curation import _ndcg_weights
+
+    assert _ndcg_weights(5) == (1000000, 630930, 500000, 430677, 386853)
+
+
+def test_pruning_recall_ndcg_invariants(spark, sf_dir):
+    """Per (leg, qid) row: idcg is the weight prefix sum at k_exact,
+    0 <= dcg <= idcg, ndcg = dcg/idcg in [0,1], and an empty overlap
+    zeroes the gain. Full-ranking parity (dcg == idcg) iff the pruned
+    ranking reproduces the exact top-k in order."""
+    from mit_mapreduce_spark.operators.curation import _ndcg_weights
+
+    w = _ndcg_weights(5)
+    cum = [sum(w[:i + 1]) for i in range(len(w))]
+    rows = operators.QUERIES["retrieval_pruning_recall"](
+        spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.idcg_micro == cum[r.k_exact - 1]
+        assert 0 <= r.dcg_micro <= r.idcg_micro
+        assert abs(r.ndcg - r.dcg_micro / r.idcg_micro) < 1e-12
+        if r.n_overlap == 0:
+            assert r.dcg_micro == 0
+        if r.n_overlap < r.k_exact:
+            assert r.dcg_micro < r.idcg_micro
