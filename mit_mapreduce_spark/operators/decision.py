@@ -398,3 +398,74 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+# --- skyline (Pareto frontier) ---------------------------------------------
+
+# Price bands partition the sort dimension so the skyline sweep never
+# needs a single-partition global window: bands interact only through
+# a bands-count-sized prefix-max table.
+SKY_BAND = 10.0
+
+_SQL_SKYLINE = f"""
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_retailprice, p_size
+    )
+    SELECT price, size, n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.size >= p.size
+        AND (q.price < p.price OR q.size > p.size))
+"""
+
+
+@query("skyline_parts", oracle=_SQL_SKYLINE)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (Börzsönyi, Kossmann & Stocker, ICDE
+    2001) of parts under "cheaper AND bigger is better": the (price,
+    size) value pairs no other pair dominates.
+
+    Spark-first plan instead of the textbook quadratic NOT EXISTS:
+    (1) collapse rows to DISTINCT value pairs first (value-pair
+    cardinality, not row count — the same vocabulary trick as the
+    linkage tier); (2) sweep each PRICE BAND independently with a
+    window ordered (price asc, size desc) taking the running max size
+    of strictly-preceding pairs — within a band, a preceding pair has
+    lower price (or equal price and larger size), so "running max >=
+    my size" is exactly dominance; (3) bands interact only through a
+    bands-count-sized prefix-max side table (earlier band => strictly
+    lower price, so its max size dominates at >=), broadcast back.
+    No global single-partition window, no cartesian: at 100 TB the
+    cost is one distinct-pair aggregation plus banded windows. The
+    oracle is the declarative quadratic dominance predicate, so the
+    sweep's tie handling is checked against the definition itself."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window as W
+
+    pts = (
+        part.groupBy(F.col("p_retailprice").alias("price"),
+                     F.col("p_size").alias("size"))
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .withColumn("band", F.floor(F.col("price") / F.lit(SKY_BAND))
+                    .cast("int"))
+    )
+    in_band = W.partitionBy("band").orderBy(
+        F.col("price").asc(), F.col("size").desc()
+    ).rowsBetween(W.unboundedPreceding, -1)
+    swept = pts.withColumn("run_max", F.max("size").over(in_band))
+    band_max = (
+        pts.groupBy("band").agg(F.max("size").alias("bmax"))
+        .withColumn("prev_max", F.max("bmax").over(
+            W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)))
+        .select("band", "prev_max")
+    )
+    return (
+        swept.join(F.broadcast(band_max), "band")
+        .where(F.greatest(F.coalesce(F.col("run_max"), F.lit(-1)),
+                          F.coalesce(F.col("prev_max"), F.lit(-1)))
+               < F.col("size"))
+        .select("price", "size", "n_parts")
+    )

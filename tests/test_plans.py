@@ -480,3 +480,29 @@ def test_round8_multimodal_single_exchange(spark, sf_dir, name):
     n = plans.shuffle_count(df)
     assert n <= 1, f"{name}: {n} exchanges (payloads must not shuffle)"
     assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("fuzzy_blocked_match", 2),     # distinct-name agg + the blocked
+                                    # candidate equi-join (AQE may
+                                    # broadcast the name table away)
+    ("entity_resolution", 4),       # the post-fixpoint assembly: name
+                                    # agg + label join + entity rollup
+                                    # (loop rounds are checkpoint-
+                                    # truncated out of this plan)
+    ("k_anonymity_audit", 1),       # one map-side-combined QI groupBy
+    ("k_anonymity_suppress", 2),    # QI class agg (broadcast back) +
+                                    # per-nation rollup
+    ("ols_trend_by_nation", 3),     # orders x customer equi-join +
+                                    # (nation, month) agg + the moment
+                                    # agg over |nations|·|months| rows
+    ("skyline_parts", 4),           # distinct-pair agg + banded sweep
+                                    # window + the bands-sized prefix-
+                                    # max window (broadcast back)
+])
+def test_round8_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-8 session-2 operators: same exchange-budget discipline."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    assert "CartesianProduct" not in plans.formatted_plan(df)

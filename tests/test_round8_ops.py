@@ -241,3 +241,51 @@ def test_pruning_recall_ndcg_invariants(spark, sf_dir):
             assert r.dcg_micro == 0
         if r.n_overlap < r.k_exact:
             assert r.dcg_micro < r.idcg_micro
+
+
+def test_skyline_crafted_and_random_vs_bruteforce(spark):
+    """Skyline semantics pinned two ways: a crafted set exercising
+    same-price, same-size, and band-boundary ties, then a seeded
+    random set checked against the quadratic dominance definition in
+    plain Python. Dominance: cheaper-or-equal AND bigger-or-equal,
+    strict somewhere."""
+    import random
+
+    def brute(pairs):
+        out = set()
+        for p in pairs:
+            if not any(q[0] <= p[0] and q[1] >= p[1] and q != p
+                       for q in pairs):
+                out.add(p)
+        return out
+
+    crafted = [(1.0, 5), (1.0, 3), (2.0, 5), (2.0, 6), (3.0, 6),
+               (0.5, 1), (10.0, 7), (9.99, 7)]  # 10.0 loses across band edge
+    rng = random.Random(8)
+    rand = list({(round(rng.uniform(900, 1000), 2), rng.randint(1, 50))
+                 for _ in range(120)})
+    for pairs in (crafted, rand):
+        with tempfile.TemporaryDirectory() as td:
+            names = [f"part {i}" for i in range(len(pairs))]
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            tab = pa.table({
+                "p_partkey": pa.array(range(len(pairs)), pa.int64()),
+                "p_name": pa.array(names, pa.string()),
+                "p_brand": pa.array(["Brand#1"] * len(pairs), pa.string()),
+                "p_type": pa.array(["ECONOMY"] * len(pairs), pa.string()),
+                "p_size": pa.array([s for _, s in pairs], pa.int64()),
+                "p_retailprice": pa.array([p for p, _ in pairs],
+                                          pa.float64()),
+            })
+            pq.write_table(tab, os.path.join(td, "part.parquet"))
+            for t in ["region", "nation", "customer", "supplier",
+                      "orders", "lineitem", "events", "documents",
+                      "embeddings"]:
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           os.path.join(td, f"{t}.parquet"))
+            df = operators.QUERIES["skyline_parts"](spark, td)
+            got = {(r.price, r.size) for r in df.collect()}
+            assert got == brute(set(pairs))
+            ok, msg = compare(df, operators.ORACLES["skyline_parts"], td)
+            assert ok, msg
