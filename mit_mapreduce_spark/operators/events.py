@@ -613,3 +613,59 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * DECAY_GRID).cast("bigint"))
              .cast("bigint").alias("score_micro"))
     )
+
+
+# --- Markov transition matrix over per-user event sequences ----------------
+
+_SQL_TRANSITIONS = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                    AS DOUBLE) AS p_next
+    FROM cnt
+"""
+
+
+@query("event_transitions", oracle=_SQL_TRANSITIONS)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often a user's NEXT event is that
+    type, and the conditional probability P(next | prev). The sequence
+    step is a per-user LAG window ordered (ts, event_id) — event_id
+    breaks timestamp ties so the sequence (and the hash gate) is
+    deterministic in both engines. Counts are exact integers;
+    p_next is one IEEE division of two exact integer counts (the
+    per-prev total is a window SUM over the |types|² count table).
+
+    100 TB posture: the LAG shuffle partitions by user_id (the same
+    key sessionize/retention already shuffle on — a production
+    pipeline shares that sort); everything after runs on a |event
+    types|² table, constant-size regardless of corpus. No driver
+    loops, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    cnt = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "event_type", "n_transitions",
+        (F.col("n_transitions").cast("double")
+         / F.sum("n_transitions").over(tot).cast("double")).alias("p_next"),
+    )

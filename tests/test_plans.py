@@ -499,6 +499,9 @@ def test_round8_multimodal_single_exchange(spark, sf_dir, name):
     ("skyline_parts", 4),           # distinct-pair agg + banded sweep
                                     # window + the bands-sized prefix-
                                     # max window (broadcast back)
+    ("event_transitions", 3),       # per-user LAG window + pair count
+                                    # + the |types|²-sized conditional
+                                    # window
 ])
 def test_round8_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-8 session-2 operators: same exchange-budget discipline."""

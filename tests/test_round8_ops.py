@@ -289,3 +289,44 @@ def test_skyline_crafted_and_random_vs_bruteforce(spark):
             assert got == brute(set(pairs))
             ok, msg = compare(df, operators.ORACLES["skyline_parts"], td)
             assert ok, msg
+
+
+def test_event_transitions_crafted(spark):
+    """Two users' sequences give exact counts and conditionals; a
+    timestamp tie within user 3 is ordered by event_id, so x->y (not
+    y->x) is the recorded transition."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dt = datetime.datetime
+    t0 = dt(2024, 1, 1)
+    rows = [  # (event_id, ts, user_id, event_type)
+        (1, t0, 1, "a"), (2, dt(2024, 1, 1, 1), 1, "b"),
+        (3, dt(2024, 1, 1, 2), 1, "a"), (4, dt(2024, 1, 1, 3), 1, "c"),
+        (5, t0, 2, "a"), (6, dt(2024, 1, 1, 1), 2, "b"),
+        (7, dt(2024, 1, 2), 3, "x"), (8, dt(2024, 1, 2), 3, "y"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        tab = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(tab, os.path.join(td, "events.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["event_transitions"](spark, td)
+        got = {(r.prev_type, r.event_type): (r.n_transitions, r.p_next)
+               for r in df.collect()}
+        assert got == {
+            ("a", "b"): (2, 2 / 3), ("a", "c"): (1, 1 / 3),
+            ("b", "a"): (1, 1.0), ("x", "y"): (1, 1.0),
+        }
+        ok, msg = compare(df, operators.ORACLES["event_transitions"], td)
+        assert ok, msg
