@@ -541,3 +541,87 @@ def stream_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * DECAY_GRID).cast("bigint") * F.col("cnt"))
              .cast("bigint").alias("score_micro"))
     )
+
+
+# --- stateful sequence analytics: transition matrix ------------------------
+
+_TRANS_STATE_SCHEMA = "last_type STRING, last_us BIGINT, last_id BIGINT"
+_TRANS_OUT_SCHEMA = "prev_type STRING, event_type STRING, n BIGINT"
+
+
+def _transitions_fn(key, pdfs, state):
+    """Per-user sequence stepper: carries the last event (type,
+    event-time, id) across micro-batches, sorts each batch's rows by
+    (ts, event_id) — the same deterministic order as the batch LAG —
+    and emits (prev, next) increment counts for the batch."""
+    import pandas as pd
+
+    last_type, last_us, last_id = (
+        state.get if state.exists else (None, -1, -1))
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"], kind="mergesort")
+    counts: dict = {}
+    for etype, us, eid in zip(rows["event_type"], rows["us"],
+                              rows["event_id"]):
+        if last_type is not None:
+            k = (last_type, etype)
+            counts[k] = counts.get(k, 0) + 1
+        last_type, last_us, last_id = etype, int(us), int(eid)
+    state.update((last_type, last_us, last_id))
+    if counts:
+        yield pd.DataFrame(
+            {"prev_type": [k[0] for k in counts],
+             "event_type": [k[1] for k in counts],
+             "n": list(counts.values())})
+
+
+@query("stream_event_transitions", oracle=ORACLES["event_transitions"])
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_transitions`: the per-user LAST EVENT
+    is the streaming state (one tuple per user — O(users), never event
+    volume), carried across micro-batches by applyInPandasWithState;
+    each batch emits (prev, next) increment counts and the drain
+    aggregates increments into the matrix + conditional P(next|prev).
+    The sequence-stepper shape (CEP, next-event prediction features)
+    that window/session built-ins can't express.
+
+    Exact batch parity for the availableNow drain: the whole fixture
+    arrives as one micro-batch per user group, the stepper sorts it by
+    (ts, event_id) — identical to the batch LAG's window order — so
+    the emitted increments sum to exactly the batch counts (asserted
+    in tests/test_streaming.py; oracle reused verbatim from
+    `event_transitions`). Continuous-deployment contract: arrivals are
+    sequenced in processing order per user across batches (the carried
+    state is the newest event seen); an out-of-order event ACROSS a
+    batch boundary would need a watermark-bounded reorder buffer in
+    front of this operator — documented, not silently absorbed."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tune(spark)
+    ev = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_id", "event_type",
+                F.unix_micros("ts").alias("us"))
+    )
+    inc = ev.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tbl = run_stream_to_table(inc, "append")
+
+    from pyspark.sql import Window as W
+
+    cnt = (
+        spark.table(tbl)
+        .groupBy("prev_type", "event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_transitions"))
+    )
+    tot = W.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "event_type", "n_transitions",
+        (F.col("n_transitions").cast("double")
+         / F.sum("n_transitions").over(tot).cast("double")).alias("p_next"),
+    )

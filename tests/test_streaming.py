@@ -466,3 +466,73 @@ def test_stream_decayed_engagement_equals_batch(spark, sf_dir):
     for u in want:
         assert got[u].n_events == want[u].n_events, u
         assert got[u].score_micro == want[u].score_micro, u
+
+
+def test_stream_event_transitions_equals_batch(spark, sf_dir):
+    """The availableNow drain of the sequence-stepper twin must equal
+    the batch LAG-window transition matrix row for row."""
+    from mit_mapreduce_spark import operators
+
+    operators.load_all()
+    got = {(r.prev_type, r.event_type): (r.n_transitions, round(r.p_next, 12))
+           for r in operators.QUERIES["stream_event_transitions"](
+               spark, sf_dir).collect()}
+    want = {(r.prev_type, r.event_type): (r.n_transitions, round(r.p_next, 12))
+            for r in operators.QUERIES["event_transitions"](
+                spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_stream_transitions_state_carries_across_batches(spark, tmp_path):
+    """The carried last-event state must survive a checkpointed
+    restart: batch 1 delivers user 7's event 'a', batch 2 (a second
+    availableNow run over the same checkpoint) delivers 'b' — the
+    (a, b) transition SPANS the boundary and can only be emitted if
+    the stepper restored its state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mit_mapreduce_spark.operators.streaming_queries import (
+        _TRANS_OUT_SCHEMA, _TRANS_STATE_SCHEMA, _transitions_fn)
+
+    import os
+
+    src = str(tmp_path / "ev")
+    cp = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = ("event_id bigint, us bigint, user_id bigint, "
+              "event_type string")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "us", "user_id",
+                                          "event_type"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def drain(qname):
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            _transitions_fn,
+            outputStructType=_TRANS_OUT_SCHEMA,
+            stateStructType=_TRANS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        rows: list = []
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # can, and this test is ABOUT the checkpointed restart
+        q = (out.writeStream
+             .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.prev_type, r.event_type): r.n for r in rows}
+
+    write_file("f1", [(1, 1_000_000, 7, "a")])
+    first = drain("trans_run1")
+    assert first == {}  # a single event: no transition yet
+
+    write_file("f2", [(2, 2_000_000, 7, "b"), (3, 3_000_000, 7, "b")])
+    second = drain("trans_run2")
+    assert second == {("a", "b"): 1, ("b", "b"): 1}
