@@ -492,3 +492,63 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("class_size").isNotNull(), 1).otherwise(0))
         .cast("bigint").alias("n_suppressed"),
     )
+
+
+# --- referential-integrity audit -------------------------------------------
+
+# (child table, fk column, parent table, pk column) — the fixture
+# star schema's full FK edge set.
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_SQL_FK_AUDIT = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{child}.{fk}' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_fk,
+           CAST(SUM(CASE WHEN {fk} IS NOT NULL AND p.{pk} IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{fk} = p.{pk}
+    """ for child, fk, parent, pk in FK_EDGES)
+
+
+@query("fk_integrity_audit", oracle=_SQL_FK_AUDIT)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time referential-integrity audit: for every FK edge of
+    the star schema, how many child rows are NULL-keyed or orphaned
+    (no matching parent key). The op a 100 TB warehouse runs on every
+    load before trusting joins — an orphaned fact row silently
+    disappears from every inner join downstream.
+
+    Plan shape per edge: parent keys deduped first (dimension key sets
+    broadcast; the one fact-fact edge shuffles on the natural join
+    key), LEFT join + conditional count — no anti-join pass per
+    relationship, one aggregate row out per edge. All-integer output
+    under the hash gate; on the clean fixtures every row reads 0/0,
+    and the crafted pytest proves the non-zero semantics."""
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        if parent in ("nation", "region", "supplier", "part", "customer"):
+            p = F.broadcast(p)
+        joined = c.join(p, c[fk] == p[pk], "left")
+        row = joined.agg(
+            F.lit(f"{child}.{fk}").alias("relationship"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null_fk"),
+            F.sum(F.when(F.col(fk).isNotNull() & F.col(pk).isNull(), 1)
+                  .otherwise(0)).cast("bigint").alias("n_orphans"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

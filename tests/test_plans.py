@@ -502,6 +502,10 @@ def test_round8_multimodal_single_exchange(spark, sf_dir, name):
     ("event_transitions", 3),       # per-user LAG window + pair count
                                     # + the |types|²-sized conditional
                                     # window
+    ("fk_integrity_audit", 16),     # 7 FK edges: parent-key distinct +
+                                    # left join each (dims broadcast,
+                                    # the fact edge shuffles); 1-row
+                                    # agg per edge
 ])
 def test_round8_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-8 session-2 operators: same exchange-budget discipline."""

@@ -330,3 +330,44 @@ def test_event_transitions_crafted(spark):
         }
         ok, msg = compare(df, operators.ORACLES["event_transitions"], td)
         assert ok, msg
+
+
+def test_fk_integrity_audit_crafted_orphans(spark):
+    """Stage orders with one NULL FK and one orphaned custkey: the
+    audit must separate the two defect classes exactly; the oracle
+    agrees on the whole 7-edge report over the same mixed tables."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        cust = pa.table({
+            "c_custkey": pa.array([1], pa.int64()),
+            "c_name": pa.array(["Customer#1"], pa.string()),
+            "c_nationkey": pa.array([0], pa.int64()),
+            "c_acctbal": pa.array([0.0], pa.float64()),
+            "c_mktsegment": pa.array(["AUTO"], pa.string()),
+        })
+        pq.write_table(cust, os.path.join(td, "customer.parquet"))
+        dt = datetime.datetime
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 999, None], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 3, pa.string()),
+            "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+            "o_orderdate": pa.array([dt(1995, 1, 1)] * 3,
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+        })
+        pq.write_table(orders, os.path.join(td, "orders.parquet"))
+        for t in ["region", "nation", "supplier", "part", "lineitem",
+                  "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["fk_integrity_audit"](spark, td)
+        got = {r.relationship: (r.n_rows, r.n_null_fk, r.n_orphans)
+               for r in df.collect()}
+        assert got["orders.o_custkey"] == (3, 1, 1)
+        assert got["customer.c_nationkey"] == (1, 0, 0)
+        ok, msg = compare(df, operators.ORACLES["fk_integrity_audit"], td)
+        assert ok, msg
