@@ -133,7 +133,7 @@ _SQL_ER = f"""
     )
     SELECT entity_id,
            COUNT(*) AS n_names,
-           SUM(n_parts) AS n_parts,
+           CAST(SUM(n_parts) AS BIGINT) AS n_parts,
            MIN(name) AS first_name,
            MAX(name) AS last_name
     FROM labeled
@@ -202,7 +202,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         resolved.groupBy("entity_id")
         .agg(F.count("*").alias("n_names"),
-             F.sum("n_parts").alias("n_parts"),
+             F.sum("n_parts").cast("bigint").alias("n_parts"),
              F.min("name").alias("first_name"),
              F.max("name").alias("last_name"))
     )

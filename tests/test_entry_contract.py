@@ -130,8 +130,11 @@ def test_streaming_drains_reuse_batch_twin_oracles():
     assert ORACLES["stream_quantile_bins"] == ORACLES["sketch_quantile_bins"]
     assert (ORACLES["stream_decayed_engagement"]
             == ORACLES["decayed_engagement"])
-    # and all nine deterministic drains are oracle-bearing; only the
-    # order-dependent sketch stays rows-only
+    assert (ORACLES["stream_event_transitions"]
+            == ORACLES["event_transitions"])
+    # and all ten deterministic drains are oracle-bearing (r8 session 2
+    # adds the sequence-stepper twin); only the order-dependent sketch
+    # stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 9
+    assert len(streaming) == 10
     assert "stream_heavy_hitters" not in ORACLES
