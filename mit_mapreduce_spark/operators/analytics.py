@@ -764,3 +764,119 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_dollars_per_month"),
         )
     )
+
+
+# --- regression diagnostics: residual outliers ------------------------------
+
+OLS_RESID_TOP = 3
+
+_SQL_OLS_RESID = f"""
+    WITH monthly AS (
+      SELECT c.c_nationkey AS nationkey,
+             (YEAR(o.o_orderdate) - 1995) * 12
+               + MONTH(o.o_orderdate) - 1 AS x,
+             CAST(SUM(CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(28,4)))
+                  * 10000 AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey,
+               (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) - 1
+    ),
+    fit AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM monthly GROUP BY nationkey
+    ),
+    resid AS (
+      SELECT m.nationkey, m.x, m.y,
+             (CAST(m.y AS DOUBLE)
+              - ((CAST(f.sy AS DOUBLE)
+                  - (CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                     / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
+                    * CAST(f.sx AS DOUBLE))
+                 / CAST(f.n AS DOUBLE))
+              - (CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
+                * CAST(m.x AS DOUBLE)) / 10000.0 AS residual
+      FROM monthly m JOIN fit f ON m.nationkey = f.nationkey
+      WHERE f.n * f.sxx - f.sx * f.sx <> 0
+    ),
+    ranked AS (
+      SELECT nationkey, x, y, residual,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY ABS(residual) DESC, x) AS rnk
+      FROM resid
+    )
+    SELECT n.n_name, r.x AS month_idx, r.y AS revenue_units,
+           CAST(r.residual AS DOUBLE) AS residual_dollars,
+           CAST(r.rnk AS INT) AS rnk
+    FROM ranked r JOIN nation n ON r.nationkey = n.n_nationkey
+    WHERE r.rnk <= {OLS_RESID_TOP}
+"""
+
+
+@query("ols_residual_outliers", oracle=_SQL_OLS_RESID)
+def ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression diagnostics composing `ols_trend_by_nation`: the
+    {OLS_RESID_TOP} months per nation that deviate most from the
+    nation's fitted revenue trend — anomaly-on-trend, the report that
+    separates "revenue is seasonal/growing" from "March was genuinely
+    weird". The residual y − a − bx is evaluated as ONE fixed
+    parenthesized IEEE expression over the exact integer moments
+    (every input to every double op is an exact BIGINT cast, so both
+    engines produce bit-identical doubles — the min_cost_supplier
+    discipline extended to an expression chain); ranking breaks
+    |residual| ties on the month index. Nations with a degenerate fit
+    (single month, den = 0) are excluded rather than emitting an
+    artifact.
+
+    100 TB posture: identical to the trend op — one row-scale
+    (nation, month) aggregate, then windows over |nations|·|months|
+    rows; the nation dim broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window as W
+
+    x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), x.alias("x"))
+        .agg((F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)"))
+              * 10000).cast("bigint").alias("y"))
+    )
+    fit = monthly.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).withColumnsRenamed({"nationkey": "f_nationkey"})
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    b = num.cast("double") / den.cast("double")
+    a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) \
+        / F.col("n").cast("double")
+    resid = (
+        monthly.join(fit, monthly.nationkey == fit.f_nationkey)
+        .where(den != 0)
+        .select("nationkey", "x", "y",
+                ((F.col("y").cast("double") - a - b * F.col("x")
+                  .cast("double")) / 10000.0).alias("residual"))
+    )
+    w = W.partitionBy("nationkey").orderBy(
+        F.abs(F.col("residual")).desc(), "x")
+    ranked = resid.select(
+        "nationkey", "x", "y", "residual",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    ).where(F.col("rnk") <= OLS_RESID_TOP)
+    return (
+        ranked.join(F.broadcast(nat), ranked.nationkey == nat.n_nationkey)
+        .select("n_name", F.col("x").alias("month_idx"),
+                F.col("y").alias("revenue_units"),
+                F.col("residual").cast("double").alias("residual_dollars"),
+                "rnk")
+    )

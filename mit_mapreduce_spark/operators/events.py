@@ -669,3 +669,55 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_transitions").cast("double")
          / F.sum("n_transitions").over(tot).cast("double")).alias("p_next"),
     )
+
+
+# --- user journey paths (first-k event pivot) -------------------------------
+
+_SQL_JOURNEYS = """
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, day,
+             MIN(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             MIN(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             MIN(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM seq WHERE rn <= 3
+      GROUP BY user_id, day
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_journeys
+    FROM paths GROUP BY e1, e2, e3
+"""
+
+
+@query("user_journey_paths", oracle=_SQL_JOURNEYS)
+def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey analysis: the distribution of each (user, day)'s
+    FIRST THREE event types in order — the "how do sessions start"
+    report behind onboarding funnels. The sequence is a row_number
+    window ordered (ts, event_id) (deterministic under timestamp
+    ties), the path is a 3-way conditional-MIN pivot (no string
+    concatenation, no collect_list ordering hazard — a day with fewer
+    than 3 events keeps NULL tail slots, grouped identically by both
+    engines), and the journey counts are exact integers.
+
+    100 TB posture: one (user, day) window shuffle — shared with the
+    rest of the event tier's user-keyed ops — then aggregates over at
+    most |types|³ path rows. The rn <= 3 predicate lets Spark plan a
+    WindowGroupLimit: each partition keeps 3 rows per key before the
+    pivot, so the paths table never materializes full days."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id")
+    seq = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type",
+        F.row_number().over(w).alias("rn")).where(F.col("rn") <= 3)
+    paths = seq.groupBy("user_id", "day").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+        F.min(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+        F.min(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"))
+    return paths.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("bigint").alias("n_journeys"))

@@ -1785,3 +1785,55 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= RRF_TOP_K)
     )
+
+
+# --- cross-language quantile normalization ---------------------------------
+
+_SQL_QNORM = f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(length(list_filter({_TOKS},
+                       x -> x IN ({_sql_in_list(_STOP)})))
+                       AS DOUBLE) / length({_TOKS}) END AS DOUBLE)
+               AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, stop_ratio,
+           CAST(percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio)
+                AS DOUBLE) AS q_norm
+    FROM q
+"""
+
+
+@query("quality_quantile_norm", oracle=_SQL_QNORM)
+def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language score calibration: a raw quality signal (the
+    stopword ratio from `quality_score`) is NOT comparable across
+    languages — stopword inventories differ — so mixing pipelines
+    normalize per-language to the quantile scale first (the
+    percentile transform behind "keep the top 30% of every language").
+    q_norm = ANSI PERCENT_RANK within lang: (rank-1)/(n_lang-1), ties
+    share a rank identically in both engines, and the ratio itself is
+    one deterministic integer division, so the whole row sits under
+    the hash gate.
+
+    100 TB posture: exact quantile normalization needs a per-language
+    sort — Spark plans it as one range-partitioned window per lang
+    partition (languages are few, each sorts in parallel by range).
+    When an approximate rank suffices at extreme scale, swap the
+    window for an approx-quantile histogram lookup (the
+    sketch_quantile_bins machinery); registered semantics stay the
+    exact transform."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))
+    ratio = (F.when(n_tokens == 0, F.lit(0.0))
+             .otherwise(n_stop.cast("double") / n_tokens).cast("double"))
+    q = docs.select("doc_id", "lang", ratio.alias("stop_ratio"))
+    w = W.partitionBy("lang").orderBy("stop_ratio")
+    return q.select("doc_id", "lang", "stop_ratio",
+                    F.percent_rank().over(w).cast("double").alias("q_norm"))

@@ -506,6 +506,12 @@ def test_round8_multimodal_single_exchange(spark, sf_dir, name):
                                     # left join each (dims broadcast,
                                     # the fact edge shuffles); 1-row
                                     # agg per edge
+    ("quality_quantile_norm", 1),   # ONE lang-keyed window exchange
+    ("user_journey_paths", 3),      # (user, day) window (plans a
+                                    # WindowGroupLimit for rn<=3) +
+                                    # path pivot + triple count
+    ("ols_residual_outliers", 3),   # monthly agg + moment agg + the
+                                    # per-nation residual rank window
 ])
 def test_round8_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-8 session-2 operators: same exchange-budget discipline."""

@@ -371,3 +371,126 @@ def test_fk_integrity_audit_crafted_orphans(spark):
         assert got["customer.c_nationkey"] == (1, 0, 0)
         ok, msg = compare(df, operators.ORACLES["fk_integrity_audit"], td)
         assert ok, msg
+
+
+def test_quality_quantile_norm_crafted(spark):
+    """Three docs with stopword ratios 0 < 1/2 < 1 within one language
+    map to percent ranks 0, 0.5, 1; two docs TIED on a ratio share a
+    rank (ANSI PERCENT_RANK) in both engines."""
+    rows = [
+        (1, "xx yy zz", "s", "en"),          # 0/3 stopwords
+        (2, "the a xx yy", "s", "en"),       # 2/4
+        (3, "the a of", "s", "en"),          # 3/3
+        (4, "the xx", "s", "de"),            # de: tie pair at 1/2
+        (5, "a yy", "s", "de"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _stage_docs(spark, [(r[0], r[1], r[2]) for r in rows], td,
+                    langs=[r[3] for r in rows])
+        df = operators.QUERIES["quality_quantile_norm"](spark, td)
+        got = {r.doc_id: (r.lang, round(r.stop_ratio, 6), r.q_norm)
+               for r in df.collect()}
+        assert got[1] == ("en", 0.0, 0.0)
+        assert got[2] == ("en", 0.5, 0.5)
+        assert got[3] == ("en", 1.0, 1.0)
+        assert got[4] == ("de", 0.5, 0.0) and got[5] == ("de", 0.5, 0.0)
+        ok, msg = compare(df, operators.ORACLES["quality_quantile_norm"], td)
+        assert ok, msg
+
+
+def _stage_docs(spark, rows, td, langs=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(langs or ["en"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(tab, os.path.join(td, "documents.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+
+
+def test_user_journey_paths_crafted(spark):
+    """A 4-event day keeps only its first three types in (ts,
+    event_id) order; a 1-event day reports NULL tail slots; two days
+    with the same opening triple aggregate."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dt = datetime.datetime
+    rows = [  # (event_id, ts, user_id, event_type)
+        (1, dt(2024, 1, 1, 0), 1, "a"), (2, dt(2024, 1, 1, 1), 1, "b"),
+        (3, dt(2024, 1, 1, 2), 1, "c"), (4, dt(2024, 1, 1, 3), 1, "d"),
+        (5, dt(2024, 1, 2, 0), 1, "a"), (6, dt(2024, 1, 2, 1), 1, "b"),
+        (7, dt(2024, 1, 2, 2), 1, "c"),
+        (8, dt(2024, 1, 1, 0), 2, "x"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        tab = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(tab, os.path.join(td, "events.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["user_journey_paths"](spark, td)
+        got = {(r.e1, r.e2, r.e3): r.n_journeys for r in df.collect()}
+        assert got == {("a", "b", "c"): 2, ("x", None, None): 1}
+        ok, msg = compare(df, operators.ORACLES["user_journey_paths"], td)
+        assert ok, msg
+
+
+def test_ols_residuals_crafted_exact(spark):
+    """Months 0..3 with revenue 10/20/30/100 fit slope 28 $/mo,
+    intercept -2: residuals are exactly 12, -6, -24, 18 dollars, so
+    the top-3 by |residual| are months 2, 3, 0 in that rank order —
+    every value a closed-form double both engines must hit exactly."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dt = datetime.datetime
+    with tempfile.TemporaryDirectory() as td:
+        cust = pa.table({
+            "c_custkey": pa.array([1], pa.int64()),
+            "c_name": pa.array(["Customer#1"], pa.string()),
+            "c_nationkey": pa.array([0], pa.int64()),
+            "c_acctbal": pa.array([0.0], pa.float64()),
+            "c_mktsegment": pa.array(["AUTO"], pa.string()),
+        })
+        pq.write_table(cust, os.path.join(td, "customer.parquet"))
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1] * 4, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 4, pa.string()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 100.0],
+                                     pa.float64()),
+            "o_orderdate": pa.array(
+                [dt(1995, 1, 15), dt(1995, 2, 15), dt(1995, 3, 15),
+                 dt(1995, 4, 15)], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+        })
+        pq.write_table(orders, os.path.join(td, "orders.parquet"))
+        for t in ["region", "nation", "supplier", "part", "lineitem",
+                  "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["ols_residual_outliers"](spark, td)
+        got = [(r.month_idx, r.residual_dollars, r.rnk)
+               for r in df.orderBy("rnk").collect()]
+        assert got == [(2, -24.0, 1), (3, 18.0, 2), (0, 12.0, 3)]
+        ok, msg = compare(df, operators.ORACLES["ols_residual_outliers"], td)
+        assert ok, msg
