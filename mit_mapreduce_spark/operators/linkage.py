@@ -37,16 +37,24 @@ from mit_mapreduce_spark.operators.registry import query
 
 # Match predicate shared by both engines: candidates must share the
 # final token (the "noun" block), differ as strings, and sit within
-# LK_MAX_DIST edits. Levenshtein semantics (unit-cost insert/delete/
-# substitute, no transposition) agree between Spark's and DuckDB's
-# implementations — pinned by the differential gate and the crafted
-# pytest below.
+# LK_MAX_DIST edits of the CANONICAL form. Canonicalization exists
+# because the engines' levenshtein units differ on non-ASCII text
+# (fuzz find, r8): Spark counts CODEPOINTS while DuckDB counts UTF-8
+# BYTES ('müller'→'muller' is 1 vs 2; '名'→'图' is 1 vs 2), so the
+# distance runs on a form where every non-ASCII codepoint folds to a
+# single '?' — one byte, one codepoint, identical distances in both
+# engines. The fold coarsens: distinct non-ASCII characters compare
+# equal (pinned in the crafted pytest); unit-cost insert/delete/
+# substitute without transposition is otherwise identical in both
+# implementations (ASCII parity pinned in pytest too).
 LK_BLOCK_RE = "([a-z]+)$"
 LK_MAX_DIST = 2
 
 _SQL_NAMES = """
     SELECT p_name AS name,
-           regexp_extract(p_name, '([a-z]+)$', 1) AS block,
+           regexp_replace(p_name, '[^[:ascii:]]', '?', 'g') AS cname,
+           regexp_extract(regexp_replace(p_name, '[^[:ascii:]]', '?', 'g'),
+                          '([a-z]+)$', 1) AS block,
            COUNT(*) AS n_parts
     FROM part
     GROUP BY p_name
@@ -54,19 +62,23 @@ _SQL_NAMES = """
 
 _SQL_PAIRS = f"""
     SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
-           levenshtein(a.name, b.name) AS dist,
+           levenshtein(a.cname, b.cname) AS dist,
            a.n_parts AS parts_a, b.n_parts AS parts_b
     FROM ({_SQL_NAMES}) a JOIN ({_SQL_NAMES}) b
       ON a.block = b.block AND a.name < b.name
-    WHERE levenshtein(a.name, b.name) <= {LK_MAX_DIST}
+    WHERE levenshtein(a.cname, b.cname) <= {LK_MAX_DIST}
 """
 
 
 def _names_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    return part.groupBy(F.col("p_name").alias("name")).agg(
-        F.count("*").alias("n_parts")
-    ).withColumn("block", F.regexp_extract("name", LK_BLOCK_RE, 1))
+    cname = F.regexp_replace("name", r"[^\p{ASCII}]", "?")
+    return (
+        part.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("cname", cname)
+        .withColumn("block", F.regexp_extract("cname", LK_BLOCK_RE, 1))
+    )
 
 
 def _pairs_df(names: DataFrame) -> DataFrame:
@@ -75,7 +87,7 @@ def _pairs_df(names: DataFrame) -> DataFrame:
     return (
         a.join(b, (F.col("a.block") == F.col("b.block"))
                & (F.col("a.name") < F.col("b.name")))
-        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .withColumn("dist", F.levenshtein(F.col("a.cname"), F.col("b.cname")))
         .where(F.col("dist") <= LK_MAX_DIST)
         .select(F.col("a.block").alias("block"),
                 F.col("a.name").alias("name_a"),

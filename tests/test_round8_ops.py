@@ -494,3 +494,35 @@ def test_ols_residuals_crafted_exact(spark):
         assert got == [(2, -24.0, 1), (3, 18.0, 2), (0, 12.0, 3)]
         ok, msg = compare(df, operators.ORACLES["ols_residual_outliers"], td)
         assert ok, msg
+
+
+def test_linkage_unicode_fold_and_adversarial_names(spark):
+    """Fuzz-found r8: Spark levenshtein counts CODEPOINTS, DuckDB
+    counts UTF-8 BYTES ('müller'~'muller' read 1 vs 2). The operator
+    therefore folds every non-ASCII codepoint to '?' in BOTH engines
+    before the distance. Pin the fold (distinct non-ASCII chars
+    compare equal: '中文 名' ~ '中文 图' is dist 0 on canonical forms)
+    and the adversarial classes: NULL names, empty strings, names
+    ending in digits (empty block), all-NULL, and empty tables — all
+    oracle-green."""
+    cases = {
+        "nulls_digits": [None, "bolt2", "bolt3", "", "x9",
+                         "müller bolt", "muller bolt", None],
+        "empty": [],
+        "all_null": [None, None],
+        "unicode": ["börte gerät", "börtx gerät", "中文 名", "中文 图"],
+    }
+    for label, names in cases.items():
+        with tempfile.TemporaryDirectory() as td:
+            _stage_parts(spark, names, td)
+            for op in ("fuzzy_blocked_match", "entity_resolution",
+                       "skyline_parts"):
+                df = operators.QUERIES[op](spark, td)
+                ok, msg = compare(df, operators.ORACLES[op], td)
+                assert ok, f"{label}/{op}: {msg}"
+    # the fold semantics, concretely: the two CJK names share a
+    # canonical form ('?? ?'), so they pair at dist 0
+    with tempfile.TemporaryDirectory() as td:
+        _stage_parts(spark, ["中文 名", "中文 图"], td)
+        rows = operators.QUERIES["fuzzy_blocked_match"](spark, td).collect()
+        assert len(rows) == 1 and rows[0].dist == 0
