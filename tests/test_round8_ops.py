@@ -526,3 +526,106 @@ def test_linkage_unicode_fold_and_adversarial_names(spark):
         _stage_parts(spark, ["中文 名", "中文 图"], td)
         rows = operators.QUERIES["fuzzy_blocked_match"](spark, td).collect()
         assert len(rows) == 1 and rows[0].dist == 0
+
+
+def _stage_events_tbl(td, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(tab, os.path.join(td, "events.parquet"))
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   os.path.join(td, f"{t}.parquet"))
+
+
+def test_sequence_ops_adversarial_events(spark):
+    """Fuzz classes for the sequence tier, permanent: empty table,
+    single-event users (no transition, a 1-slot journey), NULL event
+    types (the (a, NULL) transition groups identically in both
+    engines; the leading NULL lag is excluded), six same-timestamp
+    events (event_id tiebreak), and pre-epoch timestamps."""
+    import datetime
+
+    dt = datetime.datetime
+    cases = {
+        "empty": [],
+        "single": [(1, dt(2024, 1, 1), 7, "a")],
+        "null_types": [(1, dt(2024, 1, 1), 7, None),
+                       (2, dt(2024, 1, 1, 1), 7, "a"),
+                       (3, dt(2024, 1, 1, 2), 7, None)],
+        "same_ts": [(i, dt(2024, 1, 1), 5, t)
+                    for i, t in enumerate(["c", "b", "a", "b", "a", "c"])],
+        "pre_epoch": [(1, dt(1969, 12, 31, 23), 9, "a"),
+                      (2, dt(1970, 1, 1, 1), 9, "b")],
+    }
+    for label, rows in cases.items():
+        with tempfile.TemporaryDirectory() as td:
+            _stage_events_tbl(td, rows)
+            for op in ("event_transitions", "stream_event_transitions",
+                       "user_journey_paths"):
+                df = operators.QUERIES[op](spark, td)
+                ok, msg = compare(df, operators.ORACLES[op], td)
+                assert ok, f"{label}/{op}: {msg}"
+
+
+def test_regression_privacy_ops_adversarial(spark):
+    """Fuzz classes for the regression/privacy tier, permanent: empty
+    orders (zero fit rows; the QI audit keeps its customer classes),
+    a single month (NULL slope by contract, residuals excluded), NULL
+    prices and NULL balances/segments (NULL QI keys group identically;
+    NULL-priced months propagate NULL moments without artifacts), and
+    orphaned custkeys (inner-join drop, consistent in both engines)."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dt = datetime.datetime
+    cases = {
+        "empty_orders": ([], [(1, 0, 100.0, "AUTO")]),
+        "single_month": ([(1, 1, 50.0, dt(1995, 1, 1))],
+                         [(1, 0, 100.0, "AUTO")]),
+        "nulls": ([(1, 1, None, dt(1995, 1, 1)),
+                   (2, 1, 20.0, dt(1995, 2, 1))],
+                  [(1, 0, None, "AUTO"), (2, 1, None, None)]),
+        "orphans": ([(1, 999, 10.0, dt(1995, 1, 1))],
+                    [(1, 0, 100.0, "AUTO")]),
+    }
+    for label, (orows, crows) in cases.items():
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(pa.table({
+                "o_orderkey": pa.array([r[0] for r in orows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orows], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * len(orows), pa.string()),
+                "o_totalprice": pa.array([r[2] for r in orows],
+                                         pa.float64()),
+                "o_orderdate": pa.array([r[3] for r in orows],
+                                        pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1"] * len(orows),
+                                            pa.string()),
+            }), os.path.join(td, "orders.parquet"))
+            pq.write_table(pa.table({
+                "c_custkey": pa.array([r[0] for r in crows], pa.int64()),
+                "c_name": pa.array(["C"] * len(crows), pa.string()),
+                "c_nationkey": pa.array([r[1] for r in crows], pa.int64()),
+                "c_acctbal": pa.array([r[2] for r in crows], pa.float64()),
+                "c_mktsegment": pa.array([r[3] for r in crows],
+                                         pa.string()),
+            }), os.path.join(td, "customer.parquet"))
+            for t in ["region", "nation", "supplier", "part", "lineitem",
+                      "events", "documents", "embeddings"]:
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           os.path.join(td, f"{t}.parquet"))
+            for op in ("ols_trend_by_nation", "ols_residual_outliers",
+                       "k_anonymity_audit", "k_anonymity_suppress"):
+                df = operators.QUERIES[op](spark, td)
+                ok, msg = compare(df, operators.ORACLES[op], td)
+                assert ok, f"{label}/{op}: {msg}"
