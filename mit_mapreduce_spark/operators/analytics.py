@@ -680,16 +680,24 @@ def recursive_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # making every regression moment an exact integer aggregate: the
 # slope's numerator/denominator are bit-identical in both engines and
 # hash-gateable, with one deterministic IEEE division at the end.
-_SQL_OLS_TREND = """
-    WITH monthly AS (
-      SELECT c.c_nationkey AS nationkey,
-             (YEAR(o.o_orderdate) - 1995) * 12
-               + MONTH(o.o_orderdate) - 1 AS x,
-             CAST(SUM(CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(28,4)))
-                  * 10000 AS BIGINT) AS y
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_nationkey,
-               (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) - 1
+# The monthly/fit construction is SHARED between the trend and the
+# residual ops (code-review r8 #8: two hand-synced copies would
+# silently de-sync on a unit tweak). Months whose revenue sum is NULL
+# (only NULL-priced orders) are EXCLUDED from the fit in both engines
+# (r8 review #3: keeping them made n/sx/sxx count a month that
+# sy/sxy skipped — a slope of no point set).
+_SQL_OLS_MONTHLY_FIT = """
+    monthly AS (
+      SELECT * FROM (
+        SELECT c.c_nationkey AS nationkey,
+               (YEAR(o.o_orderdate) - 1995) * 12
+                 + MONTH(o.o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(28,4)))
+                    * 10000 AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey,
+                 (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) - 1
+      ) WHERE y IS NOT NULL
     ),
     fit AS (
       SELECT nationkey,
@@ -700,6 +708,10 @@ _SQL_OLS_TREND = """
              CAST(SUM(x * x) AS BIGINT) AS sxx
       FROM monthly GROUP BY nationkey
     )
+"""
+
+_SQL_OLS_TREND = f"""
+    WITH {_SQL_OLS_MONTHLY_FIT}
     SELECT n.n_name,
            f.n AS n_months,
            CAST(f.n * f.sxy - f.sx * f.sy AS BIGINT) AS slope_num,
@@ -711,6 +723,38 @@ _SQL_OLS_TREND = """
            END AS slope_dollars_per_month
     FROM fit f JOIN nation n ON f.nationkey = n.n_nationkey
 """
+
+
+def _ols_monthly_fit(spark: SparkSession, sf_dir: str):
+    """Shared stage-1/stage-2 frames for the OLS pair: (monthly, fit).
+    monthly = exact BIGINT revenue units per (nation, month), NULL-sum
+    months excluded; fit = the five integer moments per nation (the
+    fit frame's nation key is aliased f_nationkey so callers can join
+    it back against monthly without ambiguity)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), x.alias("x"))
+        .agg((F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)"))
+              * 10000).cast("bigint").alias("y"))
+        .where(F.col("y").isNotNull())
+    )
+    fit = monthly.groupBy("nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ).withColumnsRenamed({"nationkey": "f_nationkey"})
+    return monthly, fit
+
+
+def _ols_num_den():
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return num, den
 
 
 @query("ols_trend_by_nation", oracle=_SQL_OLS_TREND)
@@ -732,28 +776,13 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in BIGINT for monthly cells up to ~1e14 units (~$10 B/month
     per nation); beyond that, swap units (cents) or DECIMAL(38,0)
     moments — the shape is unchanged. A single-month group (den = 0)
-    yields NULL slope instead of a div-by-zero artifact."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    yields NULL slope instead of a div-by-zero artifact; NULL-revenue
+    months are excluded from the fit (see _SQL_OLS_MONTHLY_FIT)."""
     n = load_table(spark, sf_dir, "nation")
-    x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
-    monthly = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(F.col("c_nationkey").alias("nationkey"), x.alias("x"))
-        .agg((F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)"))
-              * 10000).cast("bigint").alias("y"))
-    )
-    fit = monthly.groupBy("nationkey").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    _, fit = _ols_monthly_fit(spark, sf_dir)
+    num, den = _ols_num_den()
     return (
-        fit.join(F.broadcast(n), fit.nationkey == n.n_nationkey)
+        fit.join(F.broadcast(n), fit.f_nationkey == n.n_nationkey)
         .select(
             "n_name",
             F.col("n").alias("n_months"),
@@ -771,25 +800,7 @@ def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLS_RESID_TOP = 3
 
 _SQL_OLS_RESID = f"""
-    WITH monthly AS (
-      SELECT c.c_nationkey AS nationkey,
-             (YEAR(o.o_orderdate) - 1995) * 12
-               + MONTH(o.o_orderdate) - 1 AS x,
-             CAST(SUM(CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(28,4)))
-                  * 10000 AS BIGINT) AS y
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_nationkey,
-               (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) - 1
-    ),
-    fit AS (
-      SELECT nationkey,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
-      FROM monthly GROUP BY nationkey
-    ),
+    WITH {_SQL_OLS_MONTHLY_FIT},
     resid AS (
       SELECT m.nationkey, m.x, m.y,
              (CAST(m.y AS DOUBLE)
@@ -831,32 +842,17 @@ def ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline extended to an expression chain); ranking breaks
     |residual| ties on the month index. Nations with a degenerate fit
     (single month, den = 0) are excluded rather than emitting an
-    artifact.
+    artifact. The monthly/fit stages are the same helper the trend op
+    uses — one definition, two registered views of it.
 
     100 TB posture: identical to the trend op — one row-scale
     (nation, month) aggregate, then windows over |nations|·|months|
     rows; the nation dim broadcasts."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     from pyspark.sql import Window as W
 
-    x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
-    monthly = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .groupBy(F.col("c_nationkey").alias("nationkey"), x.alias("x"))
-        .agg((F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)"))
-              * 10000).cast("bigint").alias("y"))
-    )
-    fit = monthly.groupBy("nationkey").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-    ).withColumnsRenamed({"nationkey": "f_nationkey"})
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    monthly, fit = _ols_monthly_fit(spark, sf_dir)
+    num, den = _ols_num_den()
     b = num.cast("double") / den.cast("double")
     a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) \
         / F.col("n").cast("double")

@@ -411,7 +411,9 @@ _SQL_SKYLINE = f"""
     WITH pts AS (
       SELECT p_retailprice AS price, p_size AS size,
              CAST(COUNT(*) AS BIGINT) AS n_parts
-      FROM part GROUP BY p_retailprice, p_size
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      GROUP BY p_retailprice, p_size
     )
     SELECT price, size, n_parts
     FROM pts p
@@ -445,9 +447,16 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     from pyspark.sql import Window as W
 
+    # NULL-valued points are excluded in BOTH engines (r8 review #1:
+    # a point with unknown price/size cannot be dominance-ranked, and
+    # NULL comparisons made the two engines disagree three ways —
+    # dropped by the equi-join, failed by the sweep predicate, and
+    # sorted nulls-FIRST into prev_max on the Spark side only).
     pts = (
-        part.groupBy(F.col("p_retailprice").alias("price"),
-                     F.col("p_size").alias("size"))
+        part.where(F.col("p_retailprice").isNotNull()
+                   & F.col("p_size").isNotNull())
+        .groupBy(F.col("p_retailprice").alias("price"),
+                 F.col("p_size").alias("size"))
         .agg(F.count("*").cast("bigint").alias("n_parts"))
         .withColumn("band", F.floor(F.col("price") / F.lit(SKY_BAND))
                     .cast("int"))

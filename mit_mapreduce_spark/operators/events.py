@@ -622,7 +622,7 @@ _SQL_TRANSITIONS = """
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     cnt AS (
       SELECT prev_type, event_type,
@@ -654,7 +654,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline shares that sort); everything after runs on a |event
     types|² table, constant-size regardless of corpus. No driver
     loops, no collect."""
-    ev = load_table(spark, sf_dir, "events")
+    # An event without an event time cannot be sequenced: excluded in
+    # BOTH engines (r8 review #6 — NULL ts sorts nulls-first in Spark
+    # windows, nulls-last in DuckDB, and crashes the streaming twin).
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "event_type",
                     F.lag("event_type").over(w).alias("prev_type"))
@@ -678,7 +681,7 @@ _SQL_JOURNEYS = """
       SELECT user_id, CAST(ts AS DATE) AS day, event_type,
              row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     paths AS (
       SELECT user_id, day,
@@ -709,7 +712,8 @@ def user_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     most |types|³ path rows. The rn <= 3 predicate lets Spark plan a
     WindowGroupLimit: each partition keeps 3 rows per key before the
     pivot, so the paths table never materializes full days."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events excluded, same contract as event_transitions
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
         "ts", "event_id")
     seq = ev.select(

@@ -47,14 +47,17 @@ from mit_mapreduce_spark.operators.registry import query
 # equal (pinned in the crafted pytest); unit-cost insert/delete/
 # substitute without transposition is otherwise identical in both
 # implementations (ASCII parity pinned in pytest too).
-LK_BLOCK_RE = "([a-z]+)$"
+# \z, not $: Java's $ matches BEFORE a trailing newline while RE2's
+# matches only end-of-text (r8 review #5 — 'bolt\n' blocked as 'bolt'
+# vs ''); \z means end-of-text in both.
+LK_BLOCK_RE = r"([a-z]+)\z"
 LK_MAX_DIST = 2
 
 _SQL_NAMES = """
     SELECT p_name AS name,
            regexp_replace(p_name, '[^[:ascii:]]', '?', 'g') AS cname,
            regexp_extract(regexp_replace(p_name, '[^[:ascii:]]', '?', 'g'),
-                          '([a-z]+)$', 1) AS block,
+                          '([a-z]+)\\z', 1) AS block,
            COUNT(*) AS n_parts
     FROM part
     GROUP BY p_name
@@ -121,7 +124,10 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- entity resolution: components of the match graph ---------------------
 
-MAX_ER_ITERS = 12
+# 20, matching dedup_clusters' MAX_CC_ITERS (r8 review #7): min-label
+# propagation needs ~diameter rounds, and a 1-edit mutation chain can
+# legitimately exceed 12 hops in a dense vocabulary.
+MAX_ER_ITERS = 20
 
 _SQL_ER = f"""
     WITH RECURSIVE names AS ({_SQL_NAMES}),

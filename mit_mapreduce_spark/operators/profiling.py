@@ -458,9 +458,10 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     LEFT JOIN (SELECT * FROM ({_SQL_QI_CLASSES})
                WHERE class_size < {K_ANON}) r
-      ON c.c_nationkey = r.c_nationkey
-     AND c.c_mktsegment = r.c_mktsegment
-     AND CAST(FLOOR(c.c_acctbal / {BAL_BAND}) AS INT) = r.bal_band
+      ON c.c_nationkey IS NOT DISTINCT FROM r.c_nationkey
+     AND c.c_mktsegment IS NOT DISTINCT FROM r.c_mktsegment
+     AND CAST(FLOOR(c.c_acctbal / {BAL_BAND}) AS INT)
+         IS NOT DISTINCT FROM r.bal_band
     GROUP BY c.c_nationkey
     """,
 )
@@ -480,11 +481,16 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "c_mktsegment": "r_mktsegment",
                              "bal_band": "r_bal_band"})
     )
+    # Null-safe QI equality (r8 review #2): GROUP BY treats NULL QI
+    # values as one class, so the enforcement join must match them
+    # back the same way — plain `=` silently exempted NULL-keyed rows
+    # from suppression in BOTH engines (the oracle gate can't see an
+    # engine-symmetric contract bug; the crafted pytest now can).
     joined = c.withColumn("bal_band", band).join(
         F.broadcast(risky),
-        (F.col("c_nationkey") == F.col("r_nationkey"))
-        & (F.col("c_mktsegment") == F.col("r_mktsegment"))
-        & (F.col("bal_band") == F.col("r_bal_band")),
+        F.col("c_nationkey").eqNullSafe(F.col("r_nationkey"))
+        & F.col("c_mktsegment").eqNullSafe(F.col("r_mktsegment"))
+        & F.col("bal_band").eqNullSafe(F.col("r_bal_band")),
         "left",
     )
     return joined.groupBy("c_nationkey").agg(

@@ -598,8 +598,12 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     tune(spark)
+    # NULL-ts events excluded, matching the batch twin's contract (an
+    # unsequenceable event would otherwise reach the stepper as NaN
+    # and crash int()); the shared oracle filters identically.
     ev = (
         events_stream(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
         .select("user_id", "event_id", "event_type",
                 F.unix_micros("ts").alias("us"))
     )

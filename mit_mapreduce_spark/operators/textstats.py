@@ -1789,13 +1789,20 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cross-language quantile normalization ---------------------------------
 
+# COALESCE(text, '') keeps a NULL-text document's ratio at 0.0 in
+# BOTH engines (r8 review #4: a NULL ratio sorted nulls-FIRST in
+# Spark's window but nulls-LAST in DuckDB's, shifting every q_norm in
+# the language partition).
+_TOKS_NN = ("list_filter(regexp_split_to_array(COALESCE(text, ''),"
+            " '[^\\p{L}]+'), x -> x <> '')")
+
 _SQL_QNORM = f"""
     WITH q AS (
       SELECT doc_id, lang,
-             CAST(CASE WHEN length({_TOKS}) = 0 THEN 0.0
-                  ELSE CAST(length(list_filter({_TOKS},
+             CAST(CASE WHEN length({_TOKS_NN}) = 0 THEN 0.0
+                  ELSE CAST(length(list_filter({_TOKS_NN},
                        x -> x IN ({_sql_in_list(_STOP)})))
-                       AS DOUBLE) / length({_TOKS}) END AS DOUBLE)
+                       AS DOUBLE) / length({_TOKS_NN}) END AS DOUBLE)
                AS stop_ratio
       FROM documents
     )
@@ -1827,7 +1834,8 @@ def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact transform."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit("")))
     toks = _spark_tokens()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOP)))

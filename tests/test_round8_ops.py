@@ -629,3 +629,99 @@ def test_regression_privacy_ops_adversarial(spark):
                 df = operators.QUERIES[op](spark, td)
                 ok, msg = compare(df, operators.ORACLES[op], td)
                 assert ok, f"{label}/{op}: {msg}"
+
+
+def test_review_r8_null_and_anchor_semantics(spark):
+    """Pins for the r8 code-review findings the oracle gate could not
+    see on its own:
+    1. skyline excludes NULL-valued points in both engines;
+    2. a NULL-QI singleton row IS counted as suppressed (null-safe
+       join) — previously silently exempted in both engines;
+    3. NULL-ts events are excluded from the sequence ops (they cannot
+       be ordered) and no longer crash the streaming stepper;
+    4. a trailing-newline name blocks as '' in both engines (\\z, not
+       $: Java's $ matches before a final newline);
+    5. NULL-revenue months are excluded from the OLS fit, so a nation
+       with one real month reports NULL slope, not a 1-point line."""
+    import datetime
+
+    dt = datetime.datetime
+    # 1. skyline: NULL price / NULL size points must not exist or kill
+    pairs_tbl = [(None, 5), (50.0, None), (100.0, 3), (90.0, 3)]
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.table({
+            "p_partkey": pa.array(range(4), pa.int64()),
+            "p_name": pa.array(["a b"] * 4, pa.string()),
+            "p_brand": pa.array(["B"] * 4, pa.string()),
+            "p_type": pa.array(["T"] * 4, pa.string()),
+            "p_size": pa.array([s for _, s in pairs_tbl], pa.int64()),
+            "p_retailprice": pa.array([p for p, _ in pairs_tbl],
+                                      pa.float64()),
+        }), os.path.join(td, "part.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["skyline_parts"](spark, td)
+        assert {(r.price, r.size) for r in df.collect()} == {(90.0, 3)}
+        ok, msg = compare(df, operators.ORACLES["skyline_parts"], td)
+        assert ok, msg
+
+    # 2. k-anonymity: NULL-QI singleton counts as suppressed
+    with tempfile.TemporaryDirectory() as td:
+        _stage_customers(spark, [(1, 1, None, None)]
+                         + [(i, 1, 2500.0, "AUTO") for i in range(2, 7)], td)
+        sup = operators.QUERIES["k_anonymity_suppress"](spark, td)
+        got = {r.c_nationkey: (r.n_customers, r.n_suppressed)
+               for r in sup.collect()}
+        assert got == {1: (6, 1)}
+        ok, msg = compare(sup, operators.ORACLES["k_anonymity_suppress"], td)
+        assert ok, msg
+
+    # 3. NULL-ts events excluded, streaming stepper survives
+    with tempfile.TemporaryDirectory() as td:
+        _stage_events_tbl(td, [(1, None, 7, "a"), (2, dt(2024, 1, 1), 7, "b"),
+                               (3, dt(2024, 1, 1, 1), 7, "c")])
+        for op in ("event_transitions", "stream_event_transitions",
+                   "user_journey_paths"):
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"{op}: {msg}"
+        got = {(r.prev_type, r.event_type): r.n_transitions
+               for r in operators.QUERIES["event_transitions"](
+                   spark, td).collect()}
+        assert got == {("b", "c"): 1}
+
+    # 4. trailing-newline name: block '' in both engines
+    with tempfile.TemporaryDirectory() as td:
+        _stage_parts(spark, ["bolt\n", "colt\n", "bolt x"], td)
+        df = operators.QUERIES["fuzzy_blocked_match"](spark, td)
+        rows = [(r.block, r.name_a, r.name_b, r.dist) for r in df.collect()]
+        assert rows == [("", "bolt\n", "colt\n", 1)]
+        ok, msg = compare(df, operators.ORACLES["fuzzy_blocked_match"], td)
+        assert ok, msg
+
+    # 5. NULL-revenue months excluded from the fit
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as td:
+        _stage_customers(spark, [(1, 0, 0.0, "AUTO")], td)
+        os.remove(os.path.join(td, "orders.parquet"))
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 2, pa.string()),
+            "o_totalprice": pa.array([None, 20.0], pa.float64()),
+            "o_orderdate": pa.array([dt(1995, 1, 1), dt(1995, 2, 1)],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * 2, pa.string()),
+        }), os.path.join(td, "orders.parquet"))
+        df = operators.QUERIES["ols_trend_by_nation"](spark, td)
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0].n_months == 1
+        assert rows[0].slope_dollars_per_month is None
+        ok, msg = compare(df, operators.ORACLES["ols_trend_by_nation"], td)
+        assert ok, msg
