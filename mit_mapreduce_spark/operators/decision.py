@@ -478,3 +478,97 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                < F.col("size"))
         .select("price", "size", "n_parts")
     )
+
+
+# --- market basket: association pairs ---------------------------------------
+
+MB_TOP = 50
+
+_SQL_BASKET = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+      FROM lineitem
+    ),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM items
+    ),
+    item_n AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY part
+    ),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.part < b.part
+      GROUP BY a.part, b.part
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_ab,
+             ia.n_item AS n_a, ib.n_item AS n_b, o.n AS n_orders,
+             CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+               AS confidence,
+             CAST(p.n_ab AS DOUBLE) * CAST(o.n AS DOUBLE)
+               / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))
+               AS lift
+      FROM pairs p
+      JOIN item_n ia ON ia.part = p.part_a
+      JOIN item_n ib ON ib.part = p.part_b
+      CROSS JOIN n_orders o
+    )
+    SELECT * FROM scored
+    ORDER BY n_ab DESC, part_a, part_b
+    LIMIT {MB_TOP}
+"""
+
+
+@query("market_basket_pairs", oracle=_SQL_BASKET)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the Apriori/FP-growth pair
+    step, Agrawal & Srikant 1994): the top-{MB_TOP} co-ordered part
+    pairs with exact support counts plus confidence P(b|a) and lift —
+    each one IEEE division of exact integers, so the whole row sits
+    under the hash gate.
+
+    100 TB posture: the pair expansion is a WITHIN-ORDER self-join —
+    candidate volume is Σ_orders |items|², bounded by the basket size
+    (≤7 lineitems in this schema), never |parts|² — and the pair
+    aggregation is map-side combined on the (a, b) key. Per-item and
+    corpus totals are side aggregates (the 1-row order count rides a
+    broadcast cross join, the same in-plan-scalar discipline as
+    bm25's stats fold). Top-k is TakeOrderedAndProject, not a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("okey"),
+                      F.col("l_partkey").alias("part")).distinct() \
+        .localCheckpoint(eager=False)
+    n_orders = items.agg(
+        F.countDistinct("okey").cast("bigint").alias("n_orders"))
+    item_n = items.groupBy("part").agg(
+        F.count("*").cast("bigint").alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"),
+                 F.col("b.part").alias("part_b"))
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    ia = item_n.withColumnsRenamed({"part": "pa", "n_item": "n_a"})
+    ib = item_n.withColumnsRenamed({"part": "pb", "n_item": "n_b"})
+    scored = (
+        pairs.join(ia, pairs.part_a == ia.pa)
+        .join(ib, pairs.part_b == ib.pb)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b", "n_orders",
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+            .alias("confidence"),
+            (F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+             / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+            .alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("n_ab").desc(), "part_a", "part_b") \
+        .limit(MB_TOP)

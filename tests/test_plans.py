@@ -512,6 +512,11 @@ def test_round8_multimodal_single_exchange(spark, sf_dir, name):
                                     # path pivot + triple count
     ("ols_residual_outliers", 3),   # monthly agg + moment agg + the
                                     # per-nation residual rank window
+    ("market_basket_pairs", 6),     # distinct items + within-order
+                                    # pair self-join + pair agg + the
+                                    # item-count side agg (1-row order
+                                    # count broadcasts); top-k is a
+                                    # TakeOrderedAndProject
 ])
 def test_round8_shuffle_budgets(spark, sf_dir, name, budget):
     """Round-8 session-2 operators: same exchange-budget discipline."""

@@ -725,3 +725,47 @@ def test_review_r8_null_and_anchor_semantics(spark):
         assert rows[0].slope_dollars_per_month is None
         ok, msg = compare(df, operators.ORACLES["ols_trend_by_nation"], td)
         assert ok, msg
+
+
+def test_market_basket_crafted(spark):
+    """Two orders {1,2,3} and {1,2}: pair (1,2) has support 2,
+    confidence 2/2 from part 1, lift 2*2/(2*2)=1; pairs (1,3),(2,3)
+    have support 1 and lift 2*1/(2*1)=1. Duplicate lineitems of one
+    part in one order collapse (DISTINCT) before pairing."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 2)]
+    with tempfile.TemporaryDirectory() as td:
+        n = len(rows)
+        dt = datetime.datetime
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array(range(n), pa.int64()),
+            "l_quantity": pa.array([1.0] * n, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([dt(1996, 1, 1)] * n,
+                                   pa.timestamp("us")),
+        }), os.path.join(td, "lineitem.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["market_basket_pairs"](spark, td)
+        got = {(r.part_a, r.part_b): (r.n_ab, r.n_a, r.n_b, r.n_orders,
+                                      r.confidence, r.lift)
+               for r in df.collect()}
+        assert got == {
+            (1, 2): (2, 2, 2, 2, 1.0, 1.0),
+            (1, 3): (1, 2, 1, 2, 0.5, 1.0),
+            (2, 3): (1, 2, 1, 2, 0.5, 1.0),
+        }
+        ok, msg = compare(df, operators.ORACLES["market_basket_pairs"], td)
+        assert ok, msg
