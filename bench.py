@@ -87,17 +87,27 @@ def main() -> None:
     for name in sorted(operators.QUERIES):
         try:
             t = run_once(name)
-            floor = floors.get(name)
-            if (floor is not None and t > floor + 0.3
-                    and t > 1.25 * floor):
-                t2 = run_once(name)
-                floor_retimed[name] = {"first": t, "rerun": t2,
-                                       "floor": floor}
-                t = min(t, t2)
-            times[name] = t
         except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             times[name] = -1.0
+            continue
+        floor = floors.get(name)
+        if (floor is not None and t > floor + 0.3
+                and t > 1.25 * floor):
+            # The rerun gets its own try (r8 review: a rerun hiccup
+            # inside the shared try discarded a VALID first reading
+            # and recorded the query as failed).
+            try:
+                t2 = run_once(name)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: floor-retime {name} FAILED: {e}",
+                      file=sys.stderr)
+                t2 = None
+            floor_retimed[name] = {"first": t, "rerun": t2,
+                                   "floor": floor}
+            if t2 is not None:
+                t = min(t, t2)
+        times[name] = t
 
     failed = sorted(n for n, t in times.items() if t < 0)
     deltas = bench_deltas(times, sf, here)

@@ -66,6 +66,7 @@ def parse_wav_meta(data: bytes) -> tuple[int, int, int, int] | None:
         return None
     rate = channels = bits = block_align = None
     n_data = None
+    n_data_chunks = 0
     for cid, payload in _walk_chunks(data):
         if cid == b"fmt " and len(payload) >= 16:
             tag, channels, rate, _, block_align, bits = struct.unpack(
@@ -74,6 +75,13 @@ def parse_wav_meta(data: bytes) -> tuple[int, int, int, int] | None:
                 return None
         elif cid == b"data":
             n_data = len(payload)
+            n_data_chunks += 1
+    # Exactly ONE data chunk (r8 review: meta validated the LAST chunk
+    # while decode returned the FIRST — a multi-data-chunk file passed
+    # validation but handed the DSP kernel a non-frame-aligned buffer.
+    # Multi-data RIFFs are quarantined in BOTH paths instead).
+    if n_data_chunks != 1:
+        return None
     if not rate or not channels or not bits or n_data is None:
         return None
     if not block_align or block_align != channels * (bits // 8):
@@ -90,6 +98,8 @@ def decode_wav(data: bytes) -> DecodedWav | None:
     if meta is None:
         return None
     rate, channels, bits, n_frames = meta
+    # parse_wav_meta guarantees exactly one data chunk, so first == the
+    # validated one
     for cid, payload in _walk_chunks(data):
         if cid == b"data":
             return rate, channels, bits, payload

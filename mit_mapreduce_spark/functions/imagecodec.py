@@ -43,9 +43,11 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
-def _ppm_decode(data: bytes) -> Decoded | None:
-    """P6 parser: magic, whitespace/comment-tolerant header ints, then
-    exactly w*h*3 raw bytes after the single whitespace ending maxval."""
+def _ppm_header(data: bytes) -> tuple[int, int, int] | None:
+    """(w, h, pixel offset) from a P6 header: magic, whitespace/
+    comment-tolerant header ints, single whitespace ending maxval.
+    No pixel bytes touched — shared by the full decode and the
+    headers-only manifest scan."""
     if not data.startswith(b"P6"):
         return None
     pos, vals = 2, []
@@ -65,7 +67,16 @@ def _ppm_decode(data: bytes) -> Decoded | None:
     w, h, maxval = vals
     if maxval > 255 or w <= 0 or h <= 0:
         return None
-    pos += 1  # single whitespace byte after maxval
+    return w, h, pos + 1  # single whitespace byte after maxval
+
+
+def _ppm_decode(data: bytes) -> Decoded | None:
+    """P6 parser: header via _ppm_header, then exactly w*h*3 raw
+    bytes."""
+    hdr = _ppm_header(data)
+    if hdr is None:
+        return None
+    w, h, pos = hdr
     pix = data[pos:pos + w * h * 3]
     if len(pix) != w * h * 3:
         return None
@@ -300,8 +311,15 @@ def parse_image_meta(data: bytes) -> tuple[str, int, int] | None:
     four asset formats (PPM/BMP/PNG headers + the JPEG SOF walk);
     None = unrecognized container (quarantine)."""
     if data.startswith(b"P6"):
-        dec = _ppm_decode(data)          # header ints + length check
-        return ("ppm", dec[0], dec[1]) if dec else None
+        # Header ints + arithmetic length check only (r8 review: the
+        # old _ppm_decode call sliced the full pixel buffer just to
+        # length-check it — an O(payload) copy per asset in what the
+        # docstring prices as a headers-only manifest scan).
+        hdr = _ppm_header(data)
+        if hdr is None:
+            return None
+        w, h, pos = hdr
+        return ("ppm", w, h) if len(data) - pos == w * h * 3 else None
     if data.startswith(b"BM") and len(data) >= 26:
         w, h = struct.unpack("<ii", data[18:26])
         return ("bmp", w, abs(h)) if w > 0 and h != 0 else None
@@ -310,7 +328,11 @@ def parse_image_meta(data: bytes) -> tuple[str, int, int] | None:
         w, h = struct.unpack(">II", data[16:24])
         return ("png", w, h) if w > 0 and h > 0 else None
     jd = jpeg_dimensions(data)
-    if jd is not None:
+    # Positivity, matching the BMP/PNG branches (r8 review: a SOF with
+    # height 0 — legal when the real height is DNL-deferred, trivial
+    # in a corrupt file — reported as parsed ('jpeg', 0, 0) instead of
+    # quarantining).
+    if jd is not None and jd[0] > 0 and jd[1] > 0:
         return ("jpeg", jd[0], jd[1])
     return None
 

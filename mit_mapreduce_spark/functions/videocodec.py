@@ -58,7 +58,10 @@ def _parse_header(data: bytes) -> tuple[int, int, int, int, int] | None:
                 colorspace = tag
         except (ValueError, IndexError):
             return None
-    if not w or not h or not fps_num or not fps_den:
+    # Strict positivity (r8 review: W-1 H2 made frame_size = -6 cancel
+    # the +6 FRAME-marker advance exactly — an infinite loop in the
+    # manifest walk instead of a quarantine).
+    if w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
         return None
     if not colorspace.startswith("C444"):
         return None

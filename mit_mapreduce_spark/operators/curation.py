@@ -1216,6 +1216,15 @@ RAG_POSTING_TOP = 256 # per-dim impact-truncation depth for the PRUNED
                       # this constant parameterizes the pruned twin
                       # that retrieval_pruning_recall keeps honest.
 
+def _rag_bucket(c):
+    """Feature-hash dimension for a token column: pmod(hash60, RAG_DIM).
+    ONE definition (r8 review: the corpus index and the query side each
+    had a verbatim copy — they must bucket identically or retrieval
+    silently scores against the wrong dims)."""
+    from mit_mapreduce_spark.operators.dedup import hash60
+
+    return F.pmod(hash60(c), F.lit(RAG_DIM))
+
 
 def _sql_rag(posting_top: int | None = None,
              q_top_dims: int | None = None) -> str:
@@ -1369,7 +1378,7 @@ def _rag_corpus(spark: SparkSession, sf_dir: str
     from mit_mapreduce_spark.operators.dedup import hash60
 
     ch = chunk_documents(spark, sf_dir)
-    bucket = lambda c: F.pmod(hash60(c), F.lit(RAG_DIM))  # noqa: E731
+    bucket = _rag_bucket
     ctoks = (
         ch.where(F.col("chunk_text") != "")
         .select(F.col("doc_id").alias("cdoc"), "chunk_id",
@@ -1415,7 +1424,7 @@ def _rag_topk_impl(spark: SparkSession, sf_dir: str, posting_top: int,
 
     from mit_mapreduce_spark.operators.dedup import hash60
 
-    bucket = lambda c: F.pmod(hash60(c), F.lit(RAG_DIM))  # noqa: E731
+    bucket = _rag_bucket
     nch, cidf, csparse, cnorm = (corpus if corpus is not None
                                  else _rag_corpus(spark, sf_dir))
     oov_idf = (F.round(F.log(F.col("n_chunks").cast("double") + 1.0)

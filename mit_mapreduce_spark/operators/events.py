@@ -5,7 +5,10 @@ The reference is strictly batch text MapReduce (SURVEY.md §2.3 marks
 streaming/windows ABSENT); these are the batch halves of the
 north-star event surface. The streaming twins (Structured Streaming
 with watermarks / session_window state) live in
-operators/streaming_queries.py and are oracle-exempt.
+operators/streaming_queries.py; since r8 the deterministic drains are
+oracle-checked like any batch query (they reuse these ops' oracle SQL
+verbatim) — only the order-dependent `stream_heavy_hitters` sketch
+stays rows-only.
 
 Scale notes: sessionization partitions by user_id (high cardinality —
 the window shuffle distributes evenly; a single user's history is the

@@ -769,3 +769,56 @@ def test_market_basket_crafted(spark):
         }
         ok, msg = compare(df, operators.ORACLES["market_basket_pairs"], td)
         assert ok, msg
+
+
+def test_codec_quarantine_hardening():
+    """r8 review findings on the codec quarantine contract, pinned:
+    negative Y4M dimensions must quarantine instead of infinite-looping
+    the manifest walk (frame_size -6 exactly cancelled the FRAME-marker
+    advance); a RIFF with TWO data chunks must quarantine in BOTH the
+    meta and decode paths (meta validated the last chunk while decode
+    returned the first — a non-frame-aligned buffer crashed the DSP
+    kernel); a JPEG SOF with zero height must quarantine like the
+    BMP/PNG branches; and the PPM manifest scan must agree with the
+    full decode without copying pixels."""
+    import signal
+    import struct
+
+    from mit_mapreduce_spark.functions.audiocodec import (
+        decode_wav, encode_wav, parse_wav_meta)
+    from mit_mapreduce_spark.functions.imagecodec import parse_image_meta
+    from mit_mapreduce_spark.functions.videocodec import parse_y4m_meta
+
+    def on_timeout(sig, frm):
+        raise TimeoutError("parse_y4m_meta hung on negative dims")
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(10)
+    try:
+        assert parse_y4m_meta(
+            b"YUV4MPEG2 W-1 H2 F25:1 C444\n" + b"FRAME\n") is None
+    finally:
+        signal.alarm(0)
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (chunk(b"fmt ", fmt) + chunk(b"data", b"\x01\x02\x03")
+            + chunk(b"data", b"\x01\x02\x03\x04"))
+    two_data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert parse_wav_meta(two_data) is None
+    assert decode_wav(two_data) is None
+    good = encode_wav(8000, 1, b"\x01\x02\x03\x04")
+    assert parse_wav_meta(good) is not None
+    assert decode_wav(good) is not None
+
+    soi = b"\xff\xd8"
+    sof0h = (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+             + struct.pack(">HH", 0, 10) + bytes([1, 1, 0x11, 0]))
+    assert parse_image_meta(soi + sof0h + b"\xff\xd9") is None
+
+    ppm = b"P6\n2 2\n255\n" + b"\x01" * 12
+    assert parse_image_meta(ppm) == ("ppm", 2, 2)
+    assert parse_image_meta(ppm + b"x") is None  # trailing bytes: exact
