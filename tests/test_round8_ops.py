@@ -822,3 +822,64 @@ def test_codec_quarantine_hardening():
     ppm = b"P6\n2 2\n255\n" + b"\x01" * 12
     assert parse_image_meta(ppm) == ("ppm", 2, 2)
     assert parse_image_meta(ppm + b"x") is None  # trailing bytes: exact
+
+
+def test_basket_fk_qnorm_degenerate_inputs(spark):
+    """Degenerate-input classes for the last session ops: an EMPTY
+    lineitem (basket empty, FK audit reports 0/0 on its three edges),
+    a single-document language (ANSI PERCENT_RANK of one row is 0.0 in
+    both engines — the (rank-1)/(n-1) 0/0 case is defined, not an
+    artifact), and an EMPTY parent table (every child row an orphan,
+    counted identically by both engines)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+            "l_linenumber": pa.array([], pa.int64()),
+            "l_quantity": pa.array([], pa.float64()),
+            "l_extendedprice": pa.array([], pa.float64()),
+            "l_discount": pa.array([], pa.float64()),
+            "l_tax": pa.array([], pa.float64()),
+            "l_returnflag": pa.array([], pa.string()),
+            "l_linestatus": pa.array([], pa.string()),
+            "l_shipdate": pa.array([], pa.timestamp("us")),
+        }), os.path.join(td, "lineitem.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ("market_basket_pairs", "fk_integrity_audit"):
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"empty_lineitem/{op}: {msg}"
+
+    with tempfile.TemporaryDirectory() as td:
+        _stage_docs(spark, [(1, "the a", "s")], td, langs=["zz"])
+        df = operators.QUERIES["quality_quantile_norm"](spark, td)
+        rows = df.collect()
+        assert [(r.doc_id, r.q_norm) for r in rows] == [(1, 0.0)]
+        ok, msg = compare(df, operators.ORACLES["quality_quantile_norm"], td)
+        assert ok, msg
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "c_nationkey": pa.array([], pa.int64()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "c_mktsegment": pa.array([], pa.string()),
+        }), os.path.join(td, "customer.parquet"))
+        for t in ["region", "nation", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        df = operators.QUERIES["fk_integrity_audit"](spark, td)
+        ok, msg = compare(df, operators.ORACLES["fk_integrity_audit"], td)
+        assert ok, msg
+        got = {r.relationship: (r.n_rows, r.n_orphans)
+               for r in df.collect()}
+        assert got["orders.o_custkey"] == (1500, 1500)
