@@ -124,8 +124,6 @@ def main() -> None:
     # adjudication itself is on the record.
     retimed: dict[str, dict] = {}
     if deltas and deltas.get("regressed"):
-        import statistics
-
         for name in sorted(deltas["regressed"]):
             first = times[name]
             reruns = []
@@ -136,24 +134,36 @@ def main() -> None:
                     print(f"bench: retime {name} FAILED: {e}",
                           file=sys.stderr)
                     break
-            if reruns:
-                readings = [first] + reruns
-                # ADVICE r7 #1: median of TWO readings is their mean — a
-                # value never observed. With a full set of 3 the median
-                # is an observed reading and trend-unbiased (r6 fix);
-                # with only 2 (a rerun died) fall back to the min — an
-                # observed measurement, and the right bias for a box
-                # unhealthy enough to kill a rerun. min-of-3 is recorded
-                # alongside either way (VERDICT r7: min adjudicates
-                # load-contamination, median tracks trend).
-                if len(readings) >= 3:
-                    adjudicated = round(statistics.median(readings), 3)
-                else:
-                    adjudicated = round(min(readings), 3)
-                retimed[name] = {"first": first, "reruns": reruns,
-                                 "min": round(min(readings), 3),
-                                 "adjudicated": adjudicated}
-                times[name] = adjudicated
+            if not reruns:
+                continue
+            readings = [first] + reruns
+            floor = floors.get(name)
+
+            # Convergence loop (VERDICT r8 ask #4: r8's
+            # multimodal_resize read {4.46, 14.75, 2.97, 1.42} against
+            # a 0.8 s floor and the median rule kept 2.97 — a phantom
+            # in new clothes). When the readings disagree by more than
+            # 2x the instrument hasn't measured anything yet: keep
+            # re-running (2 extra max) until the spread closes.
+            def spread(rs: list) -> float:
+                lo = min(rs)
+                return (max(rs) / lo) if lo > 0 else float("inf")
+
+            while spread(readings) > 2.0 and len(readings) < 5:
+                try:
+                    readings.append(run_once(name))
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: retime {name} FAILED: {e}",
+                          file=sys.stderr)
+                    break
+
+            adjudicated, rule = adjudicate_retime(readings, floor)
+            mn = round(min(readings), 3)
+            retimed[name] = {"first": first,
+                             "reruns": readings[1:],
+                             "min": mn, "floor": floor, "rule": rule,
+                             "adjudicated": adjudicated}
+            times[name] = adjudicated
         # Re-derive the delta report against the adjudicated times so
         # ``regressed`` names only survive if the slowdown reproduced.
         deltas = bench_deltas(times, sf, here)
@@ -186,6 +196,42 @@ def main() -> None:
     print(compact_line(times, total, failed, sf, deltas,
                        retimed_names=sorted(retimed),
                        n_floor_retimed=len(floor_retimed)))
+
+
+def adjudicate_retime(readings: list[float],
+                      floor: float | None) -> tuple[float, str]:
+    """Adjudication rule for a flagged regression's readings (r8 ask
+    #4 — the rule the judge audits, so it is a pure function under
+    unit test):
+
+    1. min(floor-reached): the box demonstrated the historical floor
+       during THIS protocol (min within the floor-retime tolerance of
+       +0.3 s / 1.25x) — the regression is load noise; keep the
+       minimum, not a median that enshrines a contaminated reading
+       (r8's multimodal_resize: readings {4.46, 14.75, 2.97, 1.42}
+       against floor 0.8 must adjudicate 1.42, not 2.97).
+    2. min(non-converged): the readings still disagree by > 2x after
+       the convergence loop — a median of readings that disagree 2x+
+       is not a measurement; the minimum is the only demonstrated
+       capability.
+    3. median_low: converged and genuinely above floor — an OBSERVED
+       reading (median of an even count is an unobserved mean —
+       ADVICE r7 #1), trend-unbiased.
+    4. min(rerun-died): fewer than 3 readings because the box killed
+       a rerun — the right bias for an unhealthy box.
+    """
+    import statistics
+
+    mn = round(min(readings), 3)
+    lo = min(readings)
+    spr = (max(readings) / lo) if lo > 0 else float("inf")
+    if floor is not None and mn <= max(floor + 0.3, 1.25 * floor):
+        return mn, "min(floor-reached)"
+    if spr > 2.0:
+        return mn, "min(non-converged)"
+    if len(readings) >= 3:
+        return round(statistics.median_low(readings), 3), "median_low"
+    return mn, "min(rerun-died)"
 
 
 def bench_floors(sf: float, here: str) -> dict[str, float]:

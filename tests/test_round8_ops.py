@@ -261,10 +261,14 @@ def test_skyline_crafted_and_random_vs_bruteforce(spark):
 
     crafted = [(1.0, 5), (1.0, 3), (2.0, 5), (2.0, 6), (3.0, 6),
                (0.5, 1), (10.0, 7), (9.99, 7)]  # 10.0 loses across band edge
+    # ADVICE r8 #2: negative sizes are legal — the cheapest point with
+    # size -5 is first in its band, undominated, and the old
+    # coalesce(-1) sentinel (greatest(-1,-1) < -5 fails) dropped it.
+    negatives = [(0.25, -5), (0.5, -1), (1.0, -1), (2.0, 3)]
     rng = random.Random(8)
-    rand = list({(round(rng.uniform(900, 1000), 2), rng.randint(1, 50))
+    rand = list({(round(rng.uniform(900, 1000), 2), rng.randint(-10, 50))
                  for _ in range(120)})
-    for pairs in (crafted, rand):
+    for pairs in (crafted, negatives, rand):
         with tempfile.TemporaryDirectory() as td:
             names = [f"part {i}" for i in range(len(pairs))]
             import pyarrow as pa
@@ -371,6 +375,32 @@ def test_fk_integrity_audit_crafted_orphans(spark):
         assert got["customer.c_nationkey"] == (1, 0, 0)
         ok, msg = compare(df, operators.ORACLES["fk_integrity_audit"], td)
         assert ok, msg
+
+
+def test_fk_integrity_audit_broadcast_both_regimes(spark, sf_dir):
+    """VERDICT r8 ask #6: the broadcast decision is Catalyst/AQE's, not
+    a hard-coded parent-name list. Regime 1 (fixture sizes): small
+    deduped parent key sets broadcast. Regime 2 (broadcast disabled —
+    the stand-in for a parent too big to fit executor memory): every
+    edge must degrade to a non-broadcast join instead of OOMing a
+    forced broadcast. A leftover F.broadcast hint would keep
+    BroadcastHashJoin in the plan even at threshold -1."""
+    from mit_mapreduce_spark import operators as ops, plans
+
+    df = ops.QUERIES["fk_integrity_audit"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan  # regime 1: dims broadcast
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = ops.QUERIES["fk_integrity_audit"](spark, sf_dir)
+        plan2 = plans.formatted_plan(df2)
+        assert "BroadcastHashJoin" not in plan2  # regime 2: all shuffle
+        rows = {r.relationship for r in df2.collect()}
+        assert len(rows) == 7  # and it still computes the full report
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
 def test_quality_quantile_norm_crafted(spark):
@@ -598,6 +628,15 @@ def test_regression_privacy_ops_adversarial(spark):
                   [(1, 0, None, "AUTO"), (2, 1, None, None)]),
         "orphans": ([(1, 999, 10.0, dt(1995, 1, 1))],
                     [(1, 0, 100.0, "AUTO")]),
+        # ADVICE r8 #1: a NULL o_orderdate yields x = NULL — it must
+        # not enter the fit (n/sy counting a month sx/sxy/sxx skip)
+        # nor the residual rank window (NULL residuals order
+        # differently across engines).
+        "null_orderdate": ([(1, 1, 30.0, None),
+                            (2, 1, 10.0, dt(1995, 1, 1)),
+                            (3, 1, 20.0, dt(1995, 2, 1)),
+                            (4, 1, 40.0, dt(1995, 3, 1))],
+                           [(1, 0, 100.0, "AUTO")]),
     }
     for label, (orows, crows) in cases.items():
         with tempfile.TemporaryDirectory() as td:
@@ -629,6 +668,22 @@ def test_regression_privacy_ops_adversarial(spark):
                 df = operators.QUERIES[op](spark, td)
                 ok, msg = compare(df, operators.ORACLES[op], td)
                 assert ok, f"{label}/{op}: {msg}"
+            if label == "null_orderdate":
+                # Engine-symmetric bug class: the oracle compare above
+                # cannot catch an x-less order leaking into the fit on
+                # BOTH sides, so pin the VALUE — the moments must be
+                # exactly those of the three dated months (x = 0,1,2;
+                # y = 10,20,40 in 1e-4 units), as if order 1 (NULL
+                # date) never existed.
+                row = operators.QUERIES["ols_trend_by_nation"](
+                    spark, td).collect()[0]
+                assert row.n_months == 3
+                # slope_num = n*Sxy - Sx*Sy = 3*(0+20+80)e4 - 3*70e4
+                assert row.slope_num == (3 * 100 - 3 * 70) * 10000
+                assert row.slope_den == 3 * 5 - 3 * 3
+                resid = operators.QUERIES["ols_residual_outliers"](
+                    spark, td).collect()
+                assert {r.month_idx for r in resid} == {0, 1, 2}
 
 
 def test_review_r8_null_and_anchor_semantics(spark):

@@ -18,6 +18,7 @@ against the DuckDB oracles at both corpora; walls best-of-2.
 Run: python tools_scale_events.py   (writes /tmp/scale_events.json)
 """
 
+import hashlib
 import json
 import os
 import shutil
@@ -32,8 +33,23 @@ from mit_mapreduce_spark.testing import compare
 operators.load_all()
 
 SRC = "/root/testdata/sf0.1"
-TENU = "/tmp/scale10x_events_users"
-TEND = "/tmp/scale10x_events_density"
+_SEL_USERS = ("SELECT event_id * 10 + {k} AS event_id, ts,"
+              " user_id * 10 + {k} AS user_id, event_type, value,"
+              " props FROM {src}")
+_SEL_DENSITY = ("SELECT event_id * 10 + {k} AS event_id,"
+                " ts + to_microseconds({k} * 1000) AS ts,"
+                " user_id, event_type, value, props FROM {src}")
+
+
+def _keyed(base: str, select: str) -> str:
+    """Staged dirs are KEYED ON the generator SQL (ADVICE r8 #3): an
+    edited generator can never silently re-certify against a stale
+    /tmp corpus built by an older version of this script."""
+    return f"{base}_{hashlib.md5(select.encode()).hexdigest()[:8]}"
+
+
+TENU = _keyed("/tmp/scale10x_events_users", _SEL_USERS)
+TEND = _keyed("/tmp/scale10x_events_density", _SEL_DENSITY)
 OPS = ["event_transitions", "user_journey_paths",
        "stream_event_transitions"]
 
@@ -53,12 +69,8 @@ def _stage(dst: str, select: str) -> None:
 
 
 def build():
-    _stage(TENU, "SELECT event_id * 10 + {k} AS event_id, ts,"
-                 " user_id * 10 + {k} AS user_id, event_type, value,"
-                 " props FROM {src}")
-    _stage(TEND, "SELECT event_id * 10 + {k} AS event_id,"
-                 " ts + to_microseconds({k} * 1000) AS ts,"
-                 " user_id, event_type, value, props FROM {src}")
+    _stage(TENU, _SEL_USERS)
+    _stage(TEND, _SEL_DENSITY)
 
 
 def best2(fn):

@@ -17,6 +17,7 @@ entity_resolution, and skyline_parts; walls are best-of-2.
 Run: python tools_scale_linkage.py   (writes /tmp/scale_linkage.json)
 """
 
+import hashlib
 import json
 import os
 import shutil
@@ -31,8 +32,27 @@ from mit_mapreduce_spark.testing import compare
 operators.load_all()
 
 SRC = "/root/testdata/sf0.1"
-TENR = "/tmp/scale10x_part_rows"
-TENV = "/tmp/scale10x_part_vocab"
+# 10x rows, same vocabulary
+_SEL_ROWS = ("SELECT p_partkey * 10 + {k} AS p_partkey, p_name,"
+             " p_brand, p_type, p_size, p_retailprice FROM {src}")
+# 10x vocabulary: copy k>0 prepends letter chr(97+k) to the name
+# (a 1-insert mutation of the adjective, so cross-copy matches are
+# real fuzzy pairs inside the same last-token block)
+_SEL_VOCAB = ("SELECT p_partkey * 10 + {k} AS p_partkey,"
+              " CASE WHEN {k} = 0 THEN p_name"
+              " ELSE chr(97 + {k}) || p_name END AS p_name,"
+              " p_brand, p_type, p_size, p_retailprice FROM {src}")
+
+
+def _keyed(base: str, select: str) -> str:
+    """Staged dirs are KEYED ON the generator SQL (ADVICE r8 #3): an
+    edited generator can never silently re-certify against a stale
+    /tmp corpus built by an older version of this script."""
+    return f"{base}_{hashlib.md5(select.encode()).hexdigest()[:8]}"
+
+
+TENR = _keyed("/tmp/scale10x_part_rows", _SEL_ROWS)
+TENV = _keyed("/tmp/scale10x_part_vocab", _SEL_VOCAB)
 OPS = ["fuzzy_blocked_match", "entity_resolution", "skyline_parts"]
 
 
@@ -51,16 +71,8 @@ def _stage(dst: str, select: str) -> None:
 
 
 def build():
-    # 10x rows, same vocabulary
-    _stage(TENR, "SELECT p_partkey * 10 + {k} AS p_partkey, p_name,"
-                 " p_brand, p_type, p_size, p_retailprice FROM {src}")
-    # 10x vocabulary: copy k>0 prepends letter chr(97+k) to the name
-    # (a 1-insert mutation of the adjective, so cross-copy matches are
-    # real fuzzy pairs inside the same last-token block)
-    _stage(TENV, "SELECT p_partkey * 10 + {k} AS p_partkey,"
-                 " CASE WHEN {k} = 0 THEN p_name"
-                 " ELSE chr(97 + {k}) || p_name END AS p_name,"
-                 " p_brand, p_type, p_size, p_retailprice FROM {src}")
+    _stage(TENR, _SEL_ROWS)
+    _stage(TENV, _SEL_VOCAB)
 
 
 def best2(fn):

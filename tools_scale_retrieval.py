@@ -12,6 +12,7 @@ duplication inflation), then
 Run: python tools_scale_retrieval.py   (writes /tmp/scale_retrieval.json)
 """
 
+import hashlib
 import json
 import os
 import shutil
@@ -26,7 +27,23 @@ from mit_mapreduce_spark.testing import compare
 operators.load_all()
 
 SRC = "/root/testdata/sf0.1"
-TENX = "/tmp/scale10x_docs"
+# n_chars is recomputed from the NEW text (ADVICE r7 #2: the old
+# `n_chars + 12` approximation disagreed with length(text) for
+# most rows), so the invariant n_chars = length(text) holds on the
+# certification corpus exactly as it does on the source tables.
+_TENX_SQL = (
+    "COPY (SELECT doc_id, text, lang, source,"
+    " CAST(length(text) AS BIGINT) AS n_chars FROM ({copies}))"
+    " TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+_TENX_COPY = ("SELECT doc_id * 10 + {k} AS doc_id,"
+              " text || ' uniq{k}tok' || CAST(doc_id AS VARCHAR) AS text,"
+              " source, lang"
+              " FROM '{src}/documents.parquet'")
+# The staged dir is KEYED ON the generator SQL (ADVICE r8 #3): an
+# edited generator can never silently re-certify against a stale
+# /tmp corpus built by an older version of this script.
+TENX = "/tmp/scale10x_docs_" + hashlib.md5(
+    (_TENX_SQL + _TENX_COPY).encode()).hexdigest()[:8]
 OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search",
        "hybrid_rrf_retrieval", "retrieval_pruning_recall"]
 
@@ -37,18 +54,9 @@ def build_tenx():
     shutil.rmtree(TENX, ignore_errors=True)
     os.makedirs(TENX)
     con = duckdb.connect()
-    # n_chars is recomputed from the NEW text (ADVICE r7 #2: the old
-    # `n_chars + 12` approximation disagreed with length(text) for
-    # most rows), so the invariant n_chars = length(text) holds on the
-    # certification corpus exactly as it does on the source tables.
     copies = " UNION ALL ".join(
-        f"SELECT doc_id * 10 + {k} AS doc_id,"
-        f" text || ' uniq{k}tok' || CAST(doc_id AS VARCHAR) AS text,"
-        f" source, lang"
-        f" FROM '{SRC}/documents.parquet'" for k in range(10))
-    con.sql(f"COPY (SELECT doc_id, text, lang, source,"
-            f" CAST(length(text) AS BIGINT) AS n_chars FROM ({copies}))"
-            f" TO '{TENX}/documents.parquet' (FORMAT PARQUET)")
+        _TENX_COPY.format(k=k, src=SRC) for k in range(10))
+    con.sql(_TENX_SQL.format(copies=copies, dst=TENX))
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"]:
         os.symlink(f"{SRC}/{t}.parquet", os.path.join(TENX, f"{t}.parquet"))
