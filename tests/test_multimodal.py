@@ -111,7 +111,8 @@ def test_codec_seam_stdlib_first_then_quarantine(spark):
     from mit_mapreduce_spark.operators import multimodal as mm
 
     bmp = _tiny_bmp(48, 12)   # wider than TARGET_EDGE so resize shrinks
-    w, h, nw, nh, resized = mm._resize_one(bmp)
+    dec_ok, w, h, nw, nh, resized = mm._resize_one(bmp)
+    assert dec_ok
     assert (w, h) == (48, 12)
     assert nw == TARGET_EDGE and nh == TARGET_EDGE * 12 // 48
     assert len(resized) == nw * nh * 3
@@ -126,10 +127,11 @@ def test_codec_seam_stdlib_first_then_quarantine(spark):
 
     # small image: thumbnail semantics never upscale
     small = encode_ppm(4, 3, b"\x10" * 36)
-    assert mm._resize_one(small)[:4] == (4, 3, 4, 3)
+    assert mm._resize_one(small)[:5] == (True, 4, 3, 4, 3)
 
     # corrupt/undecodable payload: quarantine path, never an exception
-    w2, h2, *_ = mm._resize_one(b"definitely not an image")
+    ok2, w2, h2, *_ = mm._resize_one(b"definitely not an image")
+    assert not ok2  # the stand-in reports itself as quarantined
     assert w2 >= 64 and h2 >= 64
     assert len(mm._decode_one(b"definitely not an image")) == mm.N_FEATURES
 
@@ -241,8 +243,9 @@ def test_image_assets_pixels_identical_across_formats(spark, sf_dir):
     """Container format must not change content: re-wrap each decoded
     payload with the spec-reference stdlib encoder for its format and
     require BIT-EQUALITY with the vectorized kernel's output — and the
-    decoded RGB must equal the sha512-chain bytes the JVM builder
-    promises."""
+    decoded RGB must equal the sha256-chain bytes the JVM builder
+    promises (the same chain the pixel-kernel oracles rebuild in
+    DuckDB SQL)."""
     import hashlib as _hashlib
 
     from mit_mapreduce_spark.functions.imagecodec import (
@@ -265,11 +268,11 @@ def test_image_assets_pixels_identical_across_formats(spark, sf_dir):
         data = bytes(r.payload)
         w, h, _, pix = decode_image(data)
         assert enc[fmt](w, h, pix) == data, (r.asset_id, fmt)
-        # pixel provenance: the sha512 chain over the text
+        # pixel provenance: the sha256 chain over the text
         need = w * h * 3
         chain = b"".join(
-            _hashlib.sha512(f"{docs[r.asset_id]}|{i}".encode()).digest()
-            for i in range((need + 63) // 64))[:need]
+            _hashlib.sha256(f"{docs[r.asset_id]}|{i}".encode()).digest()
+            for i in range((need + 31) // 32))[:need]
         assert pix == chain
 
 
