@@ -408,6 +408,63 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 20
 
 
+def min_label_components(pairs: DataFrame, a: str, b: str,
+                         max_iters: int = MAX_CC_ITERS) -> DataFrame:
+    """(vertex, cluster_id) for every vertex of the undirected pair
+    graph — min-label propagation to a fixpoint: a driver loop over
+    DataFrame joins with localCheckpoint() per round to truncate
+    lineage. Extracted from dedup_clusters (r9) so the image
+    perceptual-hash tier composes the SAME loop instead of a third
+    hand-synced copy. The loop runs ONLY over the edge graph's vertex
+    set — callers left-join the full entity table and default missing
+    vertices to singleton clusters. Raises if the graph's diameter
+    exceeds max_iters rather than returning silently-partial labels
+    (the oracles compute full transitive closures)."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    # symmetrized edges ⇒ every component member appears as src
+    labels = (
+        edges.select(F.col("src").alias("vertex")).distinct()
+        .select("vertex", F.col("vertex").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
+    changed = -1
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .groupBy("src").agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        joined = labels.join(nbr_min, labels.vertex == nbr_min.src, "left")
+        # Carry the changed flag out of the SAME join that computes the
+        # new label — the convergence check then reads the checkpointed
+        # result instead of re-joining new labels against old (which
+        # cost one extra shuffle join per round).
+        stepped = joined.select(
+            "vertex",
+            F.least(F.col("cluster_id"),
+                    F.coalesce("_nbr_min", "cluster_id")).alias("new_cluster"),
+            (F.least(F.col("cluster_id"),
+                     F.coalesce("_nbr_min", "cluster_id"))
+             != F.col("cluster_id")).cast("int").alias("_chg"),
+        ).localCheckpoint(eager=False)
+        changed = stepped.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = stepped.select(
+            "vertex", F.col("new_cluster").alias("cluster_id"))
+        if changed == 0:
+            break
+    if changed != 0:
+        # A component with diameter > max_iters would otherwise return
+        # silently-wrong partial labels. Fail loudly instead.
+        raise RuntimeError(
+            f"min_label_components: propagation did not converge in "
+            f"{max_iters} rounds ({changed} labels still changing); "
+            f"raise max_iters for graphs with larger diameters")
+    return labels
+
+
 def _sql_cc() -> str:
     pairs = f"SELECT doc_a, doc_b FROM ({_sql_minhash_pipeline()})"
     return f"""
@@ -447,55 +504,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny for dedup graphs — LSH finds most pairs of a duplicate
     cluster directly, making components near-cliques). The oracle is
     a DuckDB recursive-CTE transitive closure — the iterative Spark
-    computation is checked against declarative reachability."""
+    computation is checked against declarative reachability. The loop
+    itself is the shared min_label_components helper (r9)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"}).localCheckpoint(eager=False)
-
-    # symmetrized edges ⇒ every component member appears as src
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=False)
-    )
-    changed = -1
-    for _ in range(MAX_CC_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src").agg(F.min("cluster_id").alias("_nbr_min"))
-        )
-        joined = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-        # Carry the changed flag out of the SAME join that computes the
-        # new label — the convergence check then reads the checkpointed
-        # result instead of re-joining new labels against old (which
-        # cost one extra shuffle join per round).
-        stepped = joined.select(
-            "doc_id",
-            F.least(F.col("cluster_id"),
-                    F.coalesce("_nbr_min", "cluster_id")).alias("new_cluster"),
-            (F.least(F.col("cluster_id"),
-                     F.coalesce("_nbr_min", "cluster_id"))
-             != F.col("cluster_id")).cast("int").alias("_chg"),
-        ).localCheckpoint(eager=False)
-        changed = stepped.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels = stepped.select(
-            "doc_id", F.col("new_cluster").alias("cluster_id"))
-        if changed == 0:
-            break
-    if changed != 0:
-        # A component with diameter > MAX_CC_ITERS would otherwise
-        # return silently-wrong partial labels (the oracle computes the
-        # full transitive closure). Fail loudly instead.
-        raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{MAX_CC_ITERS} rounds ({changed} labels still changing); "
-            f"raise MAX_CC_ITERS for graphs with larger diameters")
+    labels = min_label_components(pairs, "doc_a", "doc_b")
     # docs untouched by any near-dup pair: singleton clusters, no loop
     return (
         docs.select("doc_id")
-        .join(labels, "doc_id", "left")
+        .join(labels, docs.doc_id == labels.vertex, "left")
         .select("doc_id",
                 F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )

@@ -1045,12 +1045,12 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def decode_features(assets: DataFrame) -> DataFrame:
     """mapInPandas decode stage: payload → feature vector. Arrow
-    batches stream through the Python worker partition-locally;
-    fan_out spreads a narrow local scan across every core so the
-    Python kernels run in parallel (no-op on real multi-split
-    tables)."""
+    batches stream through the Python worker partition-locally; no
+    fan_out — asset producers fan out their narrow inputs BEFORE
+    encoding (see resize_assets: re-fanning an encoded frame puts the
+    payload bytes on a shuffle)."""
     return (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_decode_batch, FEATURE_SCHEMA)
     )
 
@@ -1185,9 +1185,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder, and the band arithmetic all cross-engine-verified, the
     audio/video-tier discipline extended to images."""
     assets = image_assets(spark, sf_dir)
+    # No fan_out here: image_assets already fans out BEFORE its encode
+    # kernel, so the band kernel consumes the encoded payloads
+    # partition-locally — a second fan_out would put the payload bytes
+    # on a shuffle (the r8 single-exchange contract).
     per = (
-        fan_out(assets.select(
-            "asset_id", F.col("meta.lang").alias("lang"), "payload"))
+        assets.select(
+            "asset_id", F.col("meta.lang").alias("lang"), "payload")
         .mapInPandas(_decode_bands_batch, _DECODE_BANDS_SCHEMA)
     )
     return per.groupBy("lang", "decoded").agg(
@@ -1285,9 +1289,14 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def resize_assets(assets: DataFrame) -> DataFrame:
     """mapInPandas resize stage: payload → bounded-size payload with
-    before/after dimension metadata."""
+    before/after dimension metadata. No fan_out: every producer of an
+    asset frame (image_assets in particular) is already fanned out
+    before its encode kernel, so this stage runs partition-locally —
+    re-fanning here put the PAYLOAD bytes on a shuffle (caught by the
+    r9 exchange audit; the r8 meta queries' single-exchange contract
+    applies to the pixel kernels too)."""
     return (
-        fan_out(assets.select("asset_id", "payload"))
+        assets.select("asset_id", "payload")
         .mapInPandas(_resize_batch, RESIZE_SCHEMA)
     )
 
@@ -1527,38 +1536,48 @@ def phash_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(header, pix).alias("payload"))
 
 
-_PHASH_SCHEMA = T.StructType(
-    [T.StructField("asset_id", T.LongType())]
-    + [T.StructField(f"b{r}", T.LongType()) for r in range(PH_BANDS)])
+_PHASH_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("sig", T.LongType()),
+])
 
 
 def _phash_batch(
         batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched perceptual-hash kernel: REAL stdlib pixel decode,
-    integer BT.601 luma grid, then the 64 dHash bits emitted as 8
-    one-byte band values (band r = row r's comparison bits) — all
-    integer comparisons, so the signature is platform-identical and
-    SQL-recomputable. Undecodable payloads are dropped (an image that
-    cannot be decoded cannot be perceptually hashed; the quarantine
-    AUDIT is multimodal_quarantine_report's job)."""
+    integer BT.601 luma grid, then the 64 dHash bits packed into ONE
+    int64 signature (bit 8r+c = row r's comparison c; bit 63 may set
+    the sign — xor/bit_count/shiftright-with-mask are bit-pattern ops,
+    identical on two's-complement in both engines). One column, not
+    8: the Hamming filter then compares exactly two attributes, the
+    dedup_simhash_pairs shape — a sum-of-8-popcounts filter over 16
+    join-output columns sent Catalyst constraint inference into a
+    minutes-long spin (r9 find, SCALE.md). All integer comparisons, so
+    the signature is platform-identical and SQL-recomputable.
+    Undecodable payloads are dropped (an image that cannot be decoded
+    cannot be perceptually hashed; the quarantine AUDIT is
+    multimodal_quarantine_report's job)."""
     import numpy as np
 
-    weights = 1 << np.arange(PH_GRID_W - 1)
+    weights = 1 << np.arange(PH_GRID_W - 1, dtype=np.uint64)
     for pdf in batches:
-        out = {"asset_id": [], **{f"b{r}": [] for r in range(PH_BANDS)}}
+        out = {"asset_id": [], "sig": []}
         for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
             dec = decode_image(bytes(payload))
             if dec is None:
                 continue
             g = _luma_grid(dec)
             bits = g[:, :-1] > g[:, 1:]
-            out["asset_id"].append(asset_id)
+            sig = 0
             for r in range(PH_BANDS):
-                out[f"b{r}"].append(int((bits[r] * weights).sum()))
+                sig |= int((bits[r] * weights).sum()) << (8 * r)
+            if sig >= 1 << 63:          # wrap to signed int64
+                sig -= 1 << 64
+            out["asset_id"].append(asset_id)
+            out["sig"].append(sig)
         yield pd.DataFrame({
             "asset_id": out["asset_id"],
-            **{f"b{r}": pd.Series(out[f"b{r}"], dtype="int64")
-               for r in range(PH_BANDS)}})
+            "sig": pd.Series(out["sig"], dtype="int64")})
 
 
 def _sql_image_phash() -> str:
@@ -1640,43 +1659,106 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the multimodal dedup story an LLM pipeline needs.
 
     100 TB posture: one decode+hash pass (Arrow-batched, payloads
-    never shuffle — only the 8 band bytes do), then a key-equi-join
-    bounded by band-bucket sizes, then a per-candidate popcount
-    filter. No CartesianProduct (plan-pinned); a pathological corpus
-    of identical images degenerates to the bucket of one band value —
-    the same skew story as text simhash, handled by the same AQE skew
-    machinery. The oracle recomputes decode, hash, banding, and
-    Hamming from the sha256 chain entirely in SQL, and a crafted
+    never shuffle — only one 8-byte signature per asset does), then a
+    key-equi-join bounded by band-bucket sizes, then a per-candidate
+    popcount filter that Catalyst PUSHES below the distinct into the
+    join output stream (an earlier draft checkpointed the candidates
+    before the filter to dodge a constraint-inference spin on the
+    16-column form — that barrier blocked the pushdown, materialized
+    every random band collision, and OOM'd the 10× cert; the packed
+    single-sig form keeps the filter tree tiny AND pushable — see
+    SCALE.md r9). No CartesianProduct (plan-pinned); a pathological
+    corpus of identical images degenerates to the bucket of one band
+    value — the same skew story as text simhash, handled by the same
+    AQE skew machinery. The oracle recomputes decode, hash, banding,
+    and Hamming from the sha256 chain entirely in SQL, and a crafted
     pytest checks the banded result against a quadratic brute force."""
     sigs = (
         phash_image_assets(spark, sf_dir)
         .mapInPandas(_phash_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    hash_cols = [f"b{r}" for r in range(PH_BANDS)]
-    entries = [F.struct(F.lit(r).alias("band"), F.col(f"b{r}").alias("bv"))
-               for r in range(PH_BANDS)]
+    mask = (1 << 8) - 1
     bands = sigs.select(
-        "asset_id", *hash_cols, F.explode(F.array(*entries)).alias("e")
-    ).select("asset_id", *hash_cols,
-             F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+        "asset_id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(PH_BANDS - 1))).alias("b"),
+    ).select(
+        "asset_id", "sig", "b",
+        F.expr(f"shiftright(sig, b * 8) & {mask}").alias("bv"),
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
-        x.join(y, (F.col("x.band") == F.col("y.band"))
+        x.join(y, (F.col("x.b") == F.col("y.b"))
                & (F.col("x.bv") == F.col("y.bv"))
                & (F.col("x.asset_id") < F.col("y.asset_id")))
         .select(F.col("x.asset_id").alias("asset_a"),
                 F.col("y.asset_id").alias("asset_b"),
-                *[F.col(f"x.b{r}").alias(f"xa{r}") for r in range(PH_BANDS)],
-                *[F.col(f"y.b{r}").alias(f"yb{r}") for r in range(PH_BANDS)])
+                F.col("x.sig").alias("sa"),
+                F.col("y.sig").alias("sb"))
         .distinct()
     )
-    ham = None
-    for r in range(PH_BANDS):
-        term = F.bit_count(F.col(f"xa{r}").bitwiseXOR(F.col(f"yb{r}")))
-        ham = term if ham is None else ham + term
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         cand.select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= PH_HAM_MAX)
+    )
+
+
+def _sql_image_cc() -> str:
+    """DuckDB twin of the image cluster op: recursive-CTE transitive
+    closure over the banded phash pair graph (the dedup_clusters
+    oracle pattern — declarative reachability checks the iterative
+    min-label loop)."""
+    return f"""
+    WITH RECURSIVE base AS ({_sql_image_phash()}),
+    und AS (
+      SELECT asset_a AS a, asset_b AS b FROM base
+      UNION ALL
+      SELECT asset_b AS a, asset_a AS b FROM base
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(LEAST(d.doc_id,
+                COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
+                         d.doc_id)) AS BIGINT) AS cluster_id
+    FROM documents d
+    """
+
+
+@query("dedup_image_clusters", oracle=_sql_image_cc())
+def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate CLUSTERS: connected components of the
+    perceptual-hash pair graph — the keep/drop decision step of the
+    image dedup story (cluster_id = min asset_id of the component;
+    assets with no near-dup are their own cluster), composing
+    dedup_image_phash with the shared min-label propagation loop
+    (dedup.min_label_components, the dedup_clusters machinery).
+
+    100 TB posture: identical to dedup_clusters — the fixpoint loop
+    runs only over the pair graph's vertex set (near-dup vertices «
+    corpus), each round one edge⋈label shuffle with localCheckpoint
+    lineage truncation; every other asset joins the result once as a
+    singleton. The oracle is a DuckDB recursive transitive closure, so
+    the iterative loop is checked against declarative reachability.
+
+    The composed loop plans stay tractable because dedup_image_phash's
+    Hamming filter compares ONE packed signature per side (the
+    dedup_simhash_pairs shape) — the 16-column popcount-forest form
+    spun Catalyst constraint inference for minutes when embedded in
+    the loop's iteration plans (r9 find, SCALE.md)."""
+    from mit_mapreduce_spark.operators.dedup import min_label_components
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("asset_id"))
+    pairs = dedup_image_phash(spark, sf_dir).select("asset_a", "asset_b")
+    labels = min_label_components(pairs, "asset_a", "asset_b")
+    return (
+        docs.join(labels, docs.asset_id == labels.vertex, "left")
+        .select("asset_id",
+                F.coalesce("cluster_id", "asset_id").alias("cluster_id"))
     )

@@ -524,3 +524,29 @@ def test_round8_shuffle_budgets(spark, sf_dir, name, budget):
     n = plans.shuffle_count(df)
     assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
     assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("dedup_image_phash", 2),       # post-checkpoint: the banded
+                                    # candidate equi-self-join; the
+                                    # decode+hash stage is lineage-
+                                    # truncated and only 8 band bytes
+                                    # per asset reach the join
+    ("sample_corpus_hash", 0),      # pure row-local hash filter
+    ("sample_mix_recipe_hash", 1),  # one lang groupBy
+    ("multimodal_decode", 2),       # narrow-input fan_out + the
+                                    # (lang, decoded) agg — encoded
+                                    # payloads never shuffle (an r9
+                                    # audit caught a redundant fan_out
+                                    # re-shuffling payload bytes)
+    ("multimodal_resize", 3),       # fan_out + the two-phase exact
+                                    # distinct-content agg
+    ("multimodal_framesample", 3),  # same shape over text payloads
+])
+def test_round9_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-9 operators: exchange budgets; the pixel-kernel queries
+    additionally must never put encoded payload bytes on a shuffle."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    assert "CartesianProduct" not in plans.formatted_plan(df)

@@ -22,20 +22,18 @@ def test_image_phash_vs_python_bruteforce(spark, sf_dir):
     sets — the banding-losslessness check the SQL oracle (which also
     bands) cannot provide by itself."""
     from mit_mapreduce_spark.operators.multimodal import (
-        PH_BANDS, PH_HAM_MAX, _PHASH_SCHEMA, _phash_batch,
-        phash_image_assets,
+        PH_HAM_MAX, _PHASH_SCHEMA, _phash_batch, phash_image_assets,
     )
 
     sigs = (phash_image_assets(spark, sf_dir)
             .mapInPandas(_phash_batch, _PHASH_SCHEMA).collect())
     assert sigs
-    sig = {r.asset_id: [r[f"b{i}"] for i in range(PH_BANDS)] for r in sigs}
+    sig = {r.asset_id: r.sig & ((1 << 64) - 1) for r in sigs}
     ids = sorted(sig)
     expected = set()
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            ham = sum(bin(x ^ y).count("1")
-                      for x, y in zip(sig[a], sig[b]))
+            ham = bin(sig[a] ^ sig[b]).count("1")
             if ham <= PH_HAM_MAX:
                 expected.add((a, b, ham))
     got = {(r.asset_a, r.asset_b, r.hamming)
@@ -78,13 +76,12 @@ def test_image_phash_plan_no_cartesian(spark, sf_dir):
 def test_phash_kernel_dhash_semantics():
     """dHash bit semantics pinned on a crafted image: strictly
     increasing luma rows set every bit to 0 (left < right), strictly
-    decreasing rows set all 8 bits (left > right), ties are 0."""
+    decreasing rows set all 64 bits (sig = -1 as signed int64 — the
+    sign-bit wrap is deliberate and bit-pattern-safe), ties are 0."""
     import pandas as pd
 
     from mit_mapreduce_spark.functions.imagecodec import encode_ppm
-    from mit_mapreduce_spark.operators.multimodal import (
-        PH_BANDS, _phash_batch,
-    )
+    from mit_mapreduce_spark.operators.multimodal import _phash_batch
 
     w, h = 9, 8
     inc = bytes(bytearray(
@@ -98,15 +95,34 @@ def test_phash_kernel_dhash_semantics():
         "payload": [encode_ppm(w, h, inc), encode_ppm(w, h, dec),
                     encode_ppm(w, h, flat)],
     })])))[0]
-    by_id = {int(r.asset_id): [int(r[f"b{i}"]) for i in range(PH_BANDS)]
-             for _, r in out.iterrows()}
-    assert by_id[1] == [0] * PH_BANDS          # increasing: never >
-    assert by_id[2] == [255] * PH_BANDS        # decreasing: always >
-    assert by_id[3] == [0] * PH_BANDS          # ties are not >
+    by_id = {int(r.asset_id): int(r.sig) for _, r in out.iterrows()}
+    assert by_id[1] == 0           # increasing: never >
+    assert by_id[2] == -1          # decreasing: all 64 bits set
+    assert by_id[3] == 0           # ties are not >
     # undecodable payloads are dropped, not erroring
     out2 = list(_phash_batch(iter([pd.DataFrame({
         "asset_id": [9], "payload": [b"not an image"]})])))[0]
     assert len(out2) == 0
+
+
+def test_image_phash_clusters_are_planted_groups(spark, sf_dir):
+    """Connected components over the phash pair graph recover exactly
+    the planted variant groups: every asset's cluster_id is the min
+    id of its group of PH_GROUP (full groups), checked against the
+    recursive-closure oracle as well."""
+    from mit_mapreduce_spark.operators.multimodal import PH_GROUP
+
+    df = operators.QUERIES["dedup_image_clusters"](spark, sf_dir)
+    rows = {r.asset_id: r.cluster_id for r in df.collect()}
+    assert rows
+    n = max(rows) + 1
+    for aid, cid in rows.items():
+        group_min = aid - aid % PH_GROUP
+        if group_min + PH_GROUP <= n:  # full group -> one component
+            assert cid == group_min, (aid, cid)
+    ok, msg = compare(df, operators.ORACLES["dedup_image_clusters"],
+                      sf_dir)
+    assert ok, msg
 
 
 # --- hash-gated pixel-kernel strata ------------------------------------------
