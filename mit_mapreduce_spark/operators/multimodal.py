@@ -255,7 +255,15 @@ def image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     transit the driver. Dimensions vary per doc (w 36–60, h 20–50,
     both above TARGET_EDGE so resize genuinely shrinks, mixed
     landscape/portrait)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _image_assets_from(load_table(spark, sf_dir, "documents"))
+
+
+def _image_assets_from(docs: DataFrame) -> DataFrame:
+    """image_assets body over an arbitrary documents frame — batch
+    (load_table) or a documents file-stream (stream_multimodal_
+    quarantine): every stage is stateless (JVM expressions + the
+    Arrow encode kernel), so the identical plan runs under Structured
+    Streaming; fan_out no-ops on non-file plans."""
     w = (F.lit(36) + (F.col("doc_id") % 13) * 2).cast("int")
     h = (F.lit(20) + (F.col("doc_id") % 11) * 3).cast("int")
     # ceil(need/32) sha256 digests -> >= need bytes, sliced to need
@@ -417,7 +425,12 @@ def audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     container-wrapped in an Arrow-batched kernel so payloads never
     transit the driver. The audio twin of image_assets, completing
     the image/audio/video multimodal column story."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _audio_assets_from(load_table(spark, sf_dir, "documents"))
+
+
+def _audio_assets_from(docs: DataFrame) -> DataFrame:
+    """audio_assets body over an arbitrary documents frame (batch or
+    stream — all stages stateless, see _image_assets_from)."""
     rate = F.element_at(F.array(*[F.lit(r) for r in _AUDIO_RATES]),
                         (F.col("doc_id") % 4 + 1).cast("int"))
     ch = (F.lit(1) + F.col("doc_id") % 2).cast("int")
@@ -675,7 +688,12 @@ def video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of image_assets/audio_assets, real container + real frames,
     deterministic on every box, payloads never transiting the
     driver."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _video_assets_from(load_table(spark, sf_dir, "documents"))
+
+
+def _video_assets_from(docs: DataFrame) -> DataFrame:
+    """video_assets body over an arbitrary documents frame (batch or
+    stream — all stages stateless, see _image_assets_from)."""
     w = (F.lit(8) + (F.col("doc_id") % 3) * 4).cast("int")
     h = (F.lit(6) + (F.col("doc_id") % 2) * 2).cast("int")
     nf = (F.lit(3) + F.col("doc_id") % 4).cast("int")

@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 # Imported for their oracle registrations (reused verbatim below so a
 # fix to a batch oracle automatically fixes its streaming twin).
+# NOTE: every module whose ORACLES entry is referenced at import time
+# must be imported HERE, not just via operators.load_all() — Python
+# WORKERS re-import this module standalone when unpickling the
+# stateful steppers, and a missing registration is a worker-side
+# KeyError that kills streaming tasks (r9 find with multimodal).
 from mit_mapreduce_spark.operators import events as _events_batch  # noqa: F401
+from mit_mapreduce_spark.operators import multimodal as _multimodal_batch  # noqa: F401
 from mit_mapreduce_spark.operators import sketches as _sketches_batch  # noqa: F401
 from mit_mapreduce_spark.operators.events import SESSION_GAP_US
 from mit_mapreduce_spark.operators.registry import ORACLES, query
@@ -629,3 +635,54 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_transitions").cast("double")
          / F.sum("n_transitions").over(tot).cast("double")).alias("p_next"),
     )
+
+
+@query("stream_multimodal_quarantine",
+       oracle=ORACLES["multimodal_quarantine_report"])
+def stream_multimodal_quarantine(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingest-resilience audit (r9): the
+    documents manifest arrives as a file stream, each micro-batch
+    builds the image/audio/video payloads (stateless JVM expressions +
+    Arrow encode kernels — the identical stages the batch
+    `multimodal_quarantine_report` runs), deterministically corrupts
+    every Nth asset, probes all three real header parsers, and a
+    complete-mode count aggregation drains the per-modality
+    parsed/quarantined tallies. This is the shape of a production
+    media-ingest pipeline: a continuous manifest stream, per-batch
+    decode health, corrupt assets quarantined (never killing the
+    stream) and surfaced as metrics.
+
+    Oracle = the batch twin's SQL verbatim (the r8 streaming-drain
+    argument: one availableNow micro-batch, epoch watermark-free
+    count aggregation in complete mode is order-insensitive, so the
+    drain equals the batch aggregate exactly). 100 TB posture: all
+    pre-aggregation stages are stateless per-batch work (payloads
+    never cross micro-batch state); the only streaming state is the
+    3-row modality count table."""
+    from mit_mapreduce_spark.operators.multimodal import (
+        _QUAR_SCHEMA, _audio_assets_from, _corrupt, _image_assets_from,
+        _quarantine_probe_batch, _video_assets_from,
+    )
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    docs = docs_stream(spark, sf_dir)
+    probes = []
+    for modality, assets in (("image", _image_assets_from(docs)),
+                             ("audio", _audio_assets_from(docs)),
+                             ("video", _video_assets_from(docs))):
+        probes.append(
+            _corrupt(assets.select("asset_id", "payload"))
+            .withColumn("modality", F.lit(modality))
+            .select("modality", "asset_id", "payload")
+            .mapInPandas(_quarantine_probe_batch, _QUAR_SCHEMA))
+    union = probes[0].unionByName(probes[1]).unionByName(probes[2])
+    agg = (
+        union.groupBy("modality")
+        .agg(F.count("*").cast("bigint").alias("n_assets"),
+             F.sum("parsed").cast("bigint").alias("n_parsed"),
+             (F.count("*") - F.sum("parsed")).cast("bigint")
+             .alias("n_quarantined"))
+    )
+    return spark.table(run_stream_to_table(agg, "complete"))

@@ -159,6 +159,21 @@ def test_multimodal_resize_strata(spark, sf_dir):
         assert r.nd_checksums > 0
 
 
+# --- streaming multimodal ingest audit ---------------------------------------
+
+def test_stream_multimodal_quarantine_equals_batch(spark, sf_dir):
+    """The availableNow drain of the streaming ingest audit equals the
+    batch quarantine report row-for-row (the r8 drain-determinism
+    argument: one micro-batch, complete-mode count aggregation), so
+    the shared oracle is valid for both."""
+    batch = sorted(tuple(r) for r in operators.QUERIES[
+        "multimodal_quarantine_report"](spark, sf_dir).collect())
+    drained = sorted(tuple(r) for r in operators.QUERIES[
+        "stream_multimodal_quarantine"](spark, sf_dir).collect())
+    assert drained == batch
+    assert len(drained) == 3  # image / audio / video
+
+
 # --- deterministic hash sampler twins ----------------------------------------
 
 def test_hash_samplers_layout_independent(spark, sf_dir):
