@@ -132,9 +132,11 @@ def test_streaming_drains_reuse_batch_twin_oracles():
             == ORACLES["decayed_engagement"])
     assert (ORACLES["stream_event_transitions"]
             == ORACLES["event_transitions"])
-    # and all ten deterministic drains are oracle-bearing (r8 session 2
-    # adds the sequence-stepper twin); only the order-dependent sketch
-    # stays rows-only
+    assert (ORACLES["stream_multimodal_quarantine"]
+            == ORACLES["multimodal_quarantine_report"])
+    # and all eleven deterministic drains are oracle-bearing (r8
+    # session 2 added the sequence-stepper twin, r9 the multimodal
+    # ingest audit); only the order-dependent sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 10
+    assert len(streaming) == 11
     assert "stream_heavy_hitters" not in ORACLES
