@@ -196,6 +196,16 @@ def _encode_assets_batch(
                 pdf["asset_id"], pdf["_w"], pdf["_h"], pdf["lang"],
                 pdf["pix"]):
             w, h = int(w), int(h)
+            # NULL text -> NULL pixel chain: emit an EMPTY payload so
+            # the downstream parsers quarantine the asset — a corrupt
+            # manifest row must never kill the encode task (r9; the
+            # oracles route text IS NULL to the quarantine strata).
+            if pix is None or len(pix) == 0:
+                out["asset_id"].append(asset_id)
+                out["fmt"].append("corrupt")
+                out["lang"].append(lang)
+                out["payload"].append(b"")
+                continue
             rgb = bytes(pix)
             fmt = asset_format(asset_id)
             if fmt == "jpeg":
@@ -354,12 +364,15 @@ def _image_meta_batch(
     "multimodal_image_meta",
     oracle="""
     SELECT doc_id AS asset_id,
-           CASE WHEN doc_id % 4 = 3 THEN 'jpeg'
+           CASE WHEN text IS NULL THEN 'unknown'
+                WHEN doc_id % 4 = 3 THEN 'jpeg'
                 WHEN doc_id % 3 = 0 THEN 'ppm'
                 WHEN doc_id % 3 = 1 THEN 'bmp'
                 ELSE 'png' END AS fmt,
-           CAST(36 + (doc_id % 13) * 2 AS INT) AS width,
-           CAST(20 + (doc_id % 11) * 3 AS INT) AS height
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 36 + (doc_id % 13) * 2 END AS INT) AS width,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 20 + (doc_id % 11) * 3 END AS INT) AS height
     FROM documents
     """,
 )
@@ -408,7 +421,10 @@ def _encode_audio_batch(
 
     for pdf in batches:
         payloads = [
-            encode_wav(int(rate), int(ch), bytes(pcm))
+            # NULL text -> NULL chain: empty payload, downstream
+            # parsers quarantine (never kill the task — r9)
+            (encode_wav(int(rate), int(ch), bytes(pcm))
+             if pcm is not None and len(pcm) else b"")
             for rate, ch, pcm in zip(pdf["_rate"], pdf["_ch"], pdf["pcm"])
         ]
         yield pd.DataFrame({"asset_id": pdf["asset_id"],
@@ -491,14 +507,20 @@ def _audio_meta_batch(
     "multimodal_audio_meta",
     oracle=f"""
     SELECT doc_id AS asset_id,
-           CAST([{", ".join(map(str, _AUDIO_RATES))}][
-                CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS sample_rate,
-           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
-           CAST(16 AS BIGINT) AS bits,
-           CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n_frames,
-           CAST((400 + (doc_id % 7) * 100) * 1000
+           CAST(CASE WHEN text IS NULL THEN -1 ELSE
+                [{", ".join(map(str, _AUDIO_RATES))}][
+                CAST(doc_id % 4 AS INT) + 1] END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
+           CAST(CASE WHEN text IS NULL THEN -1 ELSE 16 END AS BIGINT)
+             AS bits,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 400 + (doc_id % 7) * 100 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN text IS NULL THEN -1 ELSE
+                (400 + (doc_id % 7) * 100) * 1000
                 // [{", ".join(map(str, _AUDIO_RATES))}][
-                     CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS duration_ms
+                     CAST(doc_id % 4 AS INT) + 1] END AS BIGINT)
+             AS duration_ms
     FROM documents
     """,
 )
@@ -518,8 +540,11 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "asset_id", "sample_rate", "channels", "bits", "n_frames",
-        F.expr("n_frames * 1000 div sample_rate").cast("bigint")
-        .alias("duration_ms"))
+        # quarantined rows carry -1 sentinels; duration follows them
+        # instead of computing (-1000 div -1) from the sentinels
+        F.when(F.col("sample_rate") > 0,
+               F.expr("n_frames * 1000 div sample_rate"))
+        .otherwise(F.lit(-1)).cast("bigint").alias("duration_ms"))
 
 
 _AUDIO_FEAT_SCHEMA = T.StructType([
@@ -589,7 +614,7 @@ def _sql_audio_features() -> str:
       SELECT doc_id, text,
              CAST(1 + doc_id % 2 AS BIGINT) AS channels,
              CAST(400 + (doc_id % 7) * 100 AS BIGINT) AS n_frames
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     hx AS (
       SELECT doc_id, channels, n_frames,
              n_frames * channels AS n_samples,
@@ -625,6 +650,11 @@ def _sql_audio_features() -> str:
            CAST(COALESCE(z.zero_crossings, 0) AS BIGINT)
              AS zero_crossings, f.peak
     FROM feat f LEFT JOIN zc z ON z.doc_id = f.doc_id
+    UNION ALL
+    SELECT doc_id AS asset_id, CAST(-1 AS BIGINT) AS n_frames,
+           CAST(-1 AS BIGINT) AS sum_sq,
+           CAST(-1 AS BIGINT) AS zero_crossings, CAST(-1 AS BIGINT) AS peak
+    FROM documents WHERE text IS NULL
     """
 
 
@@ -671,6 +701,9 @@ def _encode_video_batch(
         payloads = []
         for w, h, nf, fps, yuv in zip(pdf["_w"], pdf["_h"], pdf["_nf"],
                                       pdf["_fps"], pdf["yuv"]):
+            if yuv is None or len(yuv) == 0:  # NULL text: quarantine (r9)
+                payloads.append(b"")
+                continue
             w, h, nf = int(w), int(h), int(nf)
             data = bytes(yuv)
             fsz = 3 * w * h
@@ -753,12 +786,17 @@ def _video_meta_batch(
     "multimodal_video_meta",
     oracle="""
     SELECT doc_id AS asset_id,
-           CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS width,
-           CAST(6 + (doc_id % 2) * 2 AS BIGINT) AS height,
-           CAST(24 + doc_id % 2 AS BIGINT) AS fps_num,
-           CAST(3 + doc_id % 4 AS BIGINT) AS n_frames,
-           CAST((3 + doc_id % 4) * 1000 // (24 + doc_id % 2) AS BIGINT)
-             AS duration_ms
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 8 + (doc_id % 3) * 4 END AS BIGINT) AS width,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 6 + (doc_id % 2) * 2 END AS BIGINT) AS height,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 24 + doc_id % 2 END AS BIGINT) AS fps_num,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE 3 + doc_id % 4 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN text IS NULL THEN -1
+                ELSE (3 + doc_id % 4) * 1000 // (24 + doc_id % 2) END
+                AS BIGINT) AS duration_ms
     FROM documents
     """,
 )
@@ -776,8 +814,10 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "asset_id", "width", "height", "fps_num", "n_frames",
-        F.expr("n_frames * 1000 div fps_num").cast("bigint")
-        .alias("duration_ms"))
+        # -1 sentinel rows keep -1 duration (see multimodal_audio_meta)
+        F.when(F.col("fps_num") > 0,
+               F.expr("n_frames * 1000 div fps_num"))
+        .otherwise(F.lit(-1)).cast("bigint").alias("duration_ms"))
 
 
 _VIDEO_FRAME_SCHEMA = T.StructType([
@@ -845,7 +885,7 @@ def _sql_video_frames() -> str:
              CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS w,
              CAST(6 + (doc_id % 2) * 2 AS BIGINT) AS h,
              CAST(3 + doc_id % 4 AS BIGINT) AS nf
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     hx AS (
       SELECT doc_id, w, h, nf,
              substr(array_to_string(list_transform(
@@ -866,6 +906,10 @@ def _sql_video_frames() -> str:
                   generate_series(0, CAST(w * h - 1 AS INT)),
                   j -> {byte_at})) AS BIGINT) AS y_sum
     FROM fr, LATERAL (SELECT frame_idx * 3 * w * h * 2 AS off) o
+    UNION ALL
+    SELECT doc_id AS asset_id, CAST(-1 AS BIGINT) AS frame_idx,
+           'quarantine' AS frame_digest, CAST(-1 AS BIGINT) AS y_sum
+    FROM documents WHERE text IS NULL
     """
 
 
@@ -943,9 +987,9 @@ def _quarantine_probe_batch(
     oracle=f"""
     SELECT m.modality,
            CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+           CAST(SUM(CASE WHEN doc_id % {_CORRUPT_MOD} = 0 OR text IS NULL
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_parsed,
-           CAST(SUM(CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+           CAST(SUM(CASE WHEN doc_id % {_CORRUPT_MOD} = 0 OR text IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
     FROM documents
     CROSS JOIN (SELECT unnest(['audio', 'image', 'video']) AS modality) m
@@ -1125,7 +1169,8 @@ def _sql_image_chain_ctes() -> str:
       SELECT doc_id, lang, text,
              CAST(36 + (doc_id % 13) * 2 AS BIGINT) AS w,
              CAST(20 + (doc_id % 11) * 3 AS BIGINT) AS h
-      FROM documents WHERE doc_id % 4 <> 3),
+      FROM documents
+      WHERE doc_id % 4 <> 3 AND text IS NOT NULL),
     hx AS (
       SELECT doc_id, lang, w, h,
              substr(array_to_string(list_transform(
@@ -1182,7 +1227,7 @@ def _sql_image_decode() -> str:
     UNION ALL
     SELECT lang, FALSE AS decoded,
            CAST(COUNT(*) AS BIGINT) AS n_assets, {zero_sums}
-    FROM documents WHERE doc_id % 4 = 3 GROUP BY lang
+    FROM documents WHERE doc_id % 4 = 3 OR text IS NULL GROUP BY lang
     """
 
 
@@ -1361,7 +1406,7 @@ def _sql_image_resize() -> str:
            CAST(NULL AS INT) AS max_new_h,
            CAST(0 AS BIGINT) AS sum_resized_bytes,
            CAST(0 AS BIGINT) AS nd_checksums
-    FROM documents WHERE doc_id % 4 = 3 GROUP BY 1
+    FROM documents WHERE doc_id % 4 = 3 OR text IS NULL GROUP BY 1
     """
 
 
@@ -1425,7 +1470,10 @@ def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         out = {"asset_id": [], "frame_idx": [], "frame_bytes": [],
                "frame_checksum": []}
         for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-            data = bytes(payload)
+            # NULL text -> NULL payload: an empty manifest row chunks
+            # like an empty payload (4 x b"\x00"), never a crash; the
+            # oracle mirrors via encode(coalesce(text, ''))
+            data = bytes(payload) if payload is not None else b""
             step = max(1, len(data) // FRAMES_PER_ASSET)
             for i in range(FRAMES_PER_ASSET):
                 chunk = data[i * step:(i + 1) * step] or b"\x00"
@@ -1445,8 +1493,9 @@ def _sql_framesample() -> str:
     n = FRAMES_PER_ASSET
     return f"""
     WITH d AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             CAST(octet_length(encode(text)) AS BIGINT) AS len_b
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+             CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+               AS len_b
       FROM documents),
     f AS (
       SELECT doc_id, hx, len_b, greatest(1, len_b // {n}) AS step,
@@ -1779,4 +1828,51 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(labels, docs.asset_id == labels.vertex, "left")
         .select("asset_id",
                 F.coalesce("cluster_id", "asset_id").alias("cluster_id"))
+    )
+
+
+@query(
+    "dedup_image_keep_report",
+    oracle=f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_removed,
+           CAST(CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0
+                         END) AS DOUBLE) / COUNT(*) AS DOUBLE) AS kept_frac
+    FROM documents d
+    JOIN ({{cc}}) c ON c.asset_id = d.doc_id
+    GROUP BY d.lang
+    """.format(cc=_sql_image_cc()),
+)
+def dedup_image_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup DECISION made material (the dedup_keep_report
+    shape for the multimodal pillar): keep the canonical (min-id)
+    asset of every perceptual-hash cluster, drop the rest, and report
+    per language what survives — the sign-off number before a
+    multimodal training run ("image near-dup removes X% of language
+    Y's assets").
+
+    Composes dedup_image_clusters (CC over the banded phash graph)
+    with one join back to the manifest and a per-language rollup; the
+    cluster table is (asset_id, cluster_id) longs, tiny next to the
+    payloads it describes, and the keep predicate cluster_id =
+    asset_id needs no second decode of anything. One extra shuffle
+    over dedup_image_clusters at any scale."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("asset_id"), "lang")
+    clusters = dedup_image_clusters(spark, sf_dir)
+    kept = F.col("cluster_id") == F.col("asset_id")
+    per = docs.join(clusters, "asset_id")
+    return (
+        per.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_assets"),
+             F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+             F.sum((~kept).cast("long")).cast("bigint").alias("n_removed"))
+        .select("lang", "n_assets", "n_kept", "n_removed",
+                (F.col("n_kept").cast("double")
+                 / F.col("n_assets").cast("double"))
+                .cast("double").alias("kept_frac"))
     )

@@ -174,6 +174,53 @@ def test_stream_multimodal_quarantine_equals_batch(spark, sf_dir):
     assert len(drained) == 3  # image / audio / video
 
 
+# --- NULL-text manifest rows: quarantine, never a crash -----------------------
+
+def test_null_text_manifest_rows_quarantine_everywhere(spark):
+    """A NULL text in the documents manifest must quarantine across
+    the ENTIRE multimodal registry instead of killing the encode
+    kernels (bytes(None) crashed every Arrow encode task before r9),
+    and the oracles route text IS NULL to the same quarantine strata
+    so every query stays hash-green on the corrupt manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 24
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            # doc 5 (non-JPEG leg) and doc 7 (JPEG leg) lose their text
+            "text": pa.array([None if i in (5, 7) else f"doc text {i}"
+                              for i in range(n)], pa.string()),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(n)],
+                             pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([11] * n, pa.int64()),
+        }), os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for name in ("multimodal_meta", "multimodal_image_meta",
+                     "multimodal_audio_meta", "multimodal_audio_features",
+                     "multimodal_video_meta", "multimodal_video_frames",
+                     "multimodal_decode", "multimodal_resize",
+                     "multimodal_framesample",
+                     "multimodal_quarantine_report",
+                     "stream_multimodal_quarantine",
+                     "dedup_image_phash", "dedup_image_clusters",
+                     "dedup_image_keep_report"):
+            df = operators.QUERIES[name](spark, td)
+            ok, msg = compare(df, operators.ORACLES[name], td)
+            assert ok, f"{name}: {msg}"
+        # and the quarantine report attributes the NULL rows correctly
+        rep = {r.modality: (r.n_parsed, r.n_quarantined)
+               for r in operators.QUERIES["multimodal_quarantine_report"](
+                   spark, td).collect()}
+        # doc 0 is the %29 corruption victim; docs 5 and 7 are NULL
+        assert all(v == (n - 3, 3) for v in rep.values()), rep
+
+
 # --- deterministic hash sampler twins ----------------------------------------
 
 def test_hash_samplers_layout_independent(spark, sf_dir):
