@@ -810,3 +810,53 @@ def test_quantile_bins_negative_values(spark, tmp_path):
     df = operators.QUERIES["sketch_quantile_bins"](spark, td)
     ok, msg = compare(df, operators.ORACLES["sketch_quantile_bins"], td)
     assert ok, msg
+
+
+def test_differential_fuzz_r9_multimodal_and_samplers(spark, tmp_path):
+    """r9 fuzz class: corpora with NULL texts, empty texts, NULL
+    langs, unicode, and tiny doc counts (partial phash groups) through
+    the pixel kernels, the image dedup tier, and the hash sampler
+    twins — every op must stay hash-green against its oracle on every
+    corpus (the NULL-text rows quarantine; the samplers treat NULL
+    lang as rate 0; partial variant groups pair among themselves)."""
+    import random
+
+    rng = random.Random(99)
+    ops = ["multimodal_image_meta", "multimodal_decode",
+           "multimodal_resize", "multimodal_framesample",
+           "multimodal_quarantine_report", "dedup_image_phash",
+           "dedup_image_clusters", "dedup_image_keep_report",
+           "sample_corpus_hash", "sample_mix_recipe_hash"]
+    for trial in range(3):
+        td = str(tmp_path / f"r9t{trial}")
+        os.makedirs(td)
+        rows = []
+        for i in range(rng.randint(2, 10)):
+            kind = rng.random()
+            if kind < 0.2:
+                text = None
+            elif kind < 0.3:
+                text = ""
+            else:
+                text = " ".join(rng.choice(_ALPH)
+                                for _ in range(rng.randint(1, 40)))
+            rows.append((i, text,
+                         rng.choice(["s1", "s2"]),
+                         rng.choice(["en", "de", None])))
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows],
+                                pa.int64()),
+        })
+        pq.write_table(tab, os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"
