@@ -54,6 +54,22 @@ def _staged_splits(spark, sf_dir: str) -> str:
     return stage
 
 
+def _staged_doc_splits(spark, sf_dir: str) -> str:
+    """documents.parquet re-staged as N_SPLITS files (one per trigger)
+    — the manifest stream for the multimodal ingest leg (r9)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(_SCRATCH, f"streambench_docs_{tag}")
+    marker = os.path.join(stage, "_STAGED")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if (not os.path.exists(marker)
+            or os.path.getmtime(marker) < os.path.getmtime(src)):
+        shutil.rmtree(stage, ignore_errors=True)
+        (spark.read.parquet(src).repartition(N_SPLITS)
+         .write.mode("overwrite").parquet(stage))
+        open(marker, "w").close()
+    return stage
+
+
 def _drive(stream_df, mode: str, name: str) -> dict:
     """availableNow drain with per-file triggers; returns the figures."""
     spark = stream_df.sparkSession
@@ -135,6 +151,42 @@ def main(sf_dir: str) -> dict:
     )
     results["decayed_counters"] = _drive(dec, "complete",
                                          "sb_decayed_counters")
+
+    # multimodal ingest audit (r9): the documents manifest staged as
+    # per-trigger splits, each micro-batch building all THREE
+    # modalities' payloads (JVM chains + Arrow encode kernels),
+    # corrupting every Nth asset, and probing the real parsers —
+    # numInputRows counts each doc once per modality source, i.e.
+    # ASSETS built, so rows_per_sec is assets/sec through the full
+    # encode -> corrupt -> parse pipeline.
+    from mit_mapreduce_spark.operators.multimodal import (
+        _QUAR_SCHEMA, _audio_assets_from, _corrupt, _image_assets_from,
+        _quarantine_probe_batch, _video_assets_from,
+    )
+
+    dstage = _staged_doc_splits(spark, sf_dir)
+    dschema = spark.read.parquet(dstage).schema
+
+    def doc_source():
+        return (spark.readStream.schema(dschema)
+                .option("maxFilesPerTrigger", 1).parquet(dstage))
+
+    probes = []
+    for modality, build in (("image", _image_assets_from),
+                            ("audio", _audio_assets_from),
+                            ("video", _video_assets_from)):
+        probes.append(
+            _corrupt(build(doc_source()).select("asset_id", "payload"))
+            .withColumn("modality", F.lit(modality))
+            .select("modality", "asset_id", "payload")
+            .mapInPandas(_quarantine_probe_batch, _QUAR_SCHEMA))
+    mm = (
+        probes[0].unionByName(probes[1]).unionByName(probes[2])
+        .groupBy("modality")
+        .agg(F.count("*").cast("bigint").alias("n_assets"),
+             F.sum("parsed").cast("bigint").alias("n_parsed"))
+    )
+    results["multimodal_ingest"] = _drive(mm, "complete", "sb_mm_ingest")
 
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
