@@ -1011,18 +1011,35 @@ def multimodal_quarantine_report(spark: SparkSession,
     unit test; the per-asset probes ride the same single-fan-out,
     payloads-never-shuffle plan as the meta queries (the three
     modality scans union before one tiny aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quarantine_report_agg(quarantine_probes(docs))
+
+
+def quarantine_probes(docs: DataFrame) -> DataFrame:
+    """(modality, asset_id, parsed) probe rows over all THREE
+    modalities built from a documents frame (batch scan or a
+    documents file-stream — every stage is stateless), with the
+    deterministic 1-in-{_CORRUPT_MOD} corruption applied. The ONE
+    pipeline behind multimodal_quarantine_report, its streaming twin,
+    and the streambench ingest leg (r9 review: three hand-synced
+    copies reaching into private helpers)."""
     probes = []
-    for modality, assets in (("image", image_assets(spark, sf_dir)),
-                             ("audio", audio_assets(spark, sf_dir)),
-                             ("video", video_assets(spark, sf_dir))):
+    for modality, build in (("image", _image_assets_from),
+                            ("audio", _audio_assets_from),
+                            ("video", _video_assets_from)):
         probes.append(
-            _corrupt(assets.select("asset_id", "payload"))
+            _corrupt(build(docs).select("asset_id", "payload"))
             .withColumn("modality", F.lit(modality))
             .select("modality", "asset_id", "payload")
             .mapInPandas(_quarantine_probe_batch, _QUAR_SCHEMA))
-    union = probes[0].unionByName(probes[1]).unionByName(probes[2])
+    return probes[0].unionByName(probes[1]).unionByName(probes[2])
+
+
+def quarantine_report_agg(probes: DataFrame) -> DataFrame:
+    """Per-modality parsed/quarantined tallies over probe rows — the
+    shared aggregation of the batch report and the streaming drain."""
     return (
-        union.groupBy("modality")
+        probes.groupBy("modality")
         .agg(F.count("*").cast("bigint").alias("n_assets"),
              F.sum("parsed").cast("bigint").alias("n_parsed"),
              (F.count("*") - F.sum("parsed")).cast("bigint")
@@ -1286,13 +1303,21 @@ def _resize_one(data: bytes) -> tuple[bool, int, int, int, int, bytes]:
     semantics — never upscales), raw interleaved pixel bytes out. The
     aspect fit is INTEGER arithmetic (edge * TARGET_EDGE // long_edge,
     r9): a float `int(w * ratio)` can disagree with the SQL oracle's
-    integer division in the last ulp near exact multiples. Second
-    chance (decoded=True): PIL's real thumbnail for formats the stdlib
-    codec can't parse. Fallback stand-in (decoded=False): dimensions
-    derived deterministically from md5 (w = 64 + md5[0],
-    h = 64 + md5[1]) and a byte subsample at the same shrink ratio —
-    same schema, same aspect-fit arithmetic; payload-derived, so the
-    gated rollup counts these rows without reading their values."""
+    integer division in the last ulp near exact multiples.
+
+    Deliberately STDLIB-ONLY, like the gated decode kernel
+    (_decode_bands_batch): this kernel feeds the hash-gated
+    multimodal_resize strata, and a PIL second chance here would flip
+    env-dependent rows into the decoded=true stratum with
+    libjpeg-version-dependent bytes (the ADVICE r7 #4 ban; caught by
+    the r9 review). The PIL seam lives only in the non-gated float
+    feature API (_decode_one).
+
+    Fallback stand-in (decoded=False): dimensions derived
+    deterministically from md5 (w = 64 + md5[0], h = 64 + md5[1]) and
+    a byte subsample at the same shrink ratio — same schema, same
+    aspect-fit arithmetic; payload-derived, so the gated rollup counts
+    these rows without reading their values."""
     dec = decode_image(data)
     if dec is not None:
         w, h, nch, pix = dec
@@ -1311,13 +1336,6 @@ def _resize_one(data: bytes) -> tuple[bool, int, int, int, int, bytes]:
         ys = np.minimum(h - 1, np.arange(nh) * h // nh)
         xs = np.minimum(w - 1, np.arange(nw) * w // nw)
         return True, w, h, nw, nh, arr[np.ix_(ys, xs)].tobytes()
-    img = _try_pil_open(data)
-    if img is not None:
-        w, h = img.size
-        copy = img.convert("RGB")
-        copy.thumbnail((TARGET_EDGE, TARGET_EDGE))
-        nw, nh = copy.size
-        return True, w, h, nw, nh, copy.tobytes()
     digest = hashlib.md5(data).digest()
     w, h = 64 + digest[0], 64 + digest[1]
     mx = max(w, h)
@@ -1331,8 +1349,8 @@ def _resize_one(data: bytes) -> tuple[bool, int, int, int, int, bytes]:
 
 def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched resize kernel; per-asset kernel selection via
-    _resize_one (real PIL thumbnail when available, documented
-    deterministic stand-in otherwise)."""
+    _resize_one (stdlib-only decode — see its gating note — with the
+    documented deterministic stand-in for everything else)."""
     for pdf in batches:
         out = {k: [] for k in ("asset_id", "decoded", "orig_w", "orig_h",
                                "new_w", "new_h", "resized",

@@ -659,30 +659,16 @@ def stream_multimodal_quarantine(spark: SparkSession,
     drain equals the batch aggregate exactly). 100 TB posture: all
     pre-aggregation stages are stateless per-batch work (payloads
     never cross micro-batch state); the only streaming state is the
-    3-row modality count table."""
+    3-row modality count table. The probe pipeline and the tally
+    aggregation are the batch op's own builders (quarantine_probes /
+    quarantine_report_agg) applied to the manifest stream — one
+    definition, two execution modes."""
     from mit_mapreduce_spark.operators.multimodal import (
-        _QUAR_SCHEMA, _audio_assets_from, _corrupt, _image_assets_from,
-        _quarantine_probe_batch, _video_assets_from,
+        quarantine_probes, quarantine_report_agg,
     )
     from mit_mapreduce_spark.streaming import docs_stream
 
     tune(spark)
-    docs = docs_stream(spark, sf_dir)
-    probes = []
-    for modality, assets in (("image", _image_assets_from(docs)),
-                             ("audio", _audio_assets_from(docs)),
-                             ("video", _video_assets_from(docs))):
-        probes.append(
-            _corrupt(assets.select("asset_id", "payload"))
-            .withColumn("modality", F.lit(modality))
-            .select("modality", "asset_id", "payload")
-            .mapInPandas(_quarantine_probe_batch, _QUAR_SCHEMA))
-    union = probes[0].unionByName(probes[1]).unionByName(probes[2])
-    agg = (
-        union.groupBy("modality")
-        .agg(F.count("*").cast("bigint").alias("n_assets"),
-             F.sum("parsed").cast("bigint").alias("n_parsed"),
-             (F.count("*") - F.sum("parsed")).cast("bigint")
-             .alias("n_quarantined"))
-    )
+    agg = quarantine_report_agg(
+        quarantine_probes(docs_stream(spark, sf_dir)))
     return spark.table(run_stream_to_table(agg, "complete"))

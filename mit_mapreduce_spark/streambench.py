@@ -39,28 +39,13 @@ N_SPLITS = 12
 SESSION_GAP = "4 hours"
 
 
-def _staged_splits(spark, sf_dir: str) -> str:
-    """events.parquet re-staged as N_SPLITS files (one per trigger)."""
+def _staged_table_splits(spark, sf_dir: str, table: str) -> str:
+    """<table>.parquet re-staged as N_SPLITS files (one per trigger);
+    one staging helper for every leg (events; documents since r9)."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = os.path.join(_SCRATCH, f"streambench_events_{tag}")
+    stage = os.path.join(_SCRATCH, f"streambench_{table}_{tag}")
     marker = os.path.join(stage, "_STAGED")
-    src = os.path.join(sf_dir, "events.parquet")
-    if (not os.path.exists(marker)
-            or os.path.getmtime(marker) < os.path.getmtime(src)):
-        shutil.rmtree(stage, ignore_errors=True)
-        (spark.read.parquet(src).repartition(N_SPLITS)
-         .write.mode("overwrite").parquet(stage))
-        open(marker, "w").close()
-    return stage
-
-
-def _staged_doc_splits(spark, sf_dir: str) -> str:
-    """documents.parquet re-staged as N_SPLITS files (one per trigger)
-    — the manifest stream for the multimodal ingest leg (r9)."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = os.path.join(_SCRATCH, f"streambench_docs_{tag}")
-    marker = os.path.join(stage, "_STAGED")
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     if (not os.path.exists(marker)
             or os.path.getmtime(marker) < os.path.getmtime(src)):
         shutil.rmtree(stage, ignore_errors=True)
@@ -100,7 +85,7 @@ def main(sf_dir: str) -> dict:
     spark = get_spark("streambench")
     spark.sparkContext.setLogLevel("ERROR")
     tune(spark)
-    stage = _staged_splits(spark, sf_dir)
+    stage = _staged_table_splits(spark, sf_dir, "events")
     from mit_mapreduce_spark.catalog import _normalize_event_ts
 
     schema = spark.read.parquet(stage).schema
@@ -158,34 +143,17 @@ def main(sf_dir: str) -> dict:
     # corrupting every Nth asset, and probing the real parsers —
     # numInputRows counts each doc once per modality source, i.e.
     # ASSETS built, so rows_per_sec is assets/sec through the full
-    # encode -> corrupt -> parse pipeline.
+    # encode -> corrupt -> parse pipeline. The pipeline is the batch
+    # op's own shared builders, not a third copy.
     from mit_mapreduce_spark.operators.multimodal import (
-        _QUAR_SCHEMA, _audio_assets_from, _corrupt, _image_assets_from,
-        _quarantine_probe_batch, _video_assets_from,
+        quarantine_probes, quarantine_report_agg,
     )
 
-    dstage = _staged_doc_splits(spark, sf_dir)
+    dstage = _staged_table_splits(spark, sf_dir, "documents")
     dschema = spark.read.parquet(dstage).schema
-
-    def doc_source():
-        return (spark.readStream.schema(dschema)
-                .option("maxFilesPerTrigger", 1).parquet(dstage))
-
-    probes = []
-    for modality, build in (("image", _image_assets_from),
-                            ("audio", _audio_assets_from),
-                            ("video", _video_assets_from)):
-        probes.append(
-            _corrupt(build(doc_source()).select("asset_id", "payload"))
-            .withColumn("modality", F.lit(modality))
-            .select("modality", "asset_id", "payload")
-            .mapInPandas(_quarantine_probe_batch, _QUAR_SCHEMA))
-    mm = (
-        probes[0].unionByName(probes[1]).unionByName(probes[2])
-        .groupBy("modality")
-        .agg(F.count("*").cast("bigint").alias("n_assets"),
-             F.sum("parsed").cast("bigint").alias("n_parsed"))
-    )
+    doc_source = (spark.readStream.schema(dschema)
+                  .option("maxFilesPerTrigger", 1).parquet(dstage))
+    mm = quarantine_report_agg(quarantine_probes(doc_source))
     results["multimodal_ingest"] = _drive(mm, "complete", "sb_mm_ingest")
 
     for name, fig in results.items():

@@ -149,14 +149,6 @@ def test_codec_seam_stdlib_first_then_quarantine(spark):
 
 # --- pipeline tests over the fixture tables --------------------------------
 
-def _has_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
 def test_image_assets_are_valid_mixed_formats(spark, sf_dir):
     """Every built payload must carry the right container magic and
     mime across all FOUR formats (asset_format: PPM/BMP/PNG + the
@@ -313,11 +305,12 @@ def test_resize_bounds_and_determinism(spark, sf_dir):
         F.greatest("new_w", "new_h").alias("e")).agg(F.max("e")).collect()[0][0]
     assert longest == TARGET_EDGE
     # real decode: orig dims follow the image_assets formula, and the
-    # resized payload is raw RGB of the claimed size (jpeg assets only
-    # when PIL is around to decode them — otherwise they ride the
-    # documented md5 quarantine stand-in with synthetic dims)
-    sample = resized.where((F.col("asset_id") % 4 != 3)
-                           | F.lit(_has_pil())).limit(5).collect()
+    # resized payload is raw RGB of the claimed size. JPEG legs always
+    # ride the md5 quarantine stand-in — the gated resize kernel is
+    # stdlib-only BY DESIGN (a PIL second chance would make gated
+    # strata env-dependent; r9 review), so they're excluded on every
+    # box, PIL or not.
+    sample = resized.where(F.col("asset_id") % 4 != 3).limit(5).collect()
     for r in sample:
         assert r.orig_w == 36 + (r.asset_id % 13) * 2
         assert len(bytes(r.resized)) == r.new_w * r.new_h * 3

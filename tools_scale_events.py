@@ -18,17 +18,16 @@ against the DuckDB oracles at both corpora; walls best-of-2.
 Run: python tools_scale_events.py   (writes /tmp/scale_events.json)
 """
 
-import hashlib
 import json
 import os
 import shutil
-import time
 
 import duckdb
 
 from mit_mapreduce_spark import operators
 from mit_mapreduce_spark.session import get_spark
 from mit_mapreduce_spark.testing import compare
+from tools_scale_common import best2, keyed_stage_dir
 
 operators.load_all()
 
@@ -41,15 +40,8 @@ _SEL_DENSITY = ("SELECT event_id * 10 + {k} AS event_id,"
                 " user_id, event_type, value, props FROM {src}")
 
 
-def _keyed(base: str, select: str) -> str:
-    """Staged dirs are KEYED ON the generator SQL (ADVICE r8 #3): an
-    edited generator can never silently re-certify against a stale
-    /tmp corpus built by an older version of this script."""
-    return f"{base}_{hashlib.md5(select.encode()).hexdigest()[:8]}"
-
-
-TENU = _keyed("/tmp/scale10x_events_users", _SEL_USERS)
-TEND = _keyed("/tmp/scale10x_events_density", _SEL_DENSITY)
+TENU = keyed_stage_dir("/tmp/scale10x_events_users", _SEL_USERS)
+TEND = keyed_stage_dir("/tmp/scale10x_events_density", _SEL_DENSITY)
 OPS = ["event_transitions", "user_journey_paths",
        "stream_event_transitions"]
 
@@ -71,15 +63,6 @@ def _stage(dst: str, select: str) -> None:
 def build():
     _stage(TENU, _SEL_USERS)
     _stage(TEND, _SEL_DENSITY)
-
-
-def best2(fn):
-    ts = []
-    for _ in range(2):
-        t0 = time.time()
-        fn()
-        ts.append(round(time.time() - t0, 2))
-    return min(ts)
 
 
 def main():

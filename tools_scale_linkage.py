@@ -17,17 +17,16 @@ entity_resolution, and skyline_parts; walls are best-of-2.
 Run: python tools_scale_linkage.py   (writes /tmp/scale_linkage.json)
 """
 
-import hashlib
 import json
 import os
 import shutil
-import time
 
 import duckdb
 
 from mit_mapreduce_spark import operators
 from mit_mapreduce_spark.session import get_spark
 from mit_mapreduce_spark.testing import compare
+from tools_scale_common import best2, keyed_stage_dir
 
 operators.load_all()
 
@@ -44,15 +43,8 @@ _SEL_VOCAB = ("SELECT p_partkey * 10 + {k} AS p_partkey,"
               " p_brand, p_type, p_size, p_retailprice FROM {src}")
 
 
-def _keyed(base: str, select: str) -> str:
-    """Staged dirs are KEYED ON the generator SQL (ADVICE r8 #3): an
-    edited generator can never silently re-certify against a stale
-    /tmp corpus built by an older version of this script."""
-    return f"{base}_{hashlib.md5(select.encode()).hexdigest()[:8]}"
-
-
-TENR = _keyed("/tmp/scale10x_part_rows", _SEL_ROWS)
-TENV = _keyed("/tmp/scale10x_part_vocab", _SEL_VOCAB)
+TENR = keyed_stage_dir("/tmp/scale10x_part_rows", _SEL_ROWS)
+TENV = keyed_stage_dir("/tmp/scale10x_part_vocab", _SEL_VOCAB)
 OPS = ["fuzzy_blocked_match", "entity_resolution", "skyline_parts"]
 
 
@@ -73,15 +65,6 @@ def _stage(dst: str, select: str) -> None:
 def build():
     _stage(TENR, _SEL_ROWS)
     _stage(TENV, _SEL_VOCAB)
-
-
-def best2(fn):
-    ts = []
-    for _ in range(2):
-        t0 = time.time()
-        fn()
-        ts.append(round(time.time() - t0, 2))
-    return min(ts)
 
 
 def main():

@@ -15,25 +15,16 @@ Run: python tools_scale_phash.py   (writes /tmp/scale_phash.json)
 """
 
 import json
-import time
 
 from mit_mapreduce_spark import operators
 from mit_mapreduce_spark.session import get_spark
 from mit_mapreduce_spark.testing import compare
+from tools_scale_common import best2
 from tools_scale_retrieval import SRC, TENX, build_tenx
 
 operators.load_all()
 
 OP = "dedup_image_phash"
-
-
-def best2(fn):
-    ts = []
-    for _ in range(2):
-        t0 = time.time()
-        fn()
-        ts.append(round(time.time() - t0, 2))
-    return min(ts)
 
 
 def main():

@@ -12,17 +12,16 @@ duplication inflation), then
 Run: python tools_scale_retrieval.py   (writes /tmp/scale_retrieval.json)
 """
 
-import hashlib
 import json
 import os
 import shutil
-import time
 
 import duckdb
 
 from mit_mapreduce_spark import operators
 from mit_mapreduce_spark.session import get_spark
 from mit_mapreduce_spark.testing import compare
+from tools_scale_common import best2, keyed_stage_dir
 
 operators.load_all()
 
@@ -42,8 +41,7 @@ _TENX_COPY = ("SELECT doc_id * 10 + {k} AS doc_id,"
 # The staged dir is KEYED ON the generator SQL (ADVICE r8 #3): an
 # edited generator can never silently re-certify against a stale
 # /tmp corpus built by an older version of this script.
-TENX = "/tmp/scale10x_docs_" + hashlib.md5(
-    (_TENX_SQL + _TENX_COPY).encode()).hexdigest()[:8]
+TENX = keyed_stage_dir("/tmp/scale10x_docs", _TENX_SQL + _TENX_COPY)
 OPS = ["bm25_topk", "rag_chunk_retrieval", "hashed_knn_search",
        "hybrid_rrf_retrieval", "retrieval_pruning_recall"]
 
@@ -60,15 +58,6 @@ def build_tenx():
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"]:
         os.symlink(f"{SRC}/{t}.parquet", os.path.join(TENX, f"{t}.parquet"))
-
-
-def best2(fn):
-    ts = []
-    for _ in range(2):
-        t0 = time.time()
-        fn()
-        ts.append(round(time.time() - t0, 2))
-    return min(ts)
 
 
 def rag_candidates(spark, sf_dir, dim, prune=True):
