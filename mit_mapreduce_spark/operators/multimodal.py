@@ -1652,7 +1652,17 @@ def _phash_batch(
             if dec is None:
                 continue
             g = _luma_grid(dec)
-            bits = g[:, :-1] > g[:, 1:]
+            # the textbook dHash first step: integer nearest-neighbor
+            # downsample to the 9x8 grid (identity when the input IS
+            # 9x8, as the planted fixture's assets are — the oracle
+            # reconstructs those directly), so the kernel hashes
+            # images of ANY size (exercised over the mixed-format
+            # image_assets corpus in the false-positive control test)
+            ih, iw = g.shape
+            ys = np.minimum(ih - 1, np.arange(PH_GRID_H) * ih // PH_GRID_H)
+            xs = np.minimum(iw - 1, np.arange(PH_GRID_W) * iw // PH_GRID_W)
+            grid = g[np.ix_(ys, xs)]
+            bits = grid[:, :-1] > grid[:, 1:]
             sig = 0
             for r in range(PH_BANDS):
                 sig |= int((bits[r] * weights).sum()) << (8 * r)

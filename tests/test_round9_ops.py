@@ -65,6 +65,29 @@ def test_image_phash_planted_group_structure(spark, sf_dir):
     assert ok, msg
 
 
+def test_image_phash_false_positive_control(spark, sf_dir):
+    """Negative control on the REAL mixed-format corpus: image_assets'
+    pixel chains are independent per doc, so dHash signatures are
+    64-bit coins and NO pair may fall within the Hamming radius —
+    the false-positive rate of the radius on random content is ~1e-11
+    per pair. Also exercises the phash kernel over BMP and PNG
+    containers, not just the planted fixture's PPMs."""
+    from mit_mapreduce_spark.operators.multimodal import (
+        PH_HAM_MAX, _PHASH_SCHEMA, _phash_batch, image_assets,
+    )
+
+    sigs = [r.sig & ((1 << 64) - 1) for r in
+            image_assets(spark, sf_dir).select("asset_id", "payload")
+            .mapInPandas(_phash_batch, _PHASH_SCHEMA).collect()]
+    # JPEG legs quarantine (dropped); the rest decode across 3 formats
+    assert len(sigs) >= 300
+    sigs.sort()
+    hits = sum(
+        1 for i, a in enumerate(sigs) for b in sigs[i + 1:]
+        if bin(a ^ b).count("1") <= PH_HAM_MAX)
+    assert hits == 0
+
+
 def test_image_phash_plan_no_cartesian(spark, sf_dir):
     """Candidate generation must be the banded equi-join, never an
     all-pairs product (the dedup_simhash_pairs plan contract)."""
