@@ -207,13 +207,15 @@ def adjudicate_retime(readings: list[float],
     1. min(floor-reached): the box demonstrated the historical floor
        during THIS protocol (min within the floor-retime tolerance of
        +0.3 s / 1.25x) — the regression is load noise; keep the
-       minimum, not a median that enshrines a contaminated reading
-       (r8's multimodal_resize: readings {4.46, 14.75, 2.97, 1.42}
-       against floor 0.8 must adjudicate 1.42, not 2.97).
+       minimum, not a median that enshrines a contaminated reading.
     2. min(non-converged): the readings still disagree by > 2x after
        the convergence loop — a median of readings that disagree 2x+
        is not a measurement; the minimum is the only demonstrated
-       capability.
+       capability. (r8's multimodal_resize readings {4.46, 14.75,
+       2.97, 1.42} against floor 0.8 land HERE: 1.42 exceeds the
+       floor tolerance max(1.1, 1.0), but the 10x spread fires this
+       rule and adjudicates 1.42, not the 2.97 median — the case the
+       unit test pins.)
     3. median_low: converged and genuinely above floor — an OBSERVED
        reading (median of an even count is an unobserved mean —
        ADVICE r7 #1), trend-unbiased.

@@ -943,8 +943,8 @@ _CORRUPT_KEEP = 9     # corrupted payloads keep only their first 9 bytes
 
 
 def _corrupt(assets: DataFrame) -> DataFrame:
-    """Deterministically corrupt every {_CORRUPT_MOD}th payload by
-    truncating it to {_CORRUPT_KEEP} bytes — enough to keep (part of)
+    """Deterministically corrupt every 29th (_CORRUPT_MOD) payload by
+    truncating it to 9 bytes (_CORRUPT_KEEP) — enough to keep (part of)
     the magic, never enough to parse, for every container format."""
     return assets.select(
         "asset_id",
@@ -999,8 +999,8 @@ def _quarantine_probe_batch(
 def multimodal_quarantine_report(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Corruption-resilience audit across all three modalities: every
-    {_CORRUPT_MOD}th asset's payload is deterministically truncated
-    ({_CORRUPT_KEEP} bytes — magic survives, structure doesn't), the
+    29th asset's payload is deterministically truncated
+    (to 9 bytes — magic survives, structure doesn't), the
     real header parsers run over the damaged corpus, and the report
     counts parsed vs quarantined per modality. Hash-gated: the oracle
     knows exactly which doc_ids were corrupted, so the check proves
@@ -1019,7 +1019,7 @@ def quarantine_probes(docs: DataFrame) -> DataFrame:
     """(modality, asset_id, parsed) probe rows over all THREE
     modalities built from a documents frame (batch scan or a
     documents file-stream — every stage is stateless), with the
-    deterministic 1-in-{_CORRUPT_MOD} corruption applied. The ONE
+    deterministic 1-in-29 corruption applied. The ONE
     pipeline behind multimodal_quarantine_report, its streaming twin,
     and the streambench ingest leg (r9 review: three hand-synced
     copies reaching into private helpers)."""
@@ -1574,26 +1574,34 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at most 2 bits, so planted near-duplicates have provably bounded
 # Hamming distance, while aHash's global mean lets one pixel flip an
 # unbounded number of borderline bits.
-PH_GRID_W = 9                 # 9x8 luma grid -> 8 comparisons per row
+PH_GRID_W = 17                # 17x8 luma grid -> 16 comparisons per row
 PH_GRID_H = 8
-PH_BANDS = 8                  # one 8-bit band per grid row
-PH_HAM_MAX = 7                # pigeonhole: <= 7 flipped bits of 64
+PH_BANDS = 8                  # one 16-bit band per grid row
+PH_BAND_BITS = PH_GRID_W - 1  # 16 comparison bits per band
+PH_HAM_MAX = 7                # pigeonhole: <= 7 flipped bits of 128
                               # leave >= 1 of the 8 bands untouched
+# r10 (VERDICT r9 ask #2): widened from 9x8/64-bit (8-bit bands) to
+# 17x8/128-bit (16-bit bands). Banding stays pigeonhole-lossless at
+# radius 7, but random band collisions drop 256x — from ~n²/256 to
+# ~n²/65536 per band, matching the text simhash tier's collision
+# rate (dedup.py uses 15-bit bands). The signature is two packed
+# int64s (rows 0-3 -> sig0, rows 4-7 -> sig1, bit 16*slot+c).
+_PH_BANDS_PER_WORD = 64 // PH_BAND_BITS       # 4 bands per int64
 PH_GROUP = 4                  # fixture: planted variant groups of 4
-_PH_NEED = PH_GRID_W * PH_GRID_H * 3          # 216 pixel bytes
+_PH_NEED = PH_GRID_W * PH_GRID_H * 3          # 408 pixel bytes
 _PH_PREFIXES = ("", "ffffff", "ffffff000000", "ffffff000000ffffff")
 
 
 def phash_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate IMAGE fixture: tiny 9x8 P6 PPMs in planted
-    variant groups of {PH_GROUP}. All members of a group share one
+    """Near-duplicate IMAGE fixture: tiny 17x8 P6 PPMs in planted
+    variant groups of 4 (PH_GROUP). All members of a group share one
     sha256 pixel chain (seeded by the group id, NOT the text — hashing
     destroys similarity, so near-dup structure must be constructed);
-    variant v = doc_id % {PH_GROUP} then overwrites its first v pixels
+    variant v = doc_id % 4 then overwrites its first v pixels
     with fixed extreme values. Each overwritten pixel touches at most
     2 dHash comparison bits, so intra-group pairs sit within Hamming
-    2·(v_b − v_a) + ... <= {PH_HAM_MAX} by construction while
-    cross-group signatures are independent 64-bit coins. Built with
+    2·(v_b − v_a) + ... <= 7 (PH_HAM_MAX) by construction while
+    cross-group signatures are independent 128-bit coins. Built with
     JVM expressions end to end (payloads never transit the driver);
     the container wrapping is a real P6 header, so the hashing kernel
     exercises the honest stdlib decode path."""
@@ -1623,38 +1631,41 @@ def phash_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PHASH_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
-    T.StructField("sig", T.LongType()),
+    T.StructField("sig0", T.LongType()),
+    T.StructField("sig1", T.LongType()),
 ])
 
 
 def _phash_batch(
         batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched perceptual-hash kernel: REAL stdlib pixel decode,
-    integer BT.601 luma grid, then the 64 dHash bits packed into ONE
-    int64 signature (bit 8r+c = row r's comparison c; bit 63 may set
-    the sign — xor/bit_count/shiftright-with-mask are bit-pattern ops,
-    identical on two's-complement in both engines). One column, not
-    8: the Hamming filter then compares exactly two attributes, the
-    dedup_simhash_pairs shape — a sum-of-8-popcounts filter over 16
-    join-output columns sent Catalyst constraint inference into a
-    minutes-long spin (r9 find, SCALE.md). All integer comparisons, so
-    the signature is platform-identical and SQL-recomputable.
-    Undecodable payloads are dropped (an image that cannot be decoded
-    cannot be perceptually hashed; the quarantine AUDIT is
-    multimodal_quarantine_report's job)."""
+    integer BT.601 luma grid, then the 128 dHash bits packed into TWO
+    int64 signatures — grid rows 0-3 into sig0, rows 4-7 into sig1,
+    bit 16*slot+c = that row's comparison c; bit 63 may set the sign
+    (xor/bit_count/shiftright-with-mask are bit-pattern ops, identical
+    on two's-complement in both engines). Two columns, not 8: the
+    Hamming filter then sums exactly two popcounts over four
+    attributes, staying in the dedup_simhash_pairs shape — a
+    sum-of-8-popcounts filter over 16 join-output columns sent
+    Catalyst constraint inference into a minutes-long spin (r9 find,
+    SCALE.md). All integer comparisons, so the signature is
+    platform-identical and SQL-recomputable. Undecodable payloads are
+    dropped (an image that cannot be decoded cannot be perceptually
+    hashed; the quarantine AUDIT is multimodal_quarantine_report's
+    job)."""
     import numpy as np
 
-    weights = 1 << np.arange(PH_GRID_W - 1, dtype=np.uint64)
+    weights = 1 << np.arange(PH_BAND_BITS, dtype=np.uint64)
     for pdf in batches:
-        out = {"asset_id": [], "sig": []}
+        out = {"asset_id": [], "sig0": [], "sig1": []}
         for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
             dec = decode_image(bytes(payload))
             if dec is None:
                 continue
             g = _luma_grid(dec)
             # the textbook dHash first step: integer nearest-neighbor
-            # downsample to the 9x8 grid (identity when the input IS
-            # 9x8, as the planted fixture's assets are — the oracle
+            # downsample to the 17x8 grid (identity when the input IS
+            # 17x8, as the planted fixture's assets are — the oracle
             # reconstructs those directly), so the kernel hashes
             # images of ANY size (exercised over the mixed-format
             # image_assets corpus in the false-positive control test)
@@ -1663,24 +1674,31 @@ def _phash_batch(
             xs = np.minimum(iw - 1, np.arange(PH_GRID_W) * iw // PH_GRID_W)
             grid = g[np.ix_(ys, xs)]
             bits = grid[:, :-1] > grid[:, 1:]
-            sig = 0
+            sig = [0, 0]
             for r in range(PH_BANDS):
-                sig |= int((bits[r] * weights).sum()) << (8 * r)
-            if sig >= 1 << 63:          # wrap to signed int64
-                sig -= 1 << 64
+                word, slot = divmod(r, _PH_BANDS_PER_WORD)
+                sig[word] |= (int((bits[r] * weights).sum())
+                              << (PH_BAND_BITS * slot))
+            for w_ in (0, 1):
+                if sig[w_] >= 1 << 63:      # wrap to signed int64
+                    sig[w_] -= 1 << 64
             out["asset_id"].append(asset_id)
-            out["sig"].append(sig)
+            out["sig0"].append(sig[0])
+            out["sig1"].append(sig[1])
         yield pd.DataFrame({
             "asset_id": out["asset_id"],
-            "sig": pd.Series(out["sig"], dtype="int64")})
+            "sig0": pd.Series(out["sig0"], dtype="int64"),
+            "sig1": pd.Series(out["sig1"], dtype="int64")})
 
 
 def _sql_image_phash() -> str:
     """DuckDB twin: rebuild each asset's pixel hex from the group
     chain + variant prefix, recompute the luma grid and the dHash
-    band bytes, then the SAME banded candidate generation (pigeonhole-
-    lossless for radius {PH_HAM_MAX}, exactly as dedup_simhash_pairs
-    argues) and per-pair Hamming via summed band popcounts."""
+    16-bit band values (band = grid row), then the SAME banded
+    candidate generation (pigeonhole-lossless for radius 7, exactly
+    as dedup_simhash_pairs argues) and per-pair Hamming via summed
+    band popcounts. Fully parameterized by the grid constants — the
+    r10 widening to 17x8/128-bit changed no SQL structure."""
     luma = (f"(299 * {_sql_byte_at('3*j')} + 587 * {_sql_byte_at('3*j + 1')}"
             f" + 114 * {_sql_byte_at('3*j + 2')}) // 1000")
     prefixes = " ".join(
@@ -1742,19 +1760,23 @@ def _sql_image_phash() -> str:
 @query("dedup_image_phash", oracle=_sql_image_phash())
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate pairs by perceptual hash (VERDICT r8 ask
-    #2): decode every image with the real stdlib codec, compute a
-    64-bit dHash over the integer luma grid, and find pairs within
-    Hamming {PH_HAM_MAX} WITHOUT any all-pairs comparison — the
-    signature is cut into {PH_BANDS} one-byte bands and candidates
-    come from an equi-self-join on (band, band_value), the same
-    pigeonhole-lossless banding as dedup_simhash_pairs (<= {PH_HAM_MAX}
-    flipped bits cannot touch all {PH_BANDS} bands). This composes the
-    two existing primitives — functions/imagecodec.py's pixel decode
-    and the dedup tier's banded Hamming join — into the image half of
-    the multimodal dedup story an LLM pipeline needs.
+    #2; banding widened r9->r10 per VERDICT r9 ask #2): decode every
+    image with the real stdlib codec, compute a 128-bit dHash over
+    the integer luma grid (17x8 -> 16 comparisons x 8 rows, packed
+    into two int64s), and find pairs within Hamming 7 (PH_HAM_MAX)
+    WITHOUT any all-pairs comparison — the signature is cut into 8
+    sixteen-bit bands (one per grid row) and candidates come from an
+    equi-self-join on (band, band_value), the same pigeonhole-lossless
+    banding as dedup_simhash_pairs (<= 7 flipped bits cannot touch all
+    8 bands). Sixteen-bit bands put random candidate collisions at
+    ~n²/65536 per band — 256x fewer than the r9 8-bit form and on par
+    with the text simhash tier. This composes the two existing
+    primitives — functions/imagecodec.py's pixel decode and the dedup
+    tier's banded Hamming join — into the image half of the
+    multimodal dedup story an LLM pipeline needs.
 
     100 TB posture: one decode+hash pass (Arrow-batched, payloads
-    never shuffle — only one 8-byte signature per asset does), then a
+    never shuffle — only one 16-byte signature per asset does), then a
     key-equi-join bounded by band-bucket sizes, then a per-candidate
     popcount filter that Catalyst PUSHES below the distinct into the
     join output stream (an earlier draft checkpointed the candidates
@@ -1773,13 +1795,16 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_phash_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    mask = (1 << 8) - 1
+    mask = (1 << PH_BAND_BITS) - 1
     bands = sigs.select(
-        "asset_id", "sig",
+        "asset_id", "sig0", "sig1",
         F.explode(F.sequence(F.lit(0), F.lit(PH_BANDS - 1))).alias("b"),
     ).select(
-        "asset_id", "sig", "b",
-        F.expr(f"shiftright(sig, b * 8) & {mask}").alias("bv"),
+        "asset_id", "sig0", "sig1", "b",
+        F.expr(
+            f"shiftright(if(b < {_PH_BANDS_PER_WORD}, sig0, sig1),"
+            f" (b % {_PH_BANDS_PER_WORD}) * {PH_BAND_BITS}) & {mask}"
+        ).alias("bv"),
     )
     x = bands.alias("x")
     y = bands.alias("y")
@@ -1789,11 +1814,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("x.asset_id") < F.col("y.asset_id")))
         .select(F.col("x.asset_id").alias("asset_a"),
                 F.col("y.asset_id").alias("asset_b"),
-                F.col("x.sig").alias("sa"),
-                F.col("y.sig").alias("sb"))
+                F.col("x.sig0").alias("sa0"), F.col("x.sig1").alias("sa1"),
+                F.col("y.sig0").alias("sb0"), F.col("y.sig1").alias("sb1"))
         .distinct()
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    ham = (F.bit_count(F.col("sa0").bitwiseXOR(F.col("sb0")))
+           + F.bit_count(F.col("sa1").bitwiseXOR(F.col("sb1"))))
     return (
         cand.select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= PH_HAM_MAX)

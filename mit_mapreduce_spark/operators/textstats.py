@@ -331,9 +331,9 @@ def _sql_hash60_keep(salt: str) -> str:
     """,
 )
 def sample_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic uniform subsample (~{SAMPLE_HASH_KEEP}/
-    {SAMPLE_HASH_MOD}): keep iff hash60(doc_id, seed) mod
-    {SAMPLE_HASH_MOD} clears the rate — the hash-gated twin of
+    """Deterministic uniform subsample (~200/1000 = 20%, the
+    SAMPLE_HASH_KEEP/SAMPLE_HASH_MOD constants): keep iff
+    hash60(doc_id, seed) mod 1000 clears the rate — the hash-gated twin of
     sample_corpus (VERDICT r8 ask #3). Fully distributed: the
     predicate evaluates JVM-side per row with no state, no shuffle,
     and identical membership on any cluster layout."""
@@ -359,7 +359,7 @@ def sample_corpus_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sample_mix_recipe_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified mixing recipe: per-language keep rates
-    (MIX_WEIGHTS, in 1/{SAMPLE_HASH_MOD} units) applied through the
+    (MIX_WEIGHTS, in 1/1000 units) applied through the
     same row-pure hash predicate — the hash-gated twin of
     sample_mix_recipe (VERDICT r8 ask #3). Languages outside the
     recipe get rate 0 (sampleBy semantics: unlisted strata drop).

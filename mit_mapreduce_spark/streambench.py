@@ -154,7 +154,13 @@ def main(sf_dir: str) -> dict:
     doc_source = (spark.readStream.schema(dschema)
                   .option("maxFilesPerTrigger", 1).parquet(dstage))
     mm = quarantine_report_agg(quarantine_probes(doc_source))
-    results["multimodal_ingest"] = _drive(mm, "complete", "sb_mm_ingest")
+    results["multimodal_ingest"] = {
+        # the 3x convention travels IN the record (ADVICE r9 #2):
+        # rows_per_sec counts assets (3 modality sources per doc),
+        # so consumers can divide by assets_per_doc for docs/sec
+        **_drive(mm, "complete", "sb_mm_ingest"),
+        "assets_per_doc": 3,
+    }
 
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))

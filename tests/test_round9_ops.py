@@ -28,7 +28,9 @@ def test_image_phash_vs_python_bruteforce(spark, sf_dir):
     sigs = (phash_image_assets(spark, sf_dir)
             .mapInPandas(_phash_batch, _PHASH_SCHEMA).collect())
     assert sigs
-    sig = {r.asset_id: r.sig & ((1 << 64) - 1) for r in sigs}
+    m64 = (1 << 64) - 1
+    sig = {r.asset_id: (r.sig0 & m64) | ((r.sig1 & m64) << 64)
+           for r in sigs}
     ids = sorted(sig)
     expected = set()
     for i, a in enumerate(ids):
@@ -68,15 +70,17 @@ def test_image_phash_planted_group_structure(spark, sf_dir):
 def test_image_phash_false_positive_control(spark, sf_dir):
     """Negative control on the REAL mixed-format corpus: image_assets'
     pixel chains are independent per doc, so dHash signatures are
-    64-bit coins and NO pair may fall within the Hamming radius —
-    the false-positive rate of the radius on random content is ~1e-11
-    per pair. Also exercises the phash kernel over BMP and PNG
-    containers, not just the planted fixture's PPMs."""
+    128-bit coins and NO pair may fall within the Hamming radius —
+    the false-positive rate of the radius on random content is
+    ~C(128,7)/2^128 ≈ 3e-27 per pair. Also exercises the phash kernel
+    over BMP and PNG containers, not just the planted fixture's
+    PPMs."""
     from mit_mapreduce_spark.operators.multimodal import (
         PH_HAM_MAX, _PHASH_SCHEMA, _phash_batch, image_assets,
     )
 
-    sigs = [r.sig & ((1 << 64) - 1) for r in
+    m64 = (1 << 64) - 1
+    sigs = [(r.sig0 & m64) | ((r.sig1 & m64) << 64) for r in
             image_assets(spark, sf_dir).select("asset_id", "payload")
             .mapInPandas(_phash_batch, _PHASH_SCHEMA).collect()]
     # JPEG legs quarantine (dropped); the rest decode across 3 formats
@@ -99,14 +103,17 @@ def test_image_phash_plan_no_cartesian(spark, sf_dir):
 def test_phash_kernel_dhash_semantics():
     """dHash bit semantics pinned on a crafted image: strictly
     increasing luma rows set every bit to 0 (left < right), strictly
-    decreasing rows set all 64 bits (sig = -1 as signed int64 — the
-    sign-bit wrap is deliberate and bit-pattern-safe), ties are 0."""
+    decreasing rows set all 128 bits (sig0 = sig1 = -1 as signed
+    int64 — the sign-bit wrap is deliberate and bit-pattern-safe),
+    ties are 0."""
     import pandas as pd
 
     from mit_mapreduce_spark.functions.imagecodec import encode_ppm
-    from mit_mapreduce_spark.operators.multimodal import _phash_batch
+    from mit_mapreduce_spark.operators.multimodal import (
+        PH_GRID_H, PH_GRID_W, _phash_batch,
+    )
 
-    w, h = 9, 8
+    w, h = PH_GRID_W, PH_GRID_H
     inc = bytes(bytearray(
         b for r in range(h) for c in range(w) for b in (c, c, c)))
     dec = bytes(bytearray(
@@ -118,10 +125,11 @@ def test_phash_kernel_dhash_semantics():
         "payload": [encode_ppm(w, h, inc), encode_ppm(w, h, dec),
                     encode_ppm(w, h, flat)],
     })])))[0]
-    by_id = {int(r.asset_id): int(r.sig) for _, r in out.iterrows()}
-    assert by_id[1] == 0           # increasing: never >
-    assert by_id[2] == -1          # decreasing: all 64 bits set
-    assert by_id[3] == 0           # ties are not >
+    by_id = {int(r.asset_id): (int(r.sig0), int(r.sig1))
+             for _, r in out.iterrows()}
+    assert by_id[1] == (0, 0)      # increasing: never >
+    assert by_id[2] == (-1, -1)    # decreasing: all 128 bits set
+    assert by_id[3] == (0, 0)      # ties are not >
     # undecodable payloads are dropped, not erroring
     out2 = list(_phash_batch(iter([pd.DataFrame({
         "asset_id": [9], "payload": [b"not an image"]})])))[0]

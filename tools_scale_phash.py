@@ -1,6 +1,7 @@
-"""Round-9 certification for the image perceptual-hash dedup tier:
-the scale claim is that pairing cost is bounded by BAND-BUCKET sizes
-(an equi-join on 8-bit band values over 8-byte signatures), never
+"""Certification for the image perceptual-hash dedup tier (r9,
+re-run r10 on the widened 128-bit signature): the scale claim is
+that pairing cost is bounded by BAND-BUCKET sizes (an equi-join on
+16-bit band values over two packed int64 signatures), never
 |assets|², and that the decode+hash stage is a single linear pass
 whose payload bytes never shuffle.
 
