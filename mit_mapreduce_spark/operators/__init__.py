@@ -22,6 +22,7 @@ def load_all() -> None:
         sketches,
         temporal,
         multimodal,
+        mmdedup,
         profiling,
         udfs,
         mrparity,

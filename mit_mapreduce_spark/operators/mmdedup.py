@@ -1,0 +1,580 @@
+"""Audio and video perceptual near-dup dedup (round 10).
+
+Completes the multimodal dedup story (VERDICT r9 asks #3/#4): the
+text tier has MinHash/SimHash, the image tier has dHash
+(multimodal.dedup_image_phash) — this module adds
+
+- AUDIO: a per-asset energy-sign fingerprint over real decoded PCM —
+  the time-windowed analogue of the Haitsma–Kalker "sign of energy
+  differences" acoustic fingerprint (Haitsma & Kalker, "A Highly
+  Robust Audio Fingerprinting System", ISMIR 2002): the channel-0
+  sample stream is cut into 136 windows (8 bands x 17), each
+  window's integer energy Σs² computed, and bit c of band r set when
+  E[17r+c] > E[17r+c+1] — 128 comparison bits packed into two
+  int64s, exactly the image tier's signature layout. (The published
+  scheme differences FFT sub-band energies; the time-domain variant
+  keeps every value an exact int64 so the DuckDB oracle can
+  recompute the full chain in SQL, which frequency bins cannot.)
+- VIDEO: a per-frame dHash sequence signature over real decoded Y4M
+  frames — 8 frames sampled nearest-neighbor across the stream, each
+  contributing one 16-bit band: the dHash bits of a 17-point
+  block-sum profile of the frame's Y (luma) plane. Two
+  near-dup videos that differ in a few frames still agree on the
+  untouched frames' bands, so the banded join surfaces them.
+
+Both tiers then ride the SAME machinery as the image tier:
+dedup.banded_hamming_pairs2 (16-bit-band equi-join, pigeonhole-
+lossless at radius 7, Hamming as two popcounts over packed words)
+and dedup.label_with_singletons (min-label CC + singleton fill),
+with keep reports per language.
+
+Like the image tier, near-dup structure must be PLANTED: hashing
+text destroys similarity, so the fixtures build variant groups of 4
+assets sharing one sha256 payload chain seeded by the group id, with
+variant v overwriting a tiny prefix (v windows of samples / v luma
+pixels of frame 0) — perturbations whose Hamming effect is bounded
+by construction, all inside band 0, while cross-group signatures are
+independent 128-bit coins. The DuckDB oracles rebuild the payload
+bytes from the chain and recompute windowing/energies/luma rows,
+bit packing, banding, candidates, and Hamming entirely in SQL — the
+same chain-reconstruction discipline as the image tier
+(multimodal._sql_image_phash is the template; reference parity note:
+the reference repo, mr/*.go, has no media operators — this is
+north-star surface for a 100 TB multimodal pipeline).
+
+100 TB posture (shared with the image tier): one decode+fingerprint
+Arrow pass per corpus — payload bytes never shuffle, only a 16-byte
+signature per asset reaches the join; candidates come from
+equi-joins on 16-bit band values (~n²/65536 random collisions per
+band); the CC loop runs over the pair graph's vertex set only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mit_mapreduce_spark.catalog import fan_out, load_table
+from mit_mapreduce_spark.operators.dedup import (
+    banded_hamming_pairs2, label_with_singletons,
+)
+from mit_mapreduce_spark.operators.multimodal import (
+    _AUDIO_SCHEMA, _VIDEO_SCHEMA, _encode_audio_batch, _encode_video_batch,
+    PH_BAND_BITS, PH_BANDS, PH_GROUP, PH_HAM_MAX, _PHASH_SCHEMA,
+)
+from mit_mapreduce_spark.operators.registry import query
+
+# --- shared fingerprint geometry (identical to the image tier's) ----------
+FP_BANDS = PH_BANDS                 # 8 bands...
+FP_BAND_BITS = PH_BAND_BITS         # ...of 16 bits = 128-bit signatures
+FP_HAM_MAX = PH_HAM_MAX             # radius 7: pigeonhole-lossless
+FP_GROUP = PH_GROUP                 # planted variant groups of 4
+
+_HEXPOS = "strpos('0123456789abcdef', substr(hex, CAST({p} AS INT), 1)) - 1"
+
+
+def _planted_chain_expr(seed: str, need: int, unit_bytes: int) -> "F.Column":
+    """Spark expr: prefix(v) ‖ chain(base)[unit_bytes·v ..] sliced to
+    `need` total bytes — the planted-variant payload construction
+    shared by all three perceptual fixtures (expects _base/_v/_pfx
+    columns; the prefix hex must be unit_bytes·v bytes long so every
+    variant's payload stays exactly `need` bytes)."""
+    n_digests = (need + 31) // 32
+    return F.expr(
+        f"concat(unhex(_pfx), substring("
+        f"substring(unhex(concat_ws('', transform(sequence(0, {n_digests - 1}),"
+        f" i -> sha2(concat('{seed}', cast(_base as string), '|',"
+        f" cast(i as string)), 256)))), 1, {need}),"
+        f" {unit_bytes} * _v + 1, {need} - {unit_bytes} * _v))")
+
+
+def _planted_base(docs: DataFrame, prefixes: tuple[str, ...]) -> DataFrame:
+    """Adds the planted-group columns: _base (group chain seed),
+    _v (variant 0..FP_GROUP-1), _pfx (this variant's overwrite hex)."""
+    prefix_map = F.element_at(
+        F.array(*[F.lit(p) for p in prefixes]),
+        (F.col("doc_id") % FP_GROUP + 1).cast("int"))
+    return (
+        docs
+        .withColumn("_base", F.col("doc_id") - F.col("doc_id") % FP_GROUP)
+        .withColumn("_v", (F.col("doc_id") % FP_GROUP).cast("int"))
+        .withColumn("_pfx", prefix_map)
+    )
+
+
+def _sql_planted_hex(seed: str, need: int, unit_bytes: int,
+                     prefixes: tuple[str, ...]) -> str:
+    """DuckDB CTE text (p, ch, hx): rebuild each asset's payload hex
+    from the group chain + variant prefix — the oracle-side twin of
+    _planted_chain_expr. hx carries (doc_id, hex, jmax); jmax is the
+    byte/sample index bound threaded through a COLUMN because a
+    literal bound constant-folds DuckDB's list out of row context
+    (the lambda-correlation gotcha, see _sql_image_phash)."""
+    n_digests = (need + 31) // 32
+    cases = " ".join(
+        f"WHEN {v} THEN '{p}'" for v, p in enumerate(prefixes[:-1]))
+    return f"""
+    p AS (
+      SELECT doc_id, doc_id - doc_id % {FP_GROUP} AS base,
+             CAST(doc_id % {FP_GROUP} AS INT) AS v
+      FROM documents),
+    ch AS (
+      SELECT doc_id, v,
+             substr(array_to_string(list_transform(
+                      generate_series(0, {n_digests - 1}),
+                      i -> sha256('{seed}' || CAST(base AS VARCHAR) || '|'
+                                  || CAST(i AS VARCHAR))), ''),
+                    1, {need * 2}) AS chain
+      FROM p),
+    hx AS (
+      SELECT doc_id,
+             (CASE v {cases} ELSE '{prefixes[-1]}' END)
+             || substr(chain, {unit_bytes} * v * 2 + 1,
+                       ({need} - {unit_bytes} * v) * 2) AS hex,
+             {need - 1} AS jmax
+      FROM ch)"""
+
+
+def _sql_band_tail() -> str:
+    """DuckDB tail over a CTE named `bits` (doc_id, band, bv): banded
+    candidates + per-pair Hamming via summed band popcounts — shared
+    verbatim by the audio and video oracles (and structurally
+    identical to the image tier's)."""
+    return f"""
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bits x JOIN bits y
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT c.a, c.b,
+             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.a
+      JOIN bits y ON y.doc_id = c.b AND y.band = x.band
+      GROUP BY c.a, c.b)
+    SELECT a AS asset_a, b AS asset_b, hamming
+    FROM pairs WHERE hamming <= {FP_HAM_MAX}
+    """
+
+
+def _sql_cc_over(pairs_sql: str) -> str:
+    """DuckDB recursive transitive closure over a pair query — the
+    declarative check of the iterative min-label loop (the
+    dedup_image_clusters oracle pattern, parameterized)."""
+    return f"""
+    WITH RECURSIVE base AS ({pairs_sql}),
+    und AS (
+      SELECT asset_a AS a, asset_b AS b FROM base
+      UNION ALL
+      SELECT asset_b AS a, asset_a AS b FROM base
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(LEAST(d.doc_id,
+                COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
+                         d.doc_id)) AS BIGINT) AS cluster_id
+    FROM documents d
+    """
+
+
+def _sql_keep_report_over(cc_sql: str) -> str:
+    """DuckDB per-language keep report over a cluster query (keeper =
+    the min-id member) — shared by the audio/video keep reports."""
+    return f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_removed,
+           CAST(CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0
+                         END) AS DOUBLE) / COUNT(*) AS DOUBLE) AS kept_frac
+    FROM documents d
+    JOIN ({cc_sql}) c ON c.asset_id = d.doc_id
+    GROUP BY d.lang
+    """
+
+
+def _keep_report(spark: SparkSession, sf_dir: str,
+                 clusters: DataFrame) -> DataFrame:
+    """Per-language keep/drop rollup over a (asset_id, cluster_id)
+    table: keep the canonical (min-id) member of every cluster — the
+    Spark twin of _sql_keep_report_over, shared by the audio/video
+    keep reports (the dedup_image_keep_report shape)."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("asset_id"), "lang")
+    kept = F.col("cluster_id") == F.col("asset_id")
+    per = docs.join(clusters, "asset_id")
+    return (
+        per.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_assets"),
+             F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
+             F.sum((~kept).cast("long")).cast("bigint").alias("n_removed"))
+        .select("lang", "n_assets", "n_kept", "n_removed",
+                (F.col("n_kept").cast("double")
+                 / F.col("n_assets").cast("double"))
+                .cast("double").alias("kept_frac"))
+    )
+
+
+# --- AUDIO fingerprint tier ------------------------------------------------
+
+AF_WIN = 4                            # PCM samples per energy window
+AF_WINDOWS = FP_BANDS * (FP_BAND_BITS + 1)   # 136 windows = 8 x 17
+AF_RATE = 16000                       # fixture format: mono 16 kHz
+_AF_NEED = AF_WINDOWS * AF_WIN * 2    # 1088 PCM bytes per asset
+_AF_UNIT = AF_WIN * 2                 # one window = 8 bytes
+# variant overwrite windows: full-scale positive (max energy), zeros
+# (min energy), full-scale again — little-endian int16 hex
+_AF_W1 = "ff7f" * AF_WIN
+_AF_W0 = "0000" * AF_WIN
+_AF_PREFIXES = ("", _AF_W1, _AF_W1 + _AF_W0, _AF_W1 + _AF_W0 + _AF_W1)
+
+
+def fingerprint_audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO fixture: mono 16 kHz WAVs of 544 samples
+    in planted variant groups of 4 sharing one sha256 PCM chain
+    (seeded by the group id); variant v overwrites its first v
+    4-sample windows with fixed extreme patterns (full-scale /
+    silence / full-scale). A changed window w perturbs only energy
+    comparisons (w-1, w) and (w, w+1) — all in band 0 — so
+    intra-group pairs sit within Hamming (v_b - v_a) + 2 <= 5 by
+    construction while cross-group fingerprints are independent
+    128-bit coins. PCM built with JVM expressions, RIFF-wrapped in
+    the SAME Arrow encode kernel as audio_assets — the fingerprint
+    kernel exercises the honest stdlib WAV decode path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = (
+        _planted_base(docs, _AF_PREFIXES)
+        .withColumn("_rate", F.lit(AF_RATE).cast("int"))
+        .withColumn("_ch", F.lit(1).cast("int"))
+        .withColumn("lang", F.lit(""))
+        .select(F.col("doc_id").alias("asset_id"), "_rate", "_ch", "lang",
+                _planted_chain_expr("afp", _AF_NEED, _AF_UNIT).alias("pcm"))
+    )
+    return (
+        fan_out(raw).mapInPandas(_encode_audio_batch, _AUDIO_SCHEMA)
+        .select("asset_id", "payload")
+    )
+
+
+def _afp_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched audio-fingerprint kernel: REAL stdlib WAV decode,
+    then 136 nearest-neighbor windows over the channel-0 int16
+    sample stream, integer energy Σs² per window, and the 128
+    energy-comparison sign bits packed into (sig0, sig1) exactly
+    like the image kernel (bit c of band r set when E[17r+c] >
+    E[17r+c+1]). Streams shorter than 136 samples zero-pad (silence
+    windows tie to 0 bits); undecodable payloads are dropped — the
+    quarantine AUDIT is multimodal_quarantine_report's job."""
+    import numpy as np
+
+    from mit_mapreduce_spark.functions.audiocodec import decode_wav
+
+    weights = 1 << np.arange(FP_BAND_BITS, dtype=np.uint64)
+    per_word = 64 // FP_BAND_BITS
+    for pdf in batches:
+        out = {"asset_id": [], "sig0": [], "sig1": []}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            dec = decode_wav(bytes(payload))
+            if dec is None:
+                continue
+            _, channels, _, pcm = dec
+            a = np.frombuffer(pcm, "<i2").astype(np.int64)
+            ch0 = a[::channels] if channels else a
+            if len(ch0) < AF_WINDOWS:
+                ch0 = np.pad(ch0, (0, AF_WINDOWS - len(ch0)))
+            n = len(ch0)
+            bounds = (np.arange(AF_WINDOWS) * n) // AF_WINDOWS
+            e = np.add.reduceat(ch0 * ch0, bounds).reshape(
+                FP_BANDS, FP_BAND_BITS + 1)
+            bits = e[:, :-1] > e[:, 1:]
+            sig = [0, 0]
+            for r in range(FP_BANDS):
+                word, slot = divmod(r, per_word)
+                sig[word] |= (int((bits[r] * weights).sum())
+                              << (FP_BAND_BITS * slot))
+            for w_ in (0, 1):
+                if sig[w_] >= 1 << 63:
+                    sig[w_] -= 1 << 64
+            out["asset_id"].append(asset_id)
+            out["sig0"].append(sig[0])
+            out["sig1"].append(sig[1])
+        yield pd.DataFrame({
+            "asset_id": out["asset_id"],
+            "sig0": pd.Series(out["sig0"], dtype="int64"),
+            "sig1": pd.Series(out["sig1"], dtype="int64")})
+
+
+def _sql_audio_fingerprint() -> str:
+    """DuckDB twin: rebuild the PCM hex from the chain + prefix,
+    decode little-endian int16 samples INSIDE the list lambda (the
+    audio-features oracle pattern — never index a per-row list from
+    another lambda, that is quadratic), window energies by integer
+    division, then the shared banded tail."""
+    lo = (f"({_HEXPOS.format(p='4*s + 1')}) * 16"
+          f" + ({_HEXPOS.format(p='4*s + 2')})")
+    hi = (f"({_HEXPOS.format(p='4*s + 3')}) * 16"
+          f" + ({_HEXPOS.format(p='4*s + 4')})")
+    return f"""
+    WITH {_sql_planted_hex("afp", _AF_NEED, _AF_UNIT, _AF_PREFIXES)},
+    vals AS (
+      SELECT doc_id, u.s AS s,
+             CASE WHEN u.vv >= 32768 THEN u.vv - 65536 ELSE u.vv END
+               AS sample
+      FROM hx, UNNEST(list_transform(
+             generate_series(0, (jmax + 1) // 2 - 1),
+             s -> struct_pack(s := s,
+                              vv := ({lo}) + 256 * ({hi})))) AS t(u)),
+    e AS (
+      SELECT doc_id, s // {AF_WIN} AS w,
+             CAST(SUM(sample * sample) AS BIGINT) AS g
+      FROM vals GROUP BY doc_id, s // {AF_WIN}),
+    bits AS (
+      SELECT a.doc_id, a.w // {FP_BAND_BITS + 1} AS band,
+             CAST(SUM(CASE WHEN a.g > b.g
+                           THEN 1 << (a.w % {FP_BAND_BITS + 1})
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      WHERE a.w % {FP_BAND_BITS + 1} < {FP_BAND_BITS}
+      GROUP BY a.doc_id, a.w // {FP_BAND_BITS + 1}),
+    {_sql_band_tail()}
+    """
+
+
+@query("dedup_audio_fingerprint", oracle=_sql_audio_fingerprint())
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate pairs by energy-sign fingerprint (VERDICT
+    r9 ask #3): decode every WAV with the real stdlib codec, compute
+    the 128-bit time-windowed energy-sign fingerprint (the
+    Haitsma–Kalker shape over integer window energies), and find
+    pairs within Hamming 7 via the SAME pigeonhole-lossless 16-bit
+    banded equi-join as the image/text tiers — never all-pairs.
+
+    100 TB posture: identical to dedup_image_phash — one decode+
+    fingerprint Arrow pass (payload bytes never shuffle, only the
+    16-byte signature per asset does), banded candidate equi-join,
+    packed-signature Hamming filter pushed into the join output
+    stream. The oracle rebuilds the PCM from the sha256 chain and
+    recomputes windowing, energies, sign bits, banding, and Hamming
+    entirely in SQL; a crafted pytest checks the banded result
+    against a quadratic brute force and a negative control runs the
+    kernel over the real mixed-format audio_assets corpus."""
+    sigs = (
+        fingerprint_audio_assets(spark, sf_dir)
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    return banded_hamming_pairs2(sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)
+
+
+@query("dedup_audio_clusters",
+       oracle=_sql_cc_over(_sql_audio_fingerprint()))
+def dedup_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate CLUSTERS: connected components of the
+    fingerprint pair graph (cluster_id = min asset_id; pair-free
+    assets are singletons) — the same min-label loop + singleton
+    fill as the image tier, checked against a DuckDB recursive
+    transitive closure."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("asset_id"))
+    pairs = dedup_audio_fingerprint(spark, sf_dir) \
+        .select("asset_a", "asset_b")
+    return label_with_singletons(docs, "asset_id", pairs,
+                                 "asset_a", "asset_b")
+
+
+@query("dedup_audio_keep_report",
+       oracle=_sql_keep_report_over(_sql_cc_over(_sql_audio_fingerprint())))
+def dedup_audio_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio-dedup DECISION: keep the canonical (min-id) asset of
+    every fingerprint cluster, drop the rest, report per language —
+    the multimodal pillar's sign-off number for audio, composing
+    dedup_audio_clusters with one manifest join + rollup."""
+    return _keep_report(spark, sf_dir, dedup_audio_clusters(spark, sf_dir))
+
+
+# --- VIDEO frame-sequence dHash tier ---------------------------------------
+
+VF_W = FP_BAND_BITS + 1               # 17-pixel luma profile per frame
+VF_H = 1                              # fixture frames are one Y row
+VF_FRAMES = FP_BANDS                  # 8 sampled frames = 8 bands
+_VF_FRAME_BYTES = 3 * VF_W * VF_H     # C444: Y+U+V planes
+_VF_NEED = VF_FRAMES * _VF_FRAME_BYTES   # 408 bytes per asset
+# variant v overwrites the first v Y pixels of frame 0 (the stream's
+# first bytes) with extreme lumas — each flips <= 2 dHash bits of
+# band 0
+_VF_PREFIXES = ("", "ff", "ff00", "ff00ff")
+
+
+def fingerprint_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO fixture: 8-frame 17x1 C444 Y4M streams in
+    planted variant groups of 4 sharing one sha256 YUV chain;
+    variant v overwrites the first v Y pixels of frame 0 with fixed
+    extreme lumas, so intra-group pairs differ in at most 3 pixels
+    of one frame -> at most 4 dHash bits, all in band 0, while
+    cross-group signatures are independent 128-bit coins. Wrapped by
+    the SAME Arrow Y4M encode kernel as video_assets, so the
+    fingerprint kernel exercises the honest stdlib stream parse."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = (
+        _planted_base(docs, _VF_PREFIXES)
+        .withColumn("_w", F.lit(VF_W).cast("int"))
+        .withColumn("_h", F.lit(VF_H).cast("int"))
+        .withColumn("_nf", F.lit(VF_FRAMES).cast("int"))
+        .withColumn("_fps", F.lit(25).cast("int"))
+        .withColumn("lang", F.lit(""))
+        .select(F.col("doc_id").alias("asset_id"), "_w", "_h", "_nf",
+                "_fps", "lang",
+                _planted_chain_expr("vfp", _VF_NEED, 1).alias("yuv"))
+    )
+    return (
+        fan_out(raw).mapInPandas(_encode_video_batch, _VIDEO_SCHEMA)
+        .select("asset_id", "payload")
+    )
+
+
+def _vfp_batch(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched video-fingerprint kernel: REAL stdlib Y4M parse +
+    frame extraction, 8 frames sampled nearest-neighbor across the
+    stream, and per sampled frame the dHash bits of a 17-point
+    BLOCK-SUM profile of the frame's full Y plane (profile point c =
+    integer sum of the c-th of 17 contiguous byte blocks) — one
+    16-bit band per frame, packed into (sig0, sig1) exactly like the
+    image kernel. Block sums, not sampled pixels: a 17-point
+    nearest-neighbor sample of an 8-16-pixel-wide plane repeats
+    source pixels, and the resulting structurally-tied bits made
+    random same-format videos collide within the radius (caught by
+    the false-positive control on the real corpus); contiguous block
+    sums keep all 16 comparisons informative at ANY geometry, and on
+    the 17x1 fixture the blocks are single bytes, so the SQL oracle's
+    per-byte reconstruction is exactly the kernel's math. Y planes
+    shorter than 17 bytes zero-pad; unparseable or frame-less
+    payloads are dropped."""
+    import numpy as np
+
+    from mit_mapreduce_spark.functions.videocodec import (
+        iter_y4m_frames, parse_y4m_meta,
+    )
+
+    weights = 1 << np.arange(FP_BAND_BITS, dtype=np.uint64)
+    per_word = 64 // FP_BAND_BITS
+    for pdf in batches:
+        out = {"asset_id": [], "sig0": [], "sig1": []}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            data = bytes(payload)
+            meta = parse_y4m_meta(data)
+            if meta is None:
+                continue
+            w, h, _, _, _ = meta
+            frames = list(iter_y4m_frames(data))
+            nf = len(frames)
+            if nf == 0 or w <= 0 or h <= 0:
+                continue
+            sig = [0, 0]
+            for r in range(VF_FRAMES):
+                frame = frames[min(nf - 1, r * nf // VF_FRAMES)]
+                y = np.frombuffer(frame, np.uint8)[:w * h].astype(np.int64)
+                if len(y) < VF_W:
+                    y = np.pad(y, (0, VF_W - len(y)))
+                bounds = (np.arange(VF_W) * len(y)) // VF_W
+                prof = np.add.reduceat(y, bounds)
+                bits = prof[:-1] > prof[1:]
+                word, slot = divmod(r, per_word)
+                sig[word] |= (int((bits * weights).sum())
+                              << (FP_BAND_BITS * slot))
+            for w_ in (0, 1):
+                if sig[w_] >= 1 << 63:
+                    sig[w_] -= 1 << 64
+            out["asset_id"].append(asset_id)
+            out["sig0"].append(sig[0])
+            out["sig1"].append(sig[1])
+        yield pd.DataFrame({
+            "asset_id": out["asset_id"],
+            "sig0": pd.Series(out["sig0"], dtype="int64"),
+            "sig1": pd.Series(out["sig1"], dtype="int64")})
+
+
+def _sql_video_phash() -> str:
+    """DuckDB twin: rebuild the YUV hex from the chain + prefix, read
+    the Y byte of frame j//17, pixel j%17 (byte offset (j//17)·51 +
+    j%17 — the fixture's frames are one 17-pixel Y row, so frame =
+    band and the nearest-neighbor sampling is the identity), then
+    the image-oracle bit/band construction and the shared tail."""
+    wpf = FP_BAND_BITS + 1
+    off = f"((j // {wpf}) * {_VF_FRAME_BYTES} + j % {wpf})"
+    byte_at = (f"({_HEXPOS.format(p=f'2*{off} + 1')}) * 16"
+               f" + ({_HEXPOS.format(p=f'2*{off} + 2')})")
+    return f"""
+    WITH {_sql_planted_hex("vfp", _VF_NEED, 1, _VF_PREFIXES)},
+    g AS (
+      SELECT doc_id, u.j AS j, u.g AS g
+      FROM hx, UNNEST(list_transform(
+             generate_series(0, (jmax + 1) // 3 - 1),
+             j -> struct_pack(j := j, g := {byte_at}))) AS t(u)),
+    bits AS (
+      SELECT a.doc_id, a.j // {wpf} AS band,
+             CAST(SUM(CASE WHEN a.g > b.g
+                           THEN 1 << (a.j % {wpf})
+                           ELSE 0 END) AS BIGINT) AS bv
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+      WHERE a.j % {wpf} < {FP_BAND_BITS}
+      GROUP BY a.doc_id, a.j // {wpf}),
+    {_sql_band_tail()}
+    """
+
+
+@query("dedup_video_phash", oracle=_sql_video_phash())
+def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate pairs by frame-sequence perceptual hash
+    (VERDICT r9 ask #4): parse every Y4M stream with the real stdlib
+    codec, sample 8 frames, dHash each frame's Y-plane profile into
+    one 16-bit band (frame = band: videos that differ in a few
+    frames still agree on the untouched frames' bands), and find
+    pairs within Hamming 7 via the shared pigeonhole-lossless banded
+    equi-join — never all-pairs.
+
+    100 TB posture: identical to dedup_image_phash — one parse+
+    fingerprint Arrow pass, only 16 signature bytes per asset reach
+    the join, banded candidates, pushable packed-popcount filter.
+    Oracle rebuilds the frames from the sha256 chain and recomputes
+    profile, bits, banding, and Hamming in SQL; brute-force pytest +
+    real-corpus negative control as in the image tier."""
+    sigs = (
+        fingerprint_video_assets(spark, sf_dir)
+        .mapInPandas(_vfp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    return banded_hamming_pairs2(sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)
+
+
+@query("dedup_video_clusters", oracle=_sql_cc_over(_sql_video_phash()))
+def dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate CLUSTERS: connected components of the
+    frame-sequence phash pair graph with singleton fill — the shared
+    min-label loop, checked against the recursive-closure oracle."""
+    docs = load_table(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("asset_id"))
+    pairs = dedup_video_phash(spark, sf_dir).select("asset_a", "asset_b")
+    return label_with_singletons(docs, "asset_id", pairs,
+                                 "asset_a", "asset_b")
+
+
+@query("dedup_video_keep_report",
+       oracle=_sql_keep_report_over(_sql_cc_over(_sql_video_phash())))
+def dedup_video_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-dedup DECISION: keep the canonical (min-id) asset of
+    every cluster, drop the rest, report per language — composing
+    dedup_video_clusters with one manifest join + rollup."""
+    return _keep_report(spark, sf_dir, dedup_video_clusters(spark, sf_dir))

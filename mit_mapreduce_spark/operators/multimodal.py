@@ -1790,40 +1790,14 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew machinery. The oracle recomputes decode, hash, banding,
     and Hamming from the sha256 chain entirely in SQL, and a crafted
     pytest checks the banded result against a quadratic brute force."""
+    from mit_mapreduce_spark.operators.dedup import banded_hamming_pairs2
+
     sigs = (
         phash_image_assets(spark, sf_dir)
         .mapInPandas(_phash_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    mask = (1 << PH_BAND_BITS) - 1
-    bands = sigs.select(
-        "asset_id", "sig0", "sig1",
-        F.explode(F.sequence(F.lit(0), F.lit(PH_BANDS - 1))).alias("b"),
-    ).select(
-        "asset_id", "sig0", "sig1", "b",
-        F.expr(
-            f"shiftright(if(b < {_PH_BANDS_PER_WORD}, sig0, sig1),"
-            f" (b % {_PH_BANDS_PER_WORD}) * {PH_BAND_BITS}) & {mask}"
-        ).alias("bv"),
-    )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(y, (F.col("x.b") == F.col("y.b"))
-               & (F.col("x.bv") == F.col("y.bv"))
-               & (F.col("x.asset_id") < F.col("y.asset_id")))
-        .select(F.col("x.asset_id").alias("asset_a"),
-                F.col("y.asset_id").alias("asset_b"),
-                F.col("x.sig0").alias("sa0"), F.col("x.sig1").alias("sa1"),
-                F.col("y.sig0").alias("sb0"), F.col("y.sig1").alias("sb1"))
-        .distinct()
-    )
-    ham = (F.bit_count(F.col("sa0").bitwiseXOR(F.col("sb0")))
-           + F.bit_count(F.col("sa1").bitwiseXOR(F.col("sb1"))))
-    return (
-        cand.select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= PH_HAM_MAX)
-    )
+    return banded_hamming_pairs2(sigs, PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)
 
 
 def _sql_image_cc() -> str:
@@ -1872,17 +1846,13 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_simhash_pairs shape) — the 16-column popcount-forest form
     spun Catalyst constraint inference for minutes when embedded in
     the loop's iteration plans (r9 find, SCALE.md)."""
-    from mit_mapreduce_spark.operators.dedup import min_label_components
+    from mit_mapreduce_spark.operators.dedup import label_with_singletons
 
     docs = load_table(spark, sf_dir, "documents") \
         .select(F.col("doc_id").alias("asset_id"))
     pairs = dedup_image_phash(spark, sf_dir).select("asset_a", "asset_b")
-    labels = min_label_components(pairs, "asset_a", "asset_b")
-    return (
-        docs.join(labels, docs.asset_id == labels.vertex, "left")
-        .select("asset_id",
-                F.coalesce("cluster_id", "asset_id").alias("cluster_id"))
-    )
+    return label_with_singletons(docs, "asset_id", pairs,
+                                 "asset_a", "asset_b")
 
 
 @query(

@@ -1,0 +1,253 @@
+"""Round-10 operators: the audio energy-sign fingerprint and video
+frame-sequence dHash near-dup tiers (sharing the image tier's banded
+machinery), and the cross-modality keep manifest."""
+
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark import operators, plans
+from mit_mapreduce_spark.testing import compare
+
+operators.load_all()
+
+
+def _collect_sigs(spark, assets_df, kernel, schema):
+    m64 = (1 << 64) - 1
+    rows = assets_df.mapInPandas(kernel, schema).collect()
+    return {r.asset_id: (r.sig0 & m64) | ((r.sig1 & m64) << 64)
+            for r in rows}
+
+
+def _bruteforce_pairs(sig: dict, ham_max: int) -> set:
+    ids = sorted(sig)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sig[a] ^ sig[b]).count("1")
+            if ham <= ham_max:
+                out.add((a, b, ham))
+    return out
+
+
+# --- audio fingerprint tier --------------------------------------------------
+
+def test_audio_fingerprint_vs_python_bruteforce(spark, sf_dir):
+    """The banded join must equal a quadratic brute force over the
+    same fingerprints — the banding-losslessness check the SQL oracle
+    (which also bands) cannot provide by itself."""
+    from mit_mapreduce_spark.operators.mmdedup import (
+        FP_HAM_MAX, _afp_batch, fingerprint_audio_assets,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+
+    sig = _collect_sigs(spark, fingerprint_audio_assets(spark, sf_dir),
+                        _afp_batch, _PHASH_SCHEMA)
+    assert sig
+    expected = _bruteforce_pairs(sig, FP_HAM_MAX)
+    got = {(r.asset_a, r.asset_b, r.hamming)
+           for r in operators.QUERIES["dedup_audio_fingerprint"](
+               spark, sf_dir).collect()}
+    assert got == expected
+    assert expected  # planted groups must actually produce pairs
+
+
+def test_audio_fingerprint_planted_group_structure(spark, sf_dir):
+    """Construction guarantees: variant v overwrites the first v
+    energy windows, so an intra-group pair (a < b) differs in windows
+    a..b-1 -> comparison bits a-1..b of band 0 -> Hamming <= 5 <=
+    radius 7: every full group of 4 contributes all 6 pairs and no
+    cross-group pair collides on the fixture corpus."""
+    from mit_mapreduce_spark.operators.mmdedup import FP_GROUP
+
+    rows = operators.QUERIES["dedup_audio_fingerprint"](
+        spark, sf_dir).collect()
+    assert rows
+    n_docs = 0
+    for r in rows:
+        assert r.asset_a // FP_GROUP == r.asset_b // FP_GROUP, \
+            f"cross-group pair {r.asset_a},{r.asset_b}"
+        assert r.hamming <= 5
+        n_docs = max(n_docs, r.asset_b + 1)
+    full_groups = n_docs // FP_GROUP
+    assert len(rows) >= full_groups * 6 - 6
+    ok, msg = compare(
+        operators.QUERIES["dedup_audio_fingerprint"](spark, sf_dir),
+        operators.ORACLES["dedup_audio_fingerprint"], sf_dir)
+    assert ok, msg
+
+
+def test_audio_fingerprint_false_positive_control(spark, sf_dir):
+    """Negative control on the REAL mixed-format audio corpus:
+    audio_assets' PCM chains are independent per doc (and formats
+    vary — 4 rates, 1-2 channels, 400-1000 frames), so fingerprints
+    are 128-bit coins and NO pair may fall within the radius."""
+    from mit_mapreduce_spark.operators.mmdedup import FP_HAM_MAX, _afp_batch
+    from mit_mapreduce_spark.operators.multimodal import (
+        _PHASH_SCHEMA, audio_assets,
+    )
+
+    sig = _collect_sigs(
+        spark, audio_assets(spark, sf_dir).select("asset_id", "payload"),
+        _afp_batch, _PHASH_SCHEMA)
+    assert len(sig) >= 400  # NULL-text rows quarantine (dropped)
+    assert not _bruteforce_pairs(sig, FP_HAM_MAX)
+
+
+def test_audio_fingerprint_kernel_semantics():
+    """Energy-sign bit semantics pinned on crafted PCM: monotonically
+    rising window energies -> all bits 0 (left < right), falling ->
+    all 128 bits set (sig0 = sig1 = -1), constant -> ties -> 0; and
+    undecodable payloads are dropped, not erroring."""
+    import struct
+
+    import pandas as pd
+
+    from mit_mapreduce_spark.functions.audiocodec import encode_wav
+    from mit_mapreduce_spark.operators.mmdedup import (
+        AF_WIN, AF_WINDOWS, _afp_batch,
+    )
+
+    def pcm_of(amp_per_window):
+        samples = []
+        for amp in amp_per_window:
+            samples.extend([amp] * AF_WIN)
+        return struct.pack(f"<{len(samples)}h", *samples)
+
+    rising = pcm_of([17 * ((w % 17) + 1) for w in range(AF_WINDOWS)])
+    falling = pcm_of([17 * (17 - w % 17) for w in range(AF_WINDOWS)])
+    flat = pcm_of([100] * AF_WINDOWS)
+    out = list(_afp_batch(iter([pd.DataFrame({
+        "asset_id": [1, 2, 3],
+        "payload": [encode_wav(16000, 1, rising),
+                    encode_wav(16000, 1, falling),
+                    encode_wav(16000, 1, flat)],
+    })])))[0]
+    by_id = {int(r.asset_id): (int(r.sig0), int(r.sig1))
+             for _, r in out.iterrows()}
+    assert by_id[1] == (0, 0)
+    assert by_id[2] == (-1, -1)
+    assert by_id[3] == (0, 0)
+    out2 = list(_afp_batch(iter([pd.DataFrame({
+        "asset_id": [9], "payload": [b"not audio"]})])))[0]
+    assert len(out2) == 0
+
+
+def test_audio_clusters_and_keep_report(spark, sf_dir):
+    """CC recovers the planted groups (cluster_id = group min for
+    full groups); both downstream ops match their oracles."""
+    from mit_mapreduce_spark.operators.mmdedup import FP_GROUP
+
+    df = operators.QUERIES["dedup_audio_clusters"](spark, sf_dir)
+    rows = {r.asset_id: r.cluster_id for r in df.collect()}
+    assert rows
+    n = max(rows) + 1
+    for aid, cid in rows.items():
+        group_min = aid - aid % FP_GROUP
+        if group_min + FP_GROUP <= n:
+            assert cid == group_min, (aid, cid)
+    ok, msg = compare(df, operators.ORACLES["dedup_audio_clusters"],
+                      sf_dir)
+    assert ok, msg
+    ok, msg = compare(
+        operators.QUERIES["dedup_audio_keep_report"](spark, sf_dir),
+        operators.ORACLES["dedup_audio_keep_report"], sf_dir)
+    assert ok, msg
+
+
+# --- video frame-sequence tier ------------------------------------------------
+
+def test_video_phash_vs_python_bruteforce(spark, sf_dir):
+    from mit_mapreduce_spark.operators.mmdedup import (
+        FP_HAM_MAX, _vfp_batch, fingerprint_video_assets,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+
+    sig = _collect_sigs(spark, fingerprint_video_assets(spark, sf_dir),
+                        _vfp_batch, _PHASH_SCHEMA)
+    assert sig
+    expected = _bruteforce_pairs(sig, FP_HAM_MAX)
+    got = {(r.asset_a, r.asset_b, r.hamming)
+           for r in operators.QUERIES["dedup_video_phash"](
+               spark, sf_dir).collect()}
+    assert got == expected
+    assert expected
+
+
+def test_video_phash_planted_group_structure(spark, sf_dir):
+    """Variant v overwrites the first v Y pixels of frame 0 -> an
+    intra-group pair differs in <= 3 pixels -> <= 4 dHash bits, all
+    in band 0; every full group contributes all 6 pairs and no
+    cross-group pair collides on the fixture corpus."""
+    from mit_mapreduce_spark.operators.mmdedup import FP_GROUP
+
+    rows = operators.QUERIES["dedup_video_phash"](spark, sf_dir).collect()
+    assert rows
+    n_docs = 0
+    for r in rows:
+        assert r.asset_a // FP_GROUP == r.asset_b // FP_GROUP, \
+            f"cross-group pair {r.asset_a},{r.asset_b}"
+        assert r.hamming <= 4
+        n_docs = max(n_docs, r.asset_b + 1)
+    full_groups = n_docs // FP_GROUP
+    assert len(rows) >= full_groups * 6 - 6
+    ok, msg = compare(
+        operators.QUERIES["dedup_video_phash"](spark, sf_dir),
+        operators.ORACLES["dedup_video_phash"], sf_dir)
+    assert ok, msg
+
+
+def test_video_phash_false_positive_control(spark, sf_dir):
+    """Negative control on the REAL video corpus (dims 8-16 x 6-8,
+    3-6 frames — also exercises the kernel's nearest-neighbor frame
+    and column sampling on non-fixture geometry): chains are
+    independent per doc, so no pair may fall within the radius."""
+    from mit_mapreduce_spark.operators.mmdedup import FP_HAM_MAX, _vfp_batch
+    from mit_mapreduce_spark.operators.multimodal import (
+        _PHASH_SCHEMA, video_assets,
+    )
+
+    sig = _collect_sigs(
+        spark, video_assets(spark, sf_dir).select("asset_id", "payload"),
+        _vfp_batch, _PHASH_SCHEMA)
+    assert len(sig) >= 400
+    assert not _bruteforce_pairs(sig, FP_HAM_MAX)
+
+
+def test_video_clusters_and_keep_report(spark, sf_dir):
+    from mit_mapreduce_spark.operators.mmdedup import FP_GROUP
+
+    df = operators.QUERIES["dedup_video_clusters"](spark, sf_dir)
+    rows = {r.asset_id: r.cluster_id for r in df.collect()}
+    assert rows
+    n = max(rows) + 1
+    for aid, cid in rows.items():
+        group_min = aid - aid % FP_GROUP
+        if group_min + FP_GROUP <= n:
+            assert cid == group_min, (aid, cid)
+    ok, msg = compare(df, operators.ORACLES["dedup_video_clusters"],
+                      sf_dir)
+    assert ok, msg
+    ok, msg = compare(
+        operators.QUERIES["dedup_video_keep_report"](spark, sf_dir),
+        operators.ORACLES["dedup_video_keep_report"], sf_dir)
+    assert ok, msg
+
+
+# --- plan discipline ----------------------------------------------------------
+
+def test_mmdedup_plans_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the banded equi-join, never an
+    all-pairs product, for both new pair ops."""
+    for name in ("dedup_audio_fingerprint", "dedup_video_phash"):
+        plan = plans.formatted_plan(operators.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_mmdedup_shuffle_budgets(spark, sf_dir):
+    """Post-checkpoint exchange budgets: the banded candidate
+    equi-self-join only (the decode+fingerprint stage is lineage-
+    truncated; only the 16-byte signature per asset reaches it) —
+    the same budget as dedup_image_phash."""
+    for name in ("dedup_audio_fingerprint", "dedup_video_phash"):
+        df = operators.QUERIES[name](spark, sf_dir)
+        n = plans.shuffle_count(df)
+        assert n <= 2, f"{name}: {n} exchanges"
