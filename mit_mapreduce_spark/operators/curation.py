@@ -870,10 +870,13 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_MAX_NOVELTY = 0.5   # singleton-bigram fraction above this = gibberish
 
 
-@query(
-    "quality_funnel",
-    oracle=f"""
-    WITH gm AS (
+def _sql_funnel_verdicts() -> str:
+    """CTE chain text (gm..lm, fdoc): the per-doc three-stage quality
+    verdicts fdoc(doc_id, g, r, l) — factored out of the
+    quality_funnel oracle (r10) so the cross-modality manifest oracle
+    (mmdedup.pipeline_multimodal_manifest) composes the IDENTICAL
+    quality semantics instead of a hand-synced copy."""
+    return f"""gm AS (
       SELECT doc_id,
              CAST(len(w) AS BIGINT) AS n_words,
              CASE WHEN len(w) = 0 THEN 0.0
@@ -926,14 +929,23 @@ FUNNEL_MAX_NOVELTY = 0.5   # singleton-bigram fraction above this = gibberish
                / COUNT(*) AS novelty
       FROM bg b JOIN dfreq d USING (bg)
       GROUP BY b.doc_id),
-    f AS (
-      SELECT d.source, gop.g, rep.r,
+    fdoc AS (
+      SELECT d.doc_id, gop.g, rep.r,
              lm.novelty IS NOT NULL
                AND lm.novelty <= {FUNNEL_MAX_NOVELTY} AS l
       FROM documents d
       JOIN gop ON gop.doc_id = d.doc_id
       JOIN rep ON rep.doc_id = d.doc_id
-      LEFT JOIN lm ON lm.doc_id = d.doc_id)
+      LEFT JOIN lm ON lm.doc_id = d.doc_id)"""
+
+
+@query(
+    "quality_funnel",
+    oracle=f"""
+    WITH {_sql_funnel_verdicts()},
+    f AS (
+      SELECT d.source, fd.g, fd.r, fd.l
+      FROM documents d JOIN fdoc fd ON fd.doc_id = d.doc_id)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT)

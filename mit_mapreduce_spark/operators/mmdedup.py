@@ -578,3 +578,158 @@ def dedup_video_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     every cluster, drop the rest, report per language — composing
     dedup_video_clusters with one manifest join + rollup."""
     return _keep_report(spark, sf_dir, dedup_video_clusters(spark, sf_dir))
+
+
+# --- cross-modality keep manifest -------------------------------------------
+
+def _sql_manifest() -> str:
+    """DuckDB twin of the per-doc training manifest: the text-CC,
+    image/audio/video-CC, and three-stage quality verdicts composed
+    from the SAME oracle builders the pillar queries gate on
+    (dedup._sql_cc, multimodal._sql_image_cc, this module's CC
+    builders, curation._sql_funnel_verdicts) — so the manifest oracle
+    is a composition, not a re-derivation."""
+    from mit_mapreduce_spark.operators.curation import _sql_funnel_verdicts
+    from mit_mapreduce_spark.operators.dedup import _sql_cc
+    from mit_mapreduce_spark.operators.multimodal import _sql_image_cc
+
+    kt = "tc.cluster_id = d.doc_id"
+    kq = "fd.g AND fd.r AND fd.l"
+    ki = "ic.cluster_id = d.doc_id"
+    ka = "ac.cluster_id = d.doc_id"
+    kv = "vc.cluster_id = d.doc_id"
+    return f"""
+    WITH {_sql_funnel_verdicts()}
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(CASE WHEN {kt} THEN 1 ELSE 0 END AS INT) AS keep_text,
+           CAST(CASE WHEN {kq} THEN 1 ELSE 0 END AS INT) AS keep_quality,
+           CAST(CASE WHEN {ki} THEN 1 ELSE 0 END AS INT) AS keep_image,
+           CAST(CASE WHEN {ka} THEN 1 ELSE 0 END AS INT) AS keep_audio,
+           CAST(CASE WHEN {kv} THEN 1 ELSE 0 END AS INT) AS keep_video,
+           CAST(CASE WHEN {kt} AND {kq} AND {ki} AND {ka} AND {kv}
+                THEN 1 ELSE 0 END AS INT) AS ready
+    FROM documents d
+    JOIN fdoc fd ON fd.doc_id = d.doc_id
+    JOIN ({_sql_cc()}) tc ON tc.doc_id = d.doc_id
+    JOIN ({_sql_image_cc()}) ic ON ic.asset_id = d.doc_id
+    JOIN ({_sql_cc_over(_sql_audio_fingerprint())}) ac
+      ON ac.asset_id = d.doc_id
+    JOIN ({_sql_cc_over(_sql_video_phash())}) vc
+      ON vc.asset_id = d.doc_id
+    """
+
+
+def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc manifest as a DataFrame — shared by the registered
+    manifest query and its per-(lang, source) accounting rollup."""
+    from mit_mapreduce_spark.operators.curation import (
+        FUNNEL_MAX_NOVELTY, gopher_quality_rules, quality_repetition,
+    )
+    from mit_mapreduce_spark.operators.dedup import dedup_clusters
+    from mit_mapreduce_spark.operators.multimodal import dedup_image_clusters
+    from mit_mapreduce_spark.operators.textstats import quality_lm_bigram
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source")
+    tc = dedup_clusters(spark, sf_dir) \
+        .select("doc_id", F.col("cluster_id").alias("_tcl"))
+    g = gopher_quality_rules(spark, sf_dir) \
+        .select("doc_id", F.col("passes").alias("_g"))
+    r = quality_repetition(spark, sf_dir) \
+        .select("doc_id", F.col("passes").alias("_r"))
+    lm = quality_lm_bigram(spark, sf_dir).select("doc_id", "novelty")
+    media = []
+    for col, op in (("_icl", dedup_image_clusters),
+                    ("_acl", dedup_audio_clusters),
+                    ("_vcl", dedup_video_clusters)):
+        media.append(op(spark, sf_dir).select(
+            F.col("asset_id").alias("doc_id"),
+            F.col("cluster_id").alias(col)))
+    m = (docs.join(tc, "doc_id").join(g, "doc_id").join(r, "doc_id")
+         .join(lm, "doc_id", "left")
+         .join(media[0], "doc_id").join(media[1], "doc_id")
+         .join(media[2], "doc_id"))
+    keep_text = F.col("_tcl") == F.col("doc_id")
+    keep_quality = (F.col("_g") & F.col("_r")
+                    & F.col("novelty").isNotNull()
+                    & (F.col("novelty") <= FUNNEL_MAX_NOVELTY))
+    keep_image = F.col("_icl") == F.col("doc_id")
+    keep_audio = F.col("_acl") == F.col("doc_id")
+    keep_video = F.col("_vcl") == F.col("doc_id")
+    ready = (keep_text & keep_quality & keep_image & keep_audio
+             & keep_video)
+    return m.select(
+        "doc_id", "lang", "source",
+        keep_text.cast("int").alias("keep_text"),
+        keep_quality.cast("int").alias("keep_quality"),
+        keep_image.cast("int").alias("keep_image"),
+        keep_audio.cast("int").alias("keep_audio"),
+        keep_video.cast("int").alias("keep_video"),
+        ready.cast("int").alias("ready"),
+    )
+
+
+@query("pipeline_multimodal_manifest", oracle=_sql_manifest())
+def pipeline_multimodal_manifest(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The CROSS-MODALITY per-doc training manifest (VERDICT r9 ask
+    #5): one row per document with the five pillar keep decisions —
+    text near-dup keeper (MinHash CC canonical member), three-stage
+    quality funnel pass (Gopher -> repetition -> LM novelty), and the
+    image/audio/video perceptual-near-dup keepers — plus `ready`,
+    the single bit a training run consumes: keep the doc iff its text
+    survived dedup AND quality AND every modality's asset survived
+    its perceptual dedup.
+
+    One plan, no re-decode: every input is an (id, label/flag) table
+    the pillar operators already produce (cluster tables are two
+    longs per doc; quality verdicts are flags from single-scan
+    array expressions), joined on doc_id. The CC fixpoint loops run
+    over their pair graphs' vertex sets with checkpoint-truncated
+    lineage, so composing four of them stacks checkpointed leaves,
+    not plan trees. The oracle composes the SAME SQL builders the
+    pillar queries gate on."""
+    return _manifest_frame(spark, sf_dir)
+
+
+@query(
+    "pipeline_multimodal_ready",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_text) AS BIGINT) AS n_text_kept,
+           CAST(SUM(keep_quality) AS BIGINT) AS n_quality_pass,
+           CAST(SUM(keep_image) AS BIGINT) AS n_image_kept,
+           CAST(SUM(keep_audio) AS BIGINT) AS n_audio_kept,
+           CAST(SUM(keep_video) AS BIGINT) AS n_video_kept,
+           CAST(SUM(ready) AS BIGINT) AS n_ready,
+           CAST(CAST(SUM(ready) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS ready_frac
+    FROM ({{m}}) m
+    GROUP BY lang, source
+    """.format(m=_sql_manifest()),
+)
+def pipeline_multimodal_ready(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-(lang, source) accounting over the cross-modality manifest
+    — the sign-off table of a multimodal training run ("language X
+    from source Y: N docs in, M ready after text dedup + quality +
+    image/audio/video dedup"). One aggregation over
+    pipeline_multimodal_manifest."""
+    m = _manifest_frame(spark, sf_dir)
+    return (
+        m.groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("keep_text").cast("bigint").alias("n_text_kept"),
+             F.sum("keep_quality").cast("bigint").alias("n_quality_pass"),
+             F.sum("keep_image").cast("bigint").alias("n_image_kept"),
+             F.sum("keep_audio").cast("bigint").alias("n_audio_kept"),
+             F.sum("keep_video").cast("bigint").alias("n_video_kept"),
+             F.sum("ready").cast("bigint").alias("n_ready"))
+        .select("lang", "source", "n_docs", "n_text_kept",
+                "n_quality_pass", "n_image_kept", "n_audio_kept",
+                "n_video_kept", "n_ready",
+                (F.col("n_ready").cast("double")
+                 / F.col("n_docs").cast("double"))
+                .cast("double").alias("ready_frac"))
+    )

@@ -251,3 +251,50 @@ def test_mmdedup_shuffle_budgets(spark, sf_dir):
         df = operators.QUERIES[name](spark, sf_dir)
         n = plans.shuffle_count(df)
         assert n <= 2, f"{name}: {n} exchanges"
+
+
+# --- cross-modality keep manifest ---------------------------------------------
+
+def test_multimodal_manifest_semantics(spark, sf_dir):
+    """ready must be the AND of the five pillar bits, and each pillar
+    bit must agree with the pillar query it composes (spot-checked
+    against the independently-run cluster/funnel ops)."""
+    m = {r.doc_id: r for r in operators.QUERIES[
+        "pipeline_multimodal_manifest"](spark, sf_dir).collect()}
+    assert m
+    for r in m.values():
+        assert r.ready == (r.keep_text & r.keep_quality & r.keep_image
+                           & r.keep_audio & r.keep_video)
+    img = {r.asset_id: r.cluster_id for r in operators.QUERIES[
+        "dedup_image_clusters"](spark, sf_dir).collect()}
+    for doc_id, r in m.items():
+        assert r.keep_image == int(img[doc_id] == doc_id)
+    ok, msg = compare(
+        operators.QUERIES["pipeline_multimodal_manifest"](spark, sf_dir),
+        operators.ORACLES["pipeline_multimodal_manifest"], sf_dir)
+    assert ok, msg
+
+
+def test_multimodal_ready_accounting(spark, sf_dir):
+    """The rollup's totals must re-add to the manifest's bits, and
+    the oracle must agree."""
+    agg = operators.QUERIES["pipeline_multimodal_ready"](
+        spark, sf_dir).collect()
+    man = operators.QUERIES["pipeline_multimodal_manifest"](
+        spark, sf_dir).collect()
+    assert sum(r.n_docs for r in agg) == len(man)
+    assert sum(r.n_ready for r in agg) == sum(r.ready for r in man)
+    assert sum(r.n_audio_kept for r in agg) == sum(
+        r.keep_audio for r in man)
+    for r in agg:
+        assert 0.0 <= r.ready_frac <= 1.0
+    ok, msg = compare(
+        operators.QUERIES["pipeline_multimodal_ready"](spark, sf_dir),
+        operators.ORACLES["pipeline_multimodal_ready"], sf_dir)
+    assert ok, msg
+
+
+def test_multimodal_manifest_plan_no_cartesian(spark, sf_dir):
+    plan = plans.formatted_plan(
+        operators.QUERIES["pipeline_multimodal_ready"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
