@@ -322,12 +322,21 @@ def _sql_audio_fingerprint() -> str:
     audio-features oracle pattern — never index a per-row list from
     another lambda, that is quadratic), window energies by integer
     division, then the shared banded tail."""
+    return f"""
+    WITH {_sql_audio_bits()},
+    {_sql_band_tail()}
+    """
+
+
+def _sql_audio_bits() -> str:
+    """DuckDB CTE chain through `bits` (doc_id, band, bv) for the
+    audio fingerprint — shared by the pair oracle and the search
+    oracle."""
     lo = (f"({_HEXPOS.format(p='4*s + 1')}) * 16"
           f" + ({_HEXPOS.format(p='4*s + 2')})")
     hi = (f"({_HEXPOS.format(p='4*s + 3')}) * 16"
           f" + ({_HEXPOS.format(p='4*s + 4')})")
-    return f"""
-    WITH {_sql_planted_hex("afp", _AF_NEED, _AF_UNIT, _AF_PREFIXES)},
+    return f"""{_sql_planted_hex("afp", _AF_NEED, _AF_UNIT, _AF_PREFIXES)},
     vals AS (
       SELECT doc_id, u.s AS s,
              CASE WHEN u.vv >= 32768 THEN u.vv - 65536 ELSE u.vv END
@@ -347,9 +356,7 @@ def _sql_audio_fingerprint() -> str:
                            ELSE 0 END) AS BIGINT) AS bv
       FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
       WHERE a.w % {FP_BAND_BITS + 1} < {FP_BAND_BITS}
-      GROUP BY a.doc_id, a.w // {FP_BAND_BITS + 1}),
-    {_sql_band_tail()}
-    """
+      GROUP BY a.doc_id, a.w // {FP_BAND_BITS + 1})"""
 
 
 @query("dedup_audio_fingerprint", oracle=_sql_audio_fingerprint())
@@ -732,4 +739,96 @@ def pipeline_multimodal_ready(spark: SparkSession,
                 (F.col("n_ready").cast("double")
                  / F.col("n_docs").cast("double"))
                 .cast("double").alias("ready_frac"))
+    )
+
+
+# --- fingerprint near-dup SEARCH (query-centric) -----------------------------
+
+FPS_MOD = 50     # asset_id % MOD == 0 plays the query set
+FPS_K = 3        # results per query
+
+
+def _sql_audio_search() -> str:
+    """DuckDB twin of the fingerprint search: the SAME bits chain as
+    the pair oracle, query-side banded candidates, full 128-bit
+    Hamming re-score via summed band popcounts, per-query top-k
+    window (hamming asc, cid asc ties)."""
+    return f"""
+    WITH {_sql_audio_bits()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS qid, y.doc_id AS cid
+      FROM bits x JOIN bits y
+        ON x.band = y.band AND x.bv = y.bv AND y.doc_id <> x.doc_id
+      WHERE x.doc_id % {FPS_MOD} = 0),
+    scored AS (
+      SELECT c.qid, c.cid,
+             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.qid
+      JOIN bits y ON y.doc_id = c.cid AND y.band = x.band
+      GROUP BY c.qid, c.cid),
+    ranked AS (
+      SELECT qid, cid, hamming,
+             CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY hamming, cid) AS INT) AS rnk
+      FROM scored)
+    SELECT qid, cid, hamming, rnk FROM ranked WHERE rnk <= {FPS_K}
+    """
+
+
+@query("audio_fingerprint_search", oracle=_sql_audio_search())
+def audio_fingerprint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset similarity SEARCH on the audio fingerprint index: for
+    each query asset (every 50th), the top-3 nearest assets by full
+    128-bit Hamming among its band candidates — the retrieval twin of
+    dedup_audio_fingerprint (same index, query-centric instead of
+    pair-centric: "find me assets that sound like this one"), and
+    the media analogue of minhash_search_topk.
+
+    No radius filter: candidates are whatever shares a band with the
+    query (per-bucket volume, never |Q|x|C|), re-scored exactly and
+    top-k'd per query with deterministic tie order (hamming, cid).
+    On the planted fixture every query's group-mates occupy the top
+    ranks — recall pinned by pytest. Same scale posture as the pair
+    op: one fingerprint pass, band equi-join bounded by bucket sizes,
+    then a per-query window over candidates only."""
+    sigs = (
+        fingerprint_audio_assets(spark, sf_dir)
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    per_word = 64 // FP_BAND_BITS
+    mask = (1 << FP_BAND_BITS) - 1
+    bands = sigs.select(
+        "asset_id", "sig0", "sig1",
+        F.explode(F.sequence(F.lit(0), F.lit(FP_BANDS - 1))).alias("b"),
+    ).select(
+        "asset_id", "sig0", "sig1", "b",
+        F.expr(
+            f"shiftright(if(b < {per_word}, sig0, sig1),"
+            f" (b % {per_word}) * {FP_BAND_BITS}) & {mask}"
+        ).alias("bv"),
+    )
+    qb = (bands.where(F.col("asset_id") % FPS_MOD == 0)
+          .select(F.col("asset_id").alias("qid"),
+                  F.col("sig0").alias("qs0"), F.col("sig1").alias("qs1"),
+                  "b", "bv"))
+    cb = bands.select(F.col("asset_id").alias("cid"),
+                      F.col("sig0").alias("cs0"),
+                      F.col("sig1").alias("cs1"), "b", "bv")
+    cand = (
+        qb.join(cb, ["b", "bv"])
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "qs0", "qs1", "cs0", "cs1")
+        .distinct()
+    )
+    ham = (F.bit_count(F.col("qs0").bitwiseXOR(F.col("cs0")))
+           + F.bit_count(F.col("qs1").bitwiseXOR(F.col("cs1"))))
+    scored = cand.select("qid", "cid", ham.cast("int").alias("hamming"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        scored.select("qid", "cid", "hamming",
+                      F.row_number().over(w).cast("int").alias("rnk"))
+        .where(F.col("rnk") <= FPS_K)
     )

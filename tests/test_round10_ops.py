@@ -298,3 +298,36 @@ def test_multimodal_manifest_plan_no_cartesian(spark, sf_dir):
     plan = plans.formatted_plan(
         operators.QUERIES["pipeline_multimodal_ready"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+# --- audio fingerprint search ---------------------------------------------------
+
+def test_audio_fingerprint_search_recall(spark, sf_dir):
+    """On the planted fixture every query asset's 3 group-mates sit
+    at Hamming <= 5 while random assets sit far away, so the top-3
+    must be exactly the group-mates (full groups); the oracle must
+    agree and the plan must stay equi-join-only."""
+    from mit_mapreduce_spark.operators.mmdedup import FPS_K, FPS_MOD, FP_GROUP
+
+    rows = operators.QUERIES["audio_fingerprint_search"](
+        spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.qid % FPS_MOD == 0
+        by_q.setdefault(r.qid, []).append(r)
+    n_docs = max(max(r.cid for r in rows), max(by_q)) + 1
+    for qid, hits in by_q.items():
+        group = {qid - qid % FP_GROUP + k for k in range(FP_GROUP)}
+        if max(group) < n_docs:  # full group
+            assert len(hits) == FPS_K
+            assert {h.cid for h in hits} == group - {qid}
+            assert [h.rnk for h in sorted(hits, key=lambda h: h.rnk)] \
+                == list(range(1, FPS_K + 1))
+    ok, msg = compare(
+        operators.QUERIES["audio_fingerprint_search"](spark, sf_dir),
+        operators.ORACLES["audio_fingerprint_search"], sf_dir)
+    assert ok, msg
+    plan = plans.formatted_plan(
+        operators.QUERIES["audio_fingerprint_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
