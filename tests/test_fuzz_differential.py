@@ -860,3 +860,55 @@ def test_differential_fuzz_r9_multimodal_and_samplers(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial}/{op}: {msg}"
+
+
+def test_differential_fuzz_r10_media_dedup_and_manifest(spark, tmp_path):
+    """r10 fuzz class: the same hostile corpora (NULL/empty texts,
+    NULL langs, unicode, tiny doc counts = partial variant groups)
+    through the audio/video near-dup tiers, the fingerprint search,
+    and the cross-modality manifest — every op must stay hash-green
+    against its oracle on every corpus. The audio/video fixtures are
+    text-independent (group chains seed from doc_id), so NULL-text
+    rows still produce assets; the manifest's quality stages handle
+    the NULL/empty texts and the composition must agree end to end."""
+    import random
+
+    rng = random.Random(1010)
+    ops = ["dedup_audio_fingerprint", "dedup_audio_clusters",
+           "dedup_audio_keep_report", "dedup_video_phash",
+           "dedup_video_clusters", "dedup_video_keep_report",
+           "audio_fingerprint_search", "pipeline_multimodal_manifest",
+           "pipeline_multimodal_ready"]
+    for trial in range(3):
+        td = str(tmp_path / f"r10t{trial}")
+        os.makedirs(td)
+        rows = []
+        for i in range(rng.randint(2, 10)):
+            kind = rng.random()
+            if kind < 0.2:
+                text = None
+            elif kind < 0.3:
+                text = ""
+            else:
+                text = " ".join(rng.choice(_ALPH)
+                                for _ in range(rng.randint(1, 40)))
+            rows.append((i, text,
+                         rng.choice(["s1", "s2"]),
+                         rng.choice(["en", "de", None])))
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows],
+                                pa.int64()),
+        })
+        pq.write_table(tab, os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"

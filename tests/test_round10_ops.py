@@ -331,3 +331,21 @@ def test_audio_fingerprint_search_recall(spark, sf_dir):
     plan = plans.formatted_plan(
         operators.QUERIES["audio_fingerprint_search"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_multimodal_manifest_shuffle_budget(spark, sf_dir):
+    """Exchange budget for the composition (VERDICT r9 ask #5): the
+    manifest is seven doc_id-keyed joins over checkpoint-truncated
+    pillar outputs plus the quality-stage aggregations — 11 exchanges
+    post-checkpoint measured at pin time; the rollup adds exactly one
+    more. A budget breach means a pillar started re-shuffling inside
+    the composition."""
+    budgets = {"pipeline_multimodal_manifest": 12,
+               "pipeline_multimodal_ready": 13,
+               "audio_fingerprint_search": 2,
+               "dedup_audio_clusters": 2,
+               "dedup_video_clusters": 2}
+    for name, budget in budgets.items():
+        df = operators.QUERIES[name](spark, sf_dir)
+        n = plans.shuffle_count(df)
+        assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
