@@ -519,12 +519,21 @@ def _sql_video_phash() -> str:
     j%17 — the fixture's frames are one 17-pixel Y row, so frame =
     band and the nearest-neighbor sampling is the identity), then
     the image-oracle bit/band construction and the shared tail."""
+    return f"""
+    WITH {_sql_video_bits()},
+    {_sql_band_tail()}
+    """
+
+
+def _sql_video_bits() -> str:
+    """DuckDB CTE chain through `bits` (doc_id, band, bv) for the
+    video frame-sequence dHash — shared by the pair oracle and the
+    search oracle."""
     wpf = FP_BAND_BITS + 1
     off = f"((j // {wpf}) * {_VF_FRAME_BYTES} + j % {wpf})"
     byte_at = (f"({_HEXPOS.format(p=f'2*{off} + 1')}) * 16"
                f" + ({_HEXPOS.format(p=f'2*{off} + 2')})")
-    return f"""
-    WITH {_sql_planted_hex("vfp", _VF_NEED, 1, _VF_PREFIXES)},
+    return f"""{_sql_planted_hex("vfp", _VF_NEED, 1, _VF_PREFIXES)},
     g AS (
       SELECT doc_id, u.j AS j, u.g AS g
       FROM hx, UNNEST(list_transform(
@@ -537,9 +546,7 @@ def _sql_video_phash() -> str:
                            ELSE 0 END) AS BIGINT) AS bv
       FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.j = a.j + 1
       WHERE a.j % {wpf} < {FP_BAND_BITS}
-      GROUP BY a.doc_id, a.j // {wpf}),
-    {_sql_band_tail()}
-    """
+      GROUP BY a.doc_id, a.j // {wpf})"""
 
 
 @query("dedup_video_phash", oracle=_sql_video_phash())
@@ -748,13 +755,13 @@ FPS_MOD = 50     # asset_id % MOD == 0 plays the query set
 FPS_K = 3        # results per query
 
 
-def _sql_audio_search() -> str:
-    """DuckDB twin of the fingerprint search: the SAME bits chain as
-    the pair oracle, query-side banded candidates, full 128-bit
-    Hamming re-score via summed band popcounts, per-query top-k
-    window (hamming asc, cid asc ties)."""
+def _sql_search_tail() -> str:
+    """DuckDB tail over a CTE named `bits`: query-side banded
+    candidates (every FPS_MOD-th asset plays the query set), full
+    128-bit Hamming re-score via summed band popcounts, per-query
+    top-k window (hamming asc, cid asc ties) — shared by all three
+    modality search oracles."""
     return f"""
-    WITH {_sql_audio_bits()},
     cand AS (
       SELECT DISTINCT x.doc_id AS qid, y.doc_id AS cid
       FROM bits x JOIN bits y
@@ -776,27 +783,14 @@ def _sql_audio_search() -> str:
     """
 
 
-@query("audio_fingerprint_search", oracle=_sql_audio_search())
-def audio_fingerprint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asset similarity SEARCH on the audio fingerprint index: for
-    each query asset (every 50th), the top-3 nearest assets by full
-    128-bit Hamming among its band candidates — the retrieval twin of
-    dedup_audio_fingerprint (same index, query-centric instead of
-    pair-centric: "find me assets that sound like this one"), and
-    the media analogue of minhash_search_topk.
-
-    No radius filter: candidates are whatever shares a band with the
-    query (per-bucket volume, never |Q|x|C|), re-scored exactly and
-    top-k'd per query with deterministic tie order (hamming, cid).
-    On the planted fixture every query's group-mates occupy the top
-    ranks — recall pinned by pytest. Same scale posture as the pair
-    op: one fingerprint pass, band equi-join bounded by bucket sizes,
-    then a per-query window over candidates only."""
-    sigs = (
-        fingerprint_audio_assets(spark, sf_dir)
-        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
-        .localCheckpoint(eager=False)
-    )
+def fingerprint_search_topk(sigs: DataFrame) -> DataFrame:
+    """Query-centric top-k over a two-word signature table: for each
+    query asset (asset_id % FPS_MOD == 0), the FPS_K nearest assets
+    by full 128-bit Hamming among its band candidates — the shared
+    Spark body of the image/audio/video search ops (the same banding
+    as banded_hamming_pairs2, query-filtered on one side, no radius
+    filter, per-query window with deterministic tie order). Callers
+    localCheckpoint the signature frame."""
     per_word = 64 // FP_BAND_BITS
     mask = (1 << FP_BAND_BITS) - 1
     bands = sigs.select(
@@ -832,3 +826,65 @@ def audio_fingerprint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.row_number().over(w).cast("int").alias("rnk"))
         .where(F.col("rnk") <= FPS_K)
     )
+
+
+@query("audio_fingerprint_search",
+       oracle=f"WITH {_sql_audio_bits()}, {_sql_search_tail()}")
+def audio_fingerprint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset similarity SEARCH on the audio fingerprint index: for
+    each query asset (every 50th), the top-3 nearest assets by full
+    128-bit Hamming among its band candidates — the retrieval twin of
+    dedup_audio_fingerprint (same index, query-centric instead of
+    pair-centric: "find me assets that sound like this one"), and
+    the media analogue of minhash_search_topk.
+
+    No radius filter: candidates are whatever shares a band with the
+    query (per-bucket volume, never |Q|x|C|), re-scored exactly and
+    top-k'd per query with deterministic tie order (hamming, cid).
+    On the planted fixture every query's group-mates occupy the top
+    ranks — recall pinned by pytest. Same scale posture as the pair
+    op: one fingerprint pass, band equi-join bounded by bucket sizes,
+    then a per-query window over candidates only."""
+    sigs = (
+        fingerprint_audio_assets(spark, sf_dir)
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    return fingerprint_search_topk(sigs)
+
+
+def _sql_image_search() -> str:
+    from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
+    return f"WITH {_sql_image_bits()}, {_sql_search_tail()}"
+
+
+@query("image_phash_search", oracle=_sql_image_search())
+def image_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset similarity SEARCH on the image dHash index ("find me
+    images that look like this one") — the query-centric twin of
+    dedup_image_phash, riding the shared fingerprint_search_topk
+    body and the image tier's own bits oracle."""
+    from mit_mapreduce_spark.operators.multimodal import (
+        _phash_batch, phash_image_assets,
+    )
+
+    sigs = (
+        phash_image_assets(spark, sf_dir)
+        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    return fingerprint_search_topk(sigs)
+
+
+@query("video_phash_search",
+       oracle=f"WITH {_sql_video_bits()}, {_sql_search_tail()}")
+def video_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset similarity SEARCH on the video frame-sequence index
+    ("find me videos that look like this one") — the query-centric
+    twin of dedup_video_phash on the shared search body."""
+    sigs = (
+        fingerprint_video_assets(spark, sf_dir)
+        .mapInPandas(_vfp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    return fingerprint_search_topk(sigs)

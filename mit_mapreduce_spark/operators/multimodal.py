@@ -1699,13 +1699,34 @@ def _sql_image_phash() -> str:
     as dedup_simhash_pairs argues) and per-pair Hamming via summed
     band popcounts. Fully parameterized by the grid constants — the
     r10 widening to 17x8/128-bit changed no SQL structure."""
+    return f"""
+    WITH {_sql_image_bits()},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bits x JOIN bits y
+        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT c.a, c.b,
+             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.a
+      JOIN bits y ON y.doc_id = c.b AND y.band = x.band
+      GROUP BY c.a, c.b)
+    SELECT a AS asset_a, b AS asset_b, hamming
+    FROM pairs WHERE hamming <= {PH_HAM_MAX}
+    """
+
+
+def _sql_image_bits() -> str:
+    """DuckDB CTE chain through `bits` (doc_id, band, bv) for the
+    image dHash — shared by the pair oracle above and the image
+    search oracle (mmdedup.image_phash_search)."""
     luma = (f"(299 * {_sql_byte_at('3*j')} + 587 * {_sql_byte_at('3*j + 1')}"
             f" + 114 * {_sql_byte_at('3*j + 2')}) // 1000")
     prefixes = " ".join(
         f"WHEN {v} THEN '{p}'" for v, p in enumerate(_PH_PREFIXES[:-1]))
     n_digests = (_PH_NEED + 31) // 32
-    return f"""
-    WITH p AS (
+    return f"""p AS (
       SELECT doc_id, doc_id - doc_id % {PH_GROUP} AS base,
              CAST(doc_id % {PH_GROUP} AS INT) AS v
       FROM documents),
@@ -1740,21 +1761,7 @@ def _sql_image_phash() -> str:
                            ELSE 0 END) AS BIGINT) AS bv
       FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.j = a.j + 1
       WHERE a.j % {PH_GRID_W} < {PH_GRID_W - 1}
-      GROUP BY a.doc_id, a.j // {PH_GRID_W}),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM bits x JOIN bits y
-        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-    pairs AS (
-      SELECT c.a, c.b,
-             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
-      FROM cand c
-      JOIN bits x ON x.doc_id = c.a
-      JOIN bits y ON y.doc_id = c.b AND y.band = x.band
-      GROUP BY c.a, c.b)
-    SELECT a AS asset_a, b AS asset_b, hamming
-    FROM pairs WHERE hamming <= {PH_HAM_MAX}
-    """
+      GROUP BY a.doc_id, a.j // {PH_GRID_W})"""
 
 
 @query("dedup_image_phash", oracle=_sql_image_phash())

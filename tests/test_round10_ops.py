@@ -300,17 +300,23 @@ def test_multimodal_manifest_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-# --- audio fingerprint search ---------------------------------------------------
+# --- fingerprint search (all three modalities) --------------------------------
 
-def test_audio_fingerprint_search_recall(spark, sf_dir):
-    """On the planted fixture every query asset's 3 group-mates sit
-    at Hamming <= 5 while random assets sit far away, so the top-3
+import pytest
+
+
+@pytest.mark.parametrize("opname", ["audio_fingerprint_search",
+                                    "image_phash_search",
+                                    "video_phash_search"])
+def test_fingerprint_search_recall(spark, sf_dir, opname):
+    """On the planted fixtures every query asset's 3 group-mates sit
+    at low Hamming while random assets sit far away, so the top-3
     must be exactly the group-mates (full groups); the oracle must
-    agree and the plan must stay equi-join-only."""
+    agree and the plan must stay equi-join-only. One shared Spark
+    body (fingerprint_search_topk) serves all three modalities."""
     from mit_mapreduce_spark.operators.mmdedup import FPS_K, FPS_MOD, FP_GROUP
 
-    rows = operators.QUERIES["audio_fingerprint_search"](
-        spark, sf_dir).collect()
+    rows = operators.QUERIES[opname](spark, sf_dir).collect()
     assert rows
     by_q = {}
     for r in rows:
@@ -325,11 +331,11 @@ def test_audio_fingerprint_search_recall(spark, sf_dir):
             assert [h.rnk for h in sorted(hits, key=lambda h: h.rnk)] \
                 == list(range(1, FPS_K + 1))
     ok, msg = compare(
-        operators.QUERIES["audio_fingerprint_search"](spark, sf_dir),
-        operators.ORACLES["audio_fingerprint_search"], sf_dir)
+        operators.QUERIES[opname](spark, sf_dir),
+        operators.ORACLES[opname], sf_dir)
     assert ok, msg
     plan = plans.formatted_plan(
-        operators.QUERIES["audio_fingerprint_search"](spark, sf_dir))
+        operators.QUERIES[opname](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
 
 
