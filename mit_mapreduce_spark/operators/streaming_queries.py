@@ -38,6 +38,7 @@ from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 # stateful steppers, and a missing registration is a worker-side
 # KeyError that kills streaming tasks (r9 find with multimodal).
 from mit_mapreduce_spark.operators import events as _events_batch  # noqa: F401
+from mit_mapreduce_spark.operators import mmdedup as _mmdedup_batch  # noqa: F401
 from mit_mapreduce_spark.operators import multimodal as _multimodal_batch  # noqa: F401
 from mit_mapreduce_spark.operators import sketches as _sketches_batch  # noqa: F401
 from mit_mapreduce_spark.operators.events import SESSION_GAP_US
@@ -672,3 +673,42 @@ def stream_multimodal_quarantine(spark: SparkSession,
     agg = quarantine_report_agg(
         quarantine_probes(docs_stream(spark, sf_dir)))
     return spark.table(run_stream_to_table(agg, "complete"))
+
+
+@query("stream_audio_fingerprints",
+       oracle=_mmdedup_batch._sql_audio_sigs())
+def stream_audio_fingerprints(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAMING fingerprint-at-ingest (r10): the documents manifest
+    arrives as a file stream; each micro-batch builds the WAV
+    payloads and runs the REAL decode + energy-sign fingerprint
+    kernel (the identical stateless stages batch
+    dedup_audio_fingerprint starts from), and the per-asset
+    (sig0, sig1) signature rows drain in append mode — the signature
+    table a production pipeline would maintain continuously so the
+    banded dedup join runs over an always-current index instead of
+    re-decoding the corpus per run.
+
+    Oracle = the signature-table SQL (_sql_audio_sigs): every stage
+    is stateless and append-mode emits each input row's output
+    exactly once, so the drain equals the batch signature table
+    row-for-row regardless of micro-batch boundaries. This also
+    gates the kernel's int64 PACKING directly (HUGEINT repack +
+    two's-complement wrap in SQL). 100 TB posture: zero streaming
+    state — the op is a pure per-batch map, so throughput scales
+    with executors and the only cross-batch artifact is the sink
+    table."""
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _PHASH_SCHEMA as _SIG_SCHEMA,
+    )
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _afp_batch, _fingerprint_audio_assets_from,
+    )
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    sigs = (
+        _fingerprint_audio_assets_from(docs_stream(spark, sf_dir))
+        .mapInPandas(_afp_batch, _SIG_SCHEMA)
+    )
+    return spark.table(run_stream_to_table(sigs, "append"))

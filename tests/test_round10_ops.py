@@ -355,3 +355,27 @@ def test_multimodal_manifest_shuffle_budget(spark, sf_dir):
         df = operators.QUERIES[name](spark, sf_dir)
         n = plans.shuffle_count(df)
         assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+
+
+def test_stream_audio_fingerprints_equals_batch(spark, sf_dir):
+    """The streaming fingerprint-at-ingest drain must equal the batch
+    signature table row-for-row (every stage stateless, append mode:
+    one output row per input exactly once), and match its
+    packing-verification oracle."""
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _afp_batch, _fingerprint_audio_assets_from,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+    from mit_mapreduce_spark.catalog import load_table
+
+    got = {(r.asset_id, r.sig0, r.sig1) for r in operators.QUERIES[
+        "stream_audio_fingerprints"](spark, sf_dir).collect()}
+    want = {(r.asset_id, r.sig0, r.sig1) for r in
+            _fingerprint_audio_assets_from(
+                load_table(spark, sf_dir, "documents"))
+            .mapInPandas(_afp_batch, _PHASH_SCHEMA).collect()}
+    assert got == want
+    ok, msg = compare(
+        operators.QUERIES["stream_audio_fingerprints"](spark, sf_dir),
+        operators.ORACLES["stream_audio_fingerprints"], sf_dir)
+    assert ok, msg
