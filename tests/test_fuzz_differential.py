@@ -877,8 +877,9 @@ def test_differential_fuzz_r10_media_dedup_and_manifest(spark, tmp_path):
     ops = ["dedup_audio_fingerprint", "dedup_audio_clusters",
            "dedup_audio_keep_report", "dedup_video_phash",
            "dedup_video_clusters", "dedup_video_keep_report",
-           "audio_fingerprint_search", "pipeline_multimodal_manifest",
-           "pipeline_multimodal_ready"]
+           "audio_fingerprint_search", "image_phash_search",
+           "video_phash_search", "stream_audio_fingerprints",
+           "pipeline_multimodal_manifest", "pipeline_multimodal_ready"]
     for trial in range(3):
         td = str(tmp_path / f"r10t{trial}")
         os.makedirs(td)

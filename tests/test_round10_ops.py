@@ -379,3 +379,34 @@ def test_stream_audio_fingerprints_equals_batch(spark, sf_dir):
         operators.QUERIES["stream_audio_fingerprints"](spark, sf_dir),
         operators.ORACLES["stream_audio_fingerprints"], sf_dir)
     assert ok, msg
+
+
+def test_banded_join_degenerate_bucket(spark):
+    """Pathological-corpus correctness for the shared banded join: a
+    corpus where EVERY asset has the same signature degenerates to
+    one bucket per band — the join must still return exactly C(n,2)
+    pairs at Hamming 0 (the skew case SCALE.md hands to AQE), and a
+    corpus of all-distinct random signatures must return none."""
+    from mit_mapreduce_spark.operators.dedup import banded_hamming_pairs2
+    from mit_mapreduce_spark.operators.mmdedup import (
+        FP_BANDS, FP_BAND_BITS, FP_HAM_MAX,
+    )
+
+    n = 200
+    same = spark.createDataFrame(
+        [(i, 0x0123456789ABCDEF - (1 << 63), 77) for i in range(n)],
+        "asset_id long, sig0 long, sig1 long")
+    got = banded_hamming_pairs2(same, FP_BANDS, FP_BAND_BITS,
+                                FP_HAM_MAX).collect()
+    assert len(got) == n * (n - 1) // 2
+    assert all(r.hamming == 0 for r in got)
+    import random
+    rng = random.Random(7)
+    def sig():
+        v = rng.getrandbits(64)
+        return v - (1 << 64) if v >= 1 << 63 else v
+    distinct = spark.createDataFrame(
+        [(i, sig(), sig()) for i in range(n)],
+        "asset_id long, sig0 long, sig1 long")
+    assert not banded_hamming_pairs2(distinct, FP_BANDS, FP_BAND_BITS,
+                                     FP_HAM_MAX).take(1)
