@@ -162,6 +162,21 @@ def main(sf_dir: str) -> dict:
         "assets_per_doc": 3,
     }
 
+    # fingerprint-at-ingest (r10): per micro-batch WAV build + real
+    # decode + energy-sign fingerprint, append-mode signature drain
+    # (stream_audio_fingerprints' pipeline); rows_per_sec = docs/sec
+    # through the full build -> decode -> fingerprint path.
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _afp_batch, _fingerprint_audio_assets_from,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+
+    fp_source = (spark.readStream.schema(dschema)
+                 .option("maxFilesPerTrigger", 1).parquet(dstage))
+    sigs = (_fingerprint_audio_assets_from(fp_source)
+            .mapInPandas(_afp_batch, _PHASH_SCHEMA))
+    results["audio_fingerprints"] = _drive(sigs, "append", "sb_audio_fp")
+
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
     return results
