@@ -442,7 +442,15 @@ def fingerprint_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-group signatures are independent 128-bit coins. Wrapped by
     the SAME Arrow Y4M encode kernel as video_assets, so the
     fingerprint kernel exercises the honest stdlib stream parse."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _fingerprint_video_assets_from(
+        load_table(spark, sf_dir, "documents"))
+
+
+def _fingerprint_video_assets_from(docs: DataFrame) -> DataFrame:
+    """fingerprint_video_assets body over an arbitrary documents
+    frame — stateless stages, shared by the batch fixture and the
+    streaming ingest leg (stream_video_fingerprints)."""
+    docs = docs.select("doc_id")
     raw = (
         _planted_base(docs, _VF_PREFIXES)
         .withColumn("_w", F.lit(VF_W).cast("int"))
@@ -764,35 +772,38 @@ FPS_MOD = 50     # asset_id % MOD == 0 plays the query set
 FPS_K = 3        # results per query
 
 
-def _sql_audio_sigs() -> str:
-    """DuckDB twin of the SIGNATURE TABLE itself (asset_id, sig0,
-    sig1): repack the recomputed 16-bit band values into the two
-    int64 words exactly as the kernel does — band b contributes
-    bv·2^(16·(b mod 4)) to word b div 4, accumulated in HUGEINT (the
-    top band's contribution, up to 65535·2^48, exceeds int64) and
-    wrapped to signed two's-complement. Verifies the kernel's PACKING
-    step directly, which the pair/search oracles only exercise via
-    the unpacked band values; gates the streaming ingest leg
-    (stream_audio_fingerprints)."""
+def _sql_sigs_over(bits_sql: str) -> str:
+    """DuckDB twin of a SIGNATURE TABLE itself (asset_id, sig0, sig1)
+    over any bits CTE chain: repack the recomputed 16-bit band values
+    into the two int64 words exactly as the kernels do — band b
+    contributes bv·2^(16·(b mod 4)) to word b div 4, accumulated in
+    HUGEINT (the top band's contribution, up to 65535·2^48, exceeds
+    int64) and wrapped to signed two's-complement. Verifies the
+    kernels' PACKING step directly, which the pair/search oracles
+    only exercise via the unpacked band values; gates the streaming
+    ingest legs (stream_{image,audio,video}_fingerprints)."""
     def word(lo_band: int) -> str:
-        terms = " + ".join(
+        return " + ".join(
             f"SUM(CASE WHEN band = {lo_band + slot} THEN"
             f" CAST(bv AS HUGEINT) * {1 << (16 * slot)}"
             f" ELSE 0 END)" for slot in range(4))
-        return terms
 
     def wrap(col: str) -> str:
         return (f"CAST(CASE WHEN {col} >= 9223372036854775808 THEN"
                 f" {col} - 18446744073709551616 ELSE {col} END AS BIGINT)")
 
     return f"""
-    WITH {_sql_audio_bits()},
+    WITH {bits_sql},
     sig AS (
       SELECT doc_id, {word(0)} AS s0, {word(4)} AS s1
       FROM bits GROUP BY doc_id)
     SELECT doc_id AS asset_id, {wrap('s0')} AS sig0, {wrap('s1')} AS sig1
     FROM sig
     """
+
+
+def _sql_audio_sigs() -> str:
+    return _sql_sigs_over(_sql_audio_bits())
 
 
 def _sql_search_tail() -> str:

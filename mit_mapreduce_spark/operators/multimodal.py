@@ -1605,7 +1605,15 @@ def phash_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM expressions end to end (payloads never transit the driver);
     the container wrapping is a real P6 header, so the hashing kernel
     exercises the honest stdlib decode path."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _phash_image_assets_from(
+        load_table(spark, sf_dir, "documents"))
+
+
+def _phash_image_assets_from(docs: DataFrame) -> DataFrame:
+    """phash_image_assets body over an arbitrary documents frame —
+    stateless stages, shared by the batch fixture and the streaming
+    ingest leg (stream_image_fingerprints)."""
+    docs = docs.select("doc_id")
     prefix_map = F.element_at(
         F.array(*[F.lit(p) for p in _PH_PREFIXES]),
         (F.col("doc_id") % PH_GROUP + 1).cast("int"))

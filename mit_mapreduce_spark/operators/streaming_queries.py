@@ -712,3 +712,50 @@ def stream_audio_fingerprints(spark: SparkSession,
         .mapInPandas(_afp_batch, _SIG_SCHEMA)
     )
     return spark.table(run_stream_to_table(sigs, "append"))
+
+
+def _sql_image_sigs() -> str:
+    from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
+    return _mmdedup_batch._sql_sigs_over(_sql_image_bits())
+
+
+@query("stream_image_fingerprints", oracle=_sql_image_sigs())
+def stream_image_fingerprints(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAMING image fingerprint-at-ingest: per micro-batch PPM
+    build + real stdlib pixel decode + 128-bit dHash, append-mode
+    signature drain — the image leg of the continuously-maintained
+    dedup index (see stream_audio_fingerprints for the argument:
+    stateless stages + append mode = batch-equal drain; the oracle
+    additionally gates the int64 packing)."""
+    from mit_mapreduce_spark.operators.multimodal import (
+        _PHASH_SCHEMA, _phash_batch, _phash_image_assets_from,
+    )
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    sigs = (_phash_image_assets_from(docs_stream(spark, sf_dir))
+            .mapInPandas(_phash_batch, _PHASH_SCHEMA))
+    return spark.table(run_stream_to_table(sigs, "append"))
+
+
+@query("stream_video_fingerprints",
+       oracle=_mmdedup_batch._sql_sigs_over(
+           _mmdedup_batch._sql_video_bits()))
+def stream_video_fingerprints(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAMING video fingerprint-at-ingest: per micro-batch Y4M
+    build + real frame extraction + per-frame block-sum dHash,
+    append-mode signature drain — the video leg of the
+    continuously-maintained dedup index (same stateless/append
+    argument and packing-gated oracle as the audio/image legs)."""
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _fingerprint_video_assets_from, _vfp_batch,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    sigs = (_fingerprint_video_assets_from(docs_stream(spark, sf_dir))
+            .mapInPandas(_vfp_batch, _PHASH_SCHEMA))
+    return spark.table(run_stream_to_table(sigs, "append"))

@@ -410,3 +410,31 @@ def test_banded_join_degenerate_bucket(spark):
         "asset_id long, sig0 long, sig1 long")
     assert not banded_hamming_pairs2(distinct, FP_BANDS, FP_BAND_BITS,
                                      FP_HAM_MAX).take(1)
+
+
+def test_stream_image_video_fingerprints_equal_batch(spark, sf_dir):
+    """The image/video streaming signature drains must equal their
+    batch signature tables row-for-row and match the packing-gated
+    oracles (same argument as the audio leg)."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _fingerprint_video_assets_from, _vfp_batch,
+    )
+    from mit_mapreduce_spark.operators.multimodal import (
+        _PHASH_SCHEMA, _phash_batch, _phash_image_assets_from,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for opname, build, kernel in (
+            ("stream_image_fingerprints", _phash_image_assets_from,
+             _phash_batch),
+            ("stream_video_fingerprints", _fingerprint_video_assets_from,
+             _vfp_batch)):
+        got = {(r.asset_id, r.sig0, r.sig1) for r in
+               operators.QUERIES[opname](spark, sf_dir).collect()}
+        want = {(r.asset_id, r.sig0, r.sig1) for r in
+                build(docs).mapInPandas(kernel, _PHASH_SCHEMA).collect()}
+        assert got == want, opname
+        ok, msg = compare(operators.QUERIES[opname](spark, sf_dir),
+                          operators.ORACLES[opname], sf_dir)
+        assert ok, (opname, msg)
