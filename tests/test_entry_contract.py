@@ -134,9 +134,10 @@ def test_streaming_drains_reuse_batch_twin_oracles():
             == ORACLES["event_transitions"])
     assert (ORACLES["stream_multimodal_quarantine"]
             == ORACLES["multimodal_quarantine_report"])
-    # and all eleven deterministic drains are oracle-bearing (r8
+    # and all fourteen deterministic drains are oracle-bearing (r8
     # session 2 added the sequence-stepper twin, r9 the multimodal
-    # ingest audit); only the order-dependent sketch stays rows-only
+    # ingest audit, r10 the three fingerprint-at-ingest legs); only
+    # the order-dependent sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 11
+    assert len(streaming) == 14
     assert "stream_heavy_hitters" not in ORACLES
