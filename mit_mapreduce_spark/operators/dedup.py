@@ -465,73 +465,6 @@ def min_label_components(pairs: DataFrame, a: str, b: str,
     return labels
 
 
-def banded_hamming_pairs2(sigs: DataFrame, n_bands: int, band_bits: int,
-                          ham_max: int) -> DataFrame:
-    """Near-duplicate (asset_a, asset_b, hamming) pairs from a
-    two-word signature table (asset_id, sig0, sig1) — the shared
-    banded-Hamming join behind the image/audio/video perceptual
-    near-dup tiers (r10: one implementation instead of three copies
-    of the dedup_simhash_pairs shape).
-
-    The 2·64-bit signature is cut into n_bands bands of band_bits
-    bits (the low words first: band b lives in sig0 when
-    b < 64/band_bits, else sig1); candidates come from an
-    equi-self-join on (band, band_value) — pigeonhole-lossless for
-    radius ham_max when ham_max < n_bands — and the Hamming filter
-    sums exactly two popcounts over four join-output attributes: the
-    packed form that keeps Catalyst constraint inference O(1) and
-    the filter pushable into the join output stream (the r9
-    SCALE.md find). Callers localCheckpoint the signature frame so
-    the kernel runs once, not once per join leg."""
-    per_word = 64 // band_bits
-    assert n_bands <= 2 * per_word and ham_max < n_bands
-    mask = (1 << band_bits) - 1
-    bands = sigs.select(
-        "asset_id", "sig0", "sig1",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"),
-    ).select(
-        "asset_id", "sig0", "sig1", "b",
-        F.expr(
-            f"shiftright(if(b < {per_word}, sig0, sig1),"
-            f" (b % {per_word}) * {band_bits}) & {mask}"
-        ).alias("bv"),
-    )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(y, (F.col("x.b") == F.col("y.b"))
-               & (F.col("x.bv") == F.col("y.bv"))
-               & (F.col("x.asset_id") < F.col("y.asset_id")))
-        .select(F.col("x.asset_id").alias("asset_a"),
-                F.col("y.asset_id").alias("asset_b"),
-                F.col("x.sig0").alias("sa0"), F.col("x.sig1").alias("sa1"),
-                F.col("y.sig0").alias("sb0"), F.col("y.sig1").alias("sb1"))
-        .distinct()
-    )
-    ham = (F.bit_count(F.col("sa0").bitwiseXOR(F.col("sb0")))
-           + F.bit_count(F.col("sa1").bitwiseXOR(F.col("sb1"))))
-    return (
-        cand.select("asset_a", "asset_b", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= ham_max)
-    )
-
-
-def label_with_singletons(entities: DataFrame, id_col: str,
-                          pairs: DataFrame, a: str, b: str) -> DataFrame:
-    """(id_col, cluster_id) over EVERY entity: min-label connected
-    components over the pair graph's vertex set only (near-dup
-    vertices « corpus), then one left join that defaults pair-free
-    entities to singleton clusters — the shared decision step of the
-    image/audio/video near-dup tiers."""
-    labels = min_label_components(pairs, a, b)
-    return (
-        entities.join(labels, entities[id_col] == labels.vertex, "left")
-        .select(entities[id_col].alias(id_col),
-                F.coalesce("cluster_id", entities[id_col])
-                .alias("cluster_id"))
-    )
-
-
 def _sql_cc() -> str:
     pairs = f"SELECT doc_a, doc_b FROM ({_sql_minhash_pipeline()})"
     return f"""

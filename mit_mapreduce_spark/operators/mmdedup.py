@@ -22,11 +22,12 @@ text tier has MinHash/SimHash, the image tier has dHash
   near-dup videos that differ in a few frames still agree on the
   untouched frames' bands, so the banded join surfaces them.
 
-Both tiers then ride the SAME machinery as the image tier:
-dedup.banded_hamming_pairs2 (16-bit-band equi-join, pigeonhole-
-lossless at radius 7, Hamming as two popcounts over packed words)
-and dedup.label_with_singletons (min-label CC + singleton fill),
-with keep reports per language.
+Both tiers then ride the SAME machinery as the image tier —
+operators/banding.py: banded_hamming_pairs2 (16-bit-band equi-join,
+pigeonhole-lossless at radius 7, Hamming as two popcounts over
+packed words), label_with_singletons (min-label CC + singleton
+fill), fingerprint_search_topk, keep_report_frame, and the oracle
+text builders — one implementation for image/audio/video.
 
 Like the image tier, near-dup structure must be PLANTED: hashing
 text destroys similarity, so the fixtures build variant groups of 4
@@ -60,8 +61,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mit_mapreduce_spark.catalog import fan_out, load_table
-from mit_mapreduce_spark.operators.dedup import (
-    banded_hamming_pairs2, label_with_singletons,
+from mit_mapreduce_spark.operators.banding import (
+    banded_hamming_pairs2, fingerprint_search_topk, keep_report_frame,
+    label_with_singletons, planted_base, planted_chain_expr, sql_band_tail,
+    sql_byte_at, sql_cc_over, sql_keep_report_over, sql_planted_hex,
+    sql_search_tail, sql_sigs_over,
 )
 from mit_mapreduce_spark.operators.multimodal import (
     _AUDIO_SCHEMA, _VIDEO_SCHEMA, _encode_audio_batch, _encode_video_batch,
@@ -74,157 +78,6 @@ FP_BANDS = PH_BANDS                 # 8 bands...
 FP_BAND_BITS = PH_BAND_BITS         # ...of 16 bits = 128-bit signatures
 FP_HAM_MAX = PH_HAM_MAX             # radius 7: pigeonhole-lossless
 FP_GROUP = PH_GROUP                 # planted variant groups of 4
-
-_HEXPOS = "strpos('0123456789abcdef', substr(hex, CAST({p} AS INT), 1)) - 1"
-
-
-def _planted_chain_expr(seed: str, need: int, unit_bytes: int) -> "F.Column":
-    """Spark expr: prefix(v) ‖ chain(base)[unit_bytes·v ..] sliced to
-    `need` total bytes — the planted-variant payload construction
-    shared by all three perceptual fixtures (expects _base/_v/_pfx
-    columns; the prefix hex must be unit_bytes·v bytes long so every
-    variant's payload stays exactly `need` bytes)."""
-    n_digests = (need + 31) // 32
-    return F.expr(
-        f"concat(unhex(_pfx), substring("
-        f"substring(unhex(concat_ws('', transform(sequence(0, {n_digests - 1}),"
-        f" i -> sha2(concat('{seed}', cast(_base as string), '|',"
-        f" cast(i as string)), 256)))), 1, {need}),"
-        f" {unit_bytes} * _v + 1, {need} - {unit_bytes} * _v))")
-
-
-def _planted_base(docs: DataFrame, prefixes: tuple[str, ...]) -> DataFrame:
-    """Adds the planted-group columns: _base (group chain seed),
-    _v (variant 0..FP_GROUP-1), _pfx (this variant's overwrite hex)."""
-    prefix_map = F.element_at(
-        F.array(*[F.lit(p) for p in prefixes]),
-        (F.col("doc_id") % FP_GROUP + 1).cast("int"))
-    return (
-        docs
-        .withColumn("_base", F.col("doc_id") - F.col("doc_id") % FP_GROUP)
-        .withColumn("_v", (F.col("doc_id") % FP_GROUP).cast("int"))
-        .withColumn("_pfx", prefix_map)
-    )
-
-
-def _sql_planted_hex(seed: str, need: int, unit_bytes: int,
-                     prefixes: tuple[str, ...]) -> str:
-    """DuckDB CTE text (p, ch, hx): rebuild each asset's payload hex
-    from the group chain + variant prefix — the oracle-side twin of
-    _planted_chain_expr. hx carries (doc_id, hex, jmax); jmax is the
-    byte/sample index bound threaded through a COLUMN because a
-    literal bound constant-folds DuckDB's list out of row context
-    (the lambda-correlation gotcha, see _sql_image_phash)."""
-    n_digests = (need + 31) // 32
-    cases = " ".join(
-        f"WHEN {v} THEN '{p}'" for v, p in enumerate(prefixes[:-1]))
-    return f"""
-    p AS (
-      SELECT doc_id, doc_id - doc_id % {FP_GROUP} AS base,
-             CAST(doc_id % {FP_GROUP} AS INT) AS v
-      FROM documents),
-    ch AS (
-      SELECT doc_id, v,
-             substr(array_to_string(list_transform(
-                      generate_series(0, {n_digests - 1}),
-                      i -> sha256('{seed}' || CAST(base AS VARCHAR) || '|'
-                                  || CAST(i AS VARCHAR))), ''),
-                    1, {need * 2}) AS chain
-      FROM p),
-    hx AS (
-      SELECT doc_id,
-             (CASE v {cases} ELSE '{prefixes[-1]}' END)
-             || substr(chain, {unit_bytes} * v * 2 + 1,
-                       ({need} - {unit_bytes} * v) * 2) AS hex,
-             {need - 1} AS jmax
-      FROM ch)"""
-
-
-def _sql_band_tail() -> str:
-    """DuckDB tail over a CTE named `bits` (doc_id, band, bv): banded
-    candidates + per-pair Hamming via summed band popcounts — shared
-    verbatim by the audio and video oracles (and structurally
-    identical to the image tier's)."""
-    return f"""
-    cand AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM bits x JOIN bits y
-        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-    pairs AS (
-      SELECT c.a, c.b,
-             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
-      FROM cand c
-      JOIN bits x ON x.doc_id = c.a
-      JOIN bits y ON y.doc_id = c.b AND y.band = x.band
-      GROUP BY c.a, c.b)
-    SELECT a AS asset_a, b AS asset_b, hamming
-    FROM pairs WHERE hamming <= {FP_HAM_MAX}
-    """
-
-
-def _sql_cc_over(pairs_sql: str) -> str:
-    """DuckDB recursive transitive closure over a pair query — the
-    declarative check of the iterative min-label loop (the
-    dedup_image_clusters oracle pattern, parameterized)."""
-    return f"""
-    WITH RECURSIVE base AS ({pairs_sql}),
-    und AS (
-      SELECT asset_a AS a, asset_b AS b FROM base
-      UNION ALL
-      SELECT asset_b AS a, asset_a AS b FROM base
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    )
-    SELECT d.doc_id AS asset_id,
-           CAST(LEAST(d.doc_id,
-                COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
-                         d.doc_id)) AS BIGINT) AS cluster_id
-    FROM documents d
-    """
-
-
-def _sql_keep_report_over(cc_sql: str) -> str:
-    """DuckDB per-language keep report over a cluster query (keeper =
-    the min-id member) — shared by the audio/video keep reports."""
-    return f"""
-    SELECT d.lang,
-           CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 0 ELSE 1 END)
-                AS BIGINT) AS n_removed,
-           CAST(CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0
-                         END) AS DOUBLE) / COUNT(*) AS DOUBLE) AS kept_frac
-    FROM documents d
-    JOIN ({cc_sql}) c ON c.asset_id = d.doc_id
-    GROUP BY d.lang
-    """
-
-
-def _keep_report(spark: SparkSession, sf_dir: str,
-                 clusters: DataFrame) -> DataFrame:
-    """Per-language keep/drop rollup over a (asset_id, cluster_id)
-    table: keep the canonical (min-id) member of every cluster — the
-    Spark twin of _sql_keep_report_over, shared by the audio/video
-    keep reports (the dedup_image_keep_report shape)."""
-    docs = load_table(spark, sf_dir, "documents") \
-        .select(F.col("doc_id").alias("asset_id"), "lang")
-    kept = F.col("cluster_id") == F.col("asset_id")
-    per = docs.join(clusters, "asset_id")
-    return (
-        per.groupBy("lang")
-        .agg(F.count("*").cast("bigint").alias("n_assets"),
-             F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
-             F.sum((~kept).cast("long")).cast("bigint").alias("n_removed"))
-        .select("lang", "n_assets", "n_kept", "n_removed",
-                (F.col("n_kept").cast("double")
-                 / F.col("n_assets").cast("double"))
-                .cast("double").alias("kept_frac"))
-    )
-
 
 # --- AUDIO fingerprint tier ------------------------------------------------
 
@@ -263,12 +116,12 @@ def _fingerprint_audio_assets_from(docs: DataFrame) -> DataFrame:
     (stream_audio_fingerprints)."""
     docs = docs.select("doc_id")
     raw = (
-        _planted_base(docs, _AF_PREFIXES)
+        planted_base(docs, _AF_PREFIXES, FP_GROUP)
         .withColumn("_rate", F.lit(AF_RATE).cast("int"))
         .withColumn("_ch", F.lit(1).cast("int"))
         .withColumn("lang", F.lit(""))
         .select(F.col("doc_id").alias("asset_id"), "_rate", "_ch", "lang",
-                _planted_chain_expr("afp", _AF_NEED, _AF_UNIT).alias("pcm"))
+                planted_chain_expr("afp", _AF_NEED, _AF_UNIT).alias("pcm"))
     )
     return (
         fan_out(raw).mapInPandas(_encode_audio_batch, _AUDIO_SCHEMA)
@@ -298,7 +151,14 @@ def _afp_batch(
             dec = decode_wav(bytes(payload))
             if dec is None:
                 continue
-            _, channels, _, pcm = dec
+            _, channels, bits_, pcm = dec
+            # the fingerprint is defined over 16-bit PCM; other bit
+            # depths quarantine like undecodable payloads (an odd-size
+            # 8-bit data chunk would otherwise kill the task in
+            # frombuffer, and an even one would be silently
+            # mis-fingerprinted as int16)
+            if bits_ != 16 or len(pcm) % 2:
+                continue
             a = np.frombuffer(pcm, "<i2").astype(np.int64)
             ch0 = a[::channels] if channels else a
             if len(ch0) < AF_WINDOWS:
@@ -333,7 +193,7 @@ def _sql_audio_fingerprint() -> str:
     division, then the shared banded tail."""
     return f"""
     WITH {_sql_audio_bits()},
-    {_sql_band_tail()}
+    {sql_band_tail(FP_HAM_MAX)}
     """
 
 
@@ -341,11 +201,9 @@ def _sql_audio_bits() -> str:
     """DuckDB CTE chain through `bits` (doc_id, band, bv) for the
     audio fingerprint — shared by the pair oracle and the search
     oracle."""
-    lo = (f"({_HEXPOS.format(p='4*s + 1')}) * 16"
-          f" + ({_HEXPOS.format(p='4*s + 2')})")
-    hi = (f"({_HEXPOS.format(p='4*s + 3')}) * 16"
-          f" + ({_HEXPOS.format(p='4*s + 4')})")
-    return f"""{_sql_planted_hex("afp", _AF_NEED, _AF_UNIT, _AF_PREFIXES)},
+    lo = sql_byte_at("4*s")
+    hi = sql_byte_at("4*s + 2")
+    return f"""{sql_planted_hex("afp", _AF_NEED, _AF_UNIT, _AF_PREFIXES, FP_GROUP)},
     vals AS (
       SELECT doc_id, u.s AS s,
              CASE WHEN u.vv >= 32768 THEN u.vv - 65536 ELSE u.vv END
@@ -395,7 +253,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_audio_clusters",
-       oracle=_sql_cc_over(_sql_audio_fingerprint()))
+       oracle=sql_cc_over(_sql_audio_fingerprint()))
 def dedup_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO near-duplicate CLUSTERS: connected components of the
     fingerprint pair graph (cluster_id = min asset_id; pair-free
@@ -411,13 +269,13 @@ def dedup_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_audio_keep_report",
-       oracle=_sql_keep_report_over(_sql_cc_over(_sql_audio_fingerprint())))
+       oracle=sql_keep_report_over(sql_cc_over(_sql_audio_fingerprint())))
 def dedup_audio_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio-dedup DECISION: keep the canonical (min-id) asset of
     every fingerprint cluster, drop the rest, report per language —
     the multimodal pillar's sign-off number for audio, composing
     dedup_audio_clusters with one manifest join + rollup."""
-    return _keep_report(spark, sf_dir, dedup_audio_clusters(spark, sf_dir))
+    return keep_report_frame(spark, sf_dir, dedup_audio_clusters(spark, sf_dir))
 
 
 # --- VIDEO frame-sequence dHash tier ---------------------------------------
@@ -452,7 +310,7 @@ def _fingerprint_video_assets_from(docs: DataFrame) -> DataFrame:
     streaming ingest leg (stream_video_fingerprints)."""
     docs = docs.select("doc_id")
     raw = (
-        _planted_base(docs, _VF_PREFIXES)
+        planted_base(docs, _VF_PREFIXES, FP_GROUP)
         .withColumn("_w", F.lit(VF_W).cast("int"))
         .withColumn("_h", F.lit(VF_H).cast("int"))
         .withColumn("_nf", F.lit(VF_FRAMES).cast("int"))
@@ -460,7 +318,7 @@ def _fingerprint_video_assets_from(docs: DataFrame) -> DataFrame:
         .withColumn("lang", F.lit(""))
         .select(F.col("doc_id").alias("asset_id"), "_w", "_h", "_nf",
                 "_fps", "lang",
-                _planted_chain_expr("vfp", _VF_NEED, 1).alias("yuv"))
+                planted_chain_expr("vfp", _VF_NEED, 1).alias("yuv"))
     )
     return (
         fan_out(raw).mapInPandas(_encode_video_batch, _VIDEO_SCHEMA)
@@ -538,7 +396,7 @@ def _sql_video_phash() -> str:
     the image-oracle bit/band construction and the shared tail."""
     return f"""
     WITH {_sql_video_bits()},
-    {_sql_band_tail()}
+    {sql_band_tail(FP_HAM_MAX)}
     """
 
 
@@ -548,9 +406,8 @@ def _sql_video_bits() -> str:
     search oracle."""
     wpf = FP_BAND_BITS + 1
     off = f"((j // {wpf}) * {_VF_FRAME_BYTES} + j % {wpf})"
-    byte_at = (f"({_HEXPOS.format(p=f'2*{off} + 1')}) * 16"
-               f" + ({_HEXPOS.format(p=f'2*{off} + 2')})")
-    return f"""{_sql_planted_hex("vfp", _VF_NEED, 1, _VF_PREFIXES)},
+    byte_at = sql_byte_at(f"2*{off}")
+    return f"""{sql_planted_hex("vfp", _VF_NEED, 1, _VF_PREFIXES, FP_GROUP)},
     g AS (
       SELECT doc_id, u.j AS j, u.g AS g
       FROM hx, UNNEST(list_transform(
@@ -590,7 +447,7 @@ def dedup_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs2(sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)
 
 
-@query("dedup_video_clusters", oracle=_sql_cc_over(_sql_video_phash()))
+@query("dedup_video_clusters", oracle=sql_cc_over(_sql_video_phash()))
 def dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO near-duplicate CLUSTERS: connected components of the
     frame-sequence phash pair graph with singleton fill — the shared
@@ -603,12 +460,12 @@ def dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_video_keep_report",
-       oracle=_sql_keep_report_over(_sql_cc_over(_sql_video_phash())))
+       oracle=sql_keep_report_over(sql_cc_over(_sql_video_phash())))
 def dedup_video_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video-dedup DECISION: keep the canonical (min-id) asset of
     every cluster, drop the rest, report per language — composing
     dedup_video_clusters with one manifest join + rollup."""
-    return _keep_report(spark, sf_dir, dedup_video_clusters(spark, sf_dir))
+    return keep_report_frame(spark, sf_dir, dedup_video_clusters(spark, sf_dir))
 
 
 # --- cross-modality keep manifest -------------------------------------------
@@ -643,9 +500,9 @@ def _sql_manifest() -> str:
     JOIN fdoc fd ON fd.doc_id = d.doc_id
     JOIN ({_sql_cc()}) tc ON tc.doc_id = d.doc_id
     JOIN ({_sql_image_cc()}) ic ON ic.asset_id = d.doc_id
-    JOIN ({_sql_cc_over(_sql_audio_fingerprint())}) ac
+    JOIN ({sql_cc_over(_sql_audio_fingerprint())}) ac
       ON ac.asset_id = d.doc_id
-    JOIN ({_sql_cc_over(_sql_video_phash())}) vc
+    JOIN ({sql_cc_over(_sql_video_phash())}) vc
       ON vc.asset_id = d.doc_id
     """
 
@@ -772,115 +629,12 @@ FPS_MOD = 50     # asset_id % MOD == 0 plays the query set
 FPS_K = 3        # results per query
 
 
-def _sql_sigs_over(bits_sql: str) -> str:
-    """DuckDB twin of a SIGNATURE TABLE itself (asset_id, sig0, sig1)
-    over any bits CTE chain: repack the recomputed 16-bit band values
-    into the two int64 words exactly as the kernels do — band b
-    contributes bv·2^(16·(b mod 4)) to word b div 4, accumulated in
-    HUGEINT (the top band's contribution, up to 65535·2^48, exceeds
-    int64) and wrapped to signed two's-complement. Verifies the
-    kernels' PACKING step directly, which the pair/search oracles
-    only exercise via the unpacked band values; gates the streaming
-    ingest legs (stream_{image,audio,video}_fingerprints)."""
-    def word(lo_band: int) -> str:
-        return " + ".join(
-            f"SUM(CASE WHEN band = {lo_band + slot} THEN"
-            f" CAST(bv AS HUGEINT) * {1 << (16 * slot)}"
-            f" ELSE 0 END)" for slot in range(4))
-
-    def wrap(col: str) -> str:
-        return (f"CAST(CASE WHEN {col} >= 9223372036854775808 THEN"
-                f" {col} - 18446744073709551616 ELSE {col} END AS BIGINT)")
-
-    return f"""
-    WITH {bits_sql},
-    sig AS (
-      SELECT doc_id, {word(0)} AS s0, {word(4)} AS s1
-      FROM bits GROUP BY doc_id)
-    SELECT doc_id AS asset_id, {wrap('s0')} AS sig0, {wrap('s1')} AS sig1
-    FROM sig
-    """
-
-
 def _sql_audio_sigs() -> str:
-    return _sql_sigs_over(_sql_audio_bits())
-
-
-def _sql_search_tail() -> str:
-    """DuckDB tail over a CTE named `bits`: query-side banded
-    candidates (every FPS_MOD-th asset plays the query set), full
-    128-bit Hamming re-score via summed band popcounts, per-query
-    top-k window (hamming asc, cid asc ties) — shared by all three
-    modality search oracles."""
-    return f"""
-    cand AS (
-      SELECT DISTINCT x.doc_id AS qid, y.doc_id AS cid
-      FROM bits x JOIN bits y
-        ON x.band = y.band AND x.bv = y.bv AND y.doc_id <> x.doc_id
-      WHERE x.doc_id % {FPS_MOD} = 0),
-    scored AS (
-      SELECT c.qid, c.cid,
-             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
-      FROM cand c
-      JOIN bits x ON x.doc_id = c.qid
-      JOIN bits y ON y.doc_id = c.cid AND y.band = x.band
-      GROUP BY c.qid, c.cid),
-    ranked AS (
-      SELECT qid, cid, hamming,
-             CAST(row_number() OVER (PARTITION BY qid
-                  ORDER BY hamming, cid) AS INT) AS rnk
-      FROM scored)
-    SELECT qid, cid, hamming, rnk FROM ranked WHERE rnk <= {FPS_K}
-    """
-
-
-def fingerprint_search_topk(sigs: DataFrame) -> DataFrame:
-    """Query-centric top-k over a two-word signature table: for each
-    query asset (asset_id % FPS_MOD == 0), the FPS_K nearest assets
-    by full 128-bit Hamming among its band candidates — the shared
-    Spark body of the image/audio/video search ops (the same banding
-    as banded_hamming_pairs2, query-filtered on one side, no radius
-    filter, per-query window with deterministic tie order). Callers
-    localCheckpoint the signature frame."""
-    per_word = 64 // FP_BAND_BITS
-    mask = (1 << FP_BAND_BITS) - 1
-    bands = sigs.select(
-        "asset_id", "sig0", "sig1",
-        F.explode(F.sequence(F.lit(0), F.lit(FP_BANDS - 1))).alias("b"),
-    ).select(
-        "asset_id", "sig0", "sig1", "b",
-        F.expr(
-            f"shiftright(if(b < {per_word}, sig0, sig1),"
-            f" (b % {per_word}) * {FP_BAND_BITS}) & {mask}"
-        ).alias("bv"),
-    )
-    qb = (bands.where(F.col("asset_id") % FPS_MOD == 0)
-          .select(F.col("asset_id").alias("qid"),
-                  F.col("sig0").alias("qs0"), F.col("sig1").alias("qs1"),
-                  "b", "bv"))
-    cb = bands.select(F.col("asset_id").alias("cid"),
-                      F.col("sig0").alias("cs0"),
-                      F.col("sig1").alias("cs1"), "b", "bv")
-    cand = (
-        qb.join(cb, ["b", "bv"])
-        .where(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", "qs0", "qs1", "cs0", "cs1")
-        .distinct()
-    )
-    ham = (F.bit_count(F.col("qs0").bitwiseXOR(F.col("cs0")))
-           + F.bit_count(F.col("qs1").bitwiseXOR(F.col("cs1"))))
-    scored = cand.select("qid", "cid", ham.cast("int").alias("hamming"))
-    from pyspark.sql import Window as W
-    w = W.partitionBy("qid").orderBy("hamming", "cid")
-    return (
-        scored.select("qid", "cid", "hamming",
-                      F.row_number().over(w).cast("int").alias("rnk"))
-        .where(F.col("rnk") <= FPS_K)
-    )
+    return sql_sigs_over(_sql_audio_bits())
 
 
 @query("audio_fingerprint_search",
-       oracle=f"WITH {_sql_audio_bits()}, {_sql_search_tail()}")
+       oracle=f"WITH {_sql_audio_bits()}, {sql_search_tail(FPS_MOD, FPS_K)}")
 def audio_fingerprint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset similarity SEARCH on the audio fingerprint index: for
     each query asset (every 50th), the top-3 nearest assets by full
@@ -901,12 +655,13 @@ def audio_fingerprint_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_afp_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    return fingerprint_search_topk(sigs)
+    return fingerprint_search_topk(sigs, FP_BANDS, FP_BAND_BITS,
+                                   FPS_MOD, FPS_K)
 
 
 def _sql_image_search() -> str:
     from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
-    return f"WITH {_sql_image_bits()}, {_sql_search_tail()}"
+    return f"WITH {_sql_image_bits()}, {sql_search_tail(FPS_MOD, FPS_K)}"
 
 
 @query("image_phash_search", oracle=_sql_image_search())
@@ -924,11 +679,12 @@ def image_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_phash_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    return fingerprint_search_topk(sigs)
+    return fingerprint_search_topk(sigs, FP_BANDS, FP_BAND_BITS,
+                                   FPS_MOD, FPS_K)
 
 
 @query("video_phash_search",
-       oracle=f"WITH {_sql_video_bits()}, {_sql_search_tail()}")
+       oracle=f"WITH {_sql_video_bits()}, {sql_search_tail(FPS_MOD, FPS_K)}")
 def video_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset similarity SEARCH on the video frame-sequence index
     ("find me videos that look like this one") — the query-centric
@@ -938,4 +694,5 @@ def video_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_vfp_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    return fingerprint_search_topk(sigs)
+    return fingerprint_search_topk(sigs, FP_BANDS, FP_BAND_BITS,
+                                   FPS_MOD, FPS_K)

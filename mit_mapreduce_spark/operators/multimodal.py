@@ -60,6 +60,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mit_mapreduce_spark.catalog import fan_out, load_table
+from mit_mapreduce_spark.operators.banding import (
+    banded_hamming_pairs2, keep_report_frame, label_with_singletons,
+    planted_base, planted_chain_expr, sql_band_tail, sql_cc_over,
+    sql_keep_report_over, sql_planted_hex,
+)
 from mit_mapreduce_spark.functions.imagecodec import (
     decode_image, resize_nearest,
 )
@@ -1613,23 +1618,8 @@ def _phash_image_assets_from(docs: DataFrame) -> DataFrame:
     """phash_image_assets body over an arbitrary documents frame —
     stateless stages, shared by the batch fixture and the streaming
     ingest leg (stream_image_fingerprints)."""
-    docs = docs.select("doc_id")
-    prefix_map = F.element_at(
-        F.array(*[F.lit(p) for p in _PH_PREFIXES]),
-        (F.col("doc_id") % PH_GROUP + 1).cast("int"))
-    raw = (
-        docs
-        .withColumn("_base", F.col("doc_id") - F.col("doc_id") % PH_GROUP)
-        .withColumn("_v", (F.col("doc_id") % PH_GROUP).cast("int"))
-        .withColumn("_pfx", prefix_map)
-    )
-    n_digests = (_PH_NEED + 31) // 32
-    pix = F.expr(
-        f"concat(unhex(_pfx), substring("
-        f"substring(unhex(concat_ws('', transform(sequence(0, {n_digests - 1}),"
-        f" i -> sha2(concat('ph', cast(_base as string), '|',"
-        f" cast(i as string)), 256)))), 1, {_PH_NEED}),"
-        f" 3 * _v + 1, {_PH_NEED} - 3 * _v))")
+    raw = planted_base(docs.select("doc_id"), _PH_PREFIXES, PH_GROUP)
+    pix = planted_chain_expr("ph", _PH_NEED, 3)
     header = F.encode(
         F.lit(f"P6\n{PH_GRID_W} {PH_GRID_H}\n255\n"), "UTF-8")
     return fan_out(raw).select(
@@ -1709,19 +1699,7 @@ def _sql_image_phash() -> str:
     r10 widening to 17x8/128-bit changed no SQL structure."""
     return f"""
     WITH {_sql_image_bits()},
-    cand AS (
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM bits x JOIN bits y
-        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-    pairs AS (
-      SELECT c.a, c.b,
-             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
-      FROM cand c
-      JOIN bits x ON x.doc_id = c.a
-      JOIN bits y ON y.doc_id = c.b AND y.band = x.band
-      GROUP BY c.a, c.b)
-    SELECT a AS asset_a, b AS asset_b, hamming
-    FROM pairs WHERE hamming <= {PH_HAM_MAX}
+    {sql_band_tail(PH_HAM_MAX)}
     """
 
 
@@ -1731,36 +1709,13 @@ def _sql_image_bits() -> str:
     search oracle (mmdedup.image_phash_search)."""
     luma = (f"(299 * {_sql_byte_at('3*j')} + 587 * {_sql_byte_at('3*j + 1')}"
             f" + 114 * {_sql_byte_at('3*j + 2')}) // 1000")
-    prefixes = " ".join(
-        f"WHEN {v} THEN '{p}'" for v, p in enumerate(_PH_PREFIXES[:-1]))
-    n_digests = (_PH_NEED + 31) // 32
-    return f"""p AS (
-      SELECT doc_id, doc_id - doc_id % {PH_GROUP} AS base,
-             CAST(doc_id % {PH_GROUP} AS INT) AS v
-      FROM documents),
-    ch AS (
-      SELECT doc_id, v,
-             substr(array_to_string(list_transform(
-                      generate_series(0, {n_digests - 1}),
-                      i -> sha256('ph' || CAST(base AS VARCHAR) || '|'
-                                  || CAST(i AS VARCHAR))), ''),
-                    1, {_PH_NEED * 2}) AS chain
-      FROM p),
-    hx AS (
-      SELECT doc_id,
-             (CASE v {prefixes} ELSE '{_PH_PREFIXES[-1]}' END)
-             || substr(chain, 3 * v * 2 + 1, ({_PH_NEED} - 3 * v) * 2)
-               AS hex,
-             -- the series bound must be a COLUMN: DuckDB binds lambda
-             -- references to outer columns (hex) only when the list
-             -- expression is row-correlated, and a literal bound
-             -- constant-folds the whole list out of row context
-             {PH_GRID_W * PH_GRID_H - 1} AS jmax
-      FROM ch),
+    # jmax from sql_planted_hex is the BYTE bound (3 bytes per pixel);
+    # the pixel-index series bound is (jmax + 1) // 3 - 1
+    return f"""{sql_planted_hex("ph", _PH_NEED, 3, _PH_PREFIXES, PH_GROUP)},
     g AS (
       SELECT doc_id, u.j AS j, u.g AS g
       FROM hx, UNNEST(list_transform(
-             generate_series(0, jmax),
+             generate_series(0, (jmax + 1) // 3 - 1),
              j -> struct_pack(j := j, g := {luma}))) AS t(u)),
     bits AS (
       SELECT a.doc_id, a.j // {PH_GRID_W} AS band,
@@ -1805,8 +1760,6 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew machinery. The oracle recomputes decode, hash, banding,
     and Hamming from the sha256 chain entirely in SQL, and a crafted
     pytest checks the banded result against a quadratic brute force."""
-    from mit_mapreduce_spark.operators.dedup import banded_hamming_pairs2
-
     sigs = (
         phash_image_assets(spark, sf_dir)
         .mapInPandas(_phash_batch, _PHASH_SCHEMA)
@@ -1817,27 +1770,10 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_image_cc() -> str:
     """DuckDB twin of the image cluster op: recursive-CTE transitive
-    closure over the banded phash pair graph (the dedup_clusters
-    oracle pattern — declarative reachability checks the iterative
-    min-label loop)."""
-    return f"""
-    WITH RECURSIVE base AS ({_sql_image_phash()}),
-    und AS (
-      SELECT asset_a AS a, asset_b AS b FROM base
-      UNION ALL
-      SELECT asset_b AS a, asset_a AS b FROM base
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM und
-      UNION
-      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-    )
-    SELECT d.doc_id AS asset_id,
-           CAST(LEAST(d.doc_id,
-                COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
-                         d.doc_id)) AS BIGINT) AS cluster_id
-    FROM documents d
-    """
+    closure over the banded phash pair graph (the shared
+    banding.sql_cc_over builder — declarative reachability checks the
+    iterative min-label loop)."""
+    return sql_cc_over(_sql_image_phash())
 
 
 @query("dedup_image_clusters", oracle=_sql_image_cc())
@@ -1861,8 +1797,6 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_simhash_pairs shape) — the 16-column popcount-forest form
     spun Catalyst constraint inference for minutes when embedded in
     the loop's iteration plans (r9 find, SCALE.md)."""
-    from mit_mapreduce_spark.operators.dedup import label_with_singletons
-
     docs = load_table(spark, sf_dir, "documents") \
         .select(F.col("doc_id").alias("asset_id"))
     pairs = dedup_image_phash(spark, sf_dir).select("asset_a", "asset_b")
@@ -1872,19 +1806,7 @@ def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_image_keep_report",
-    oracle=f"""
-    SELECT d.lang,
-           CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 0 ELSE 1 END)
-                AS BIGINT) AS n_removed,
-           CAST(CAST(SUM(CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0
-                         END) AS DOUBLE) / COUNT(*) AS DOUBLE) AS kept_frac
-    FROM documents d
-    JOIN ({{cc}}) c ON c.asset_id = d.doc_id
-    GROUP BY d.lang
-    """.format(cc=_sql_image_cc()),
+    oracle=sql_keep_report_over(_sql_image_cc()),
 )
 def dedup_image_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image-dedup DECISION made material (the dedup_keep_report
@@ -1900,18 +1822,5 @@ def dedup_image_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads it describes, and the keep predicate cluster_id =
     asset_id needs no second decode of anything. One extra shuffle
     over dedup_image_clusters at any scale."""
-    docs = load_table(spark, sf_dir, "documents") \
-        .select(F.col("doc_id").alias("asset_id"), "lang")
-    clusters = dedup_image_clusters(spark, sf_dir)
-    kept = F.col("cluster_id") == F.col("asset_id")
-    per = docs.join(clusters, "asset_id")
-    return (
-        per.groupBy("lang")
-        .agg(F.count("*").cast("bigint").alias("n_assets"),
-             F.sum(kept.cast("long")).cast("bigint").alias("n_kept"),
-             F.sum((~kept).cast("long")).cast("bigint").alias("n_removed"))
-        .select("lang", "n_assets", "n_kept", "n_removed",
-                (F.col("n_kept").cast("double")
-                 / F.col("n_assets").cast("double"))
-                .cast("double").alias("kept_frac"))
-    )
+    return keep_report_frame(spark, sf_dir,
+                             dedup_image_clusters(spark, sf_dir))

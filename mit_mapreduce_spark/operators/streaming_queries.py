@@ -38,6 +38,7 @@ from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 # stateful steppers, and a missing registration is a worker-side
 # KeyError that kills streaming tasks (r9 find with multimodal).
 from mit_mapreduce_spark.operators import events as _events_batch  # noqa: F401
+from mit_mapreduce_spark.operators import banding as _banding  # noqa: F401
 from mit_mapreduce_spark.operators import mmdedup as _mmdedup_batch  # noqa: F401
 from mit_mapreduce_spark.operators import multimodal as _multimodal_batch  # noqa: F401
 from mit_mapreduce_spark.operators import sketches as _sketches_batch  # noqa: F401
@@ -699,24 +700,23 @@ def stream_audio_fingerprints(spark: SparkSession,
     with executors and the only cross-batch artifact is the sink
     table."""
     from mit_mapreduce_spark.operators.mmdedup import (
-        _PHASH_SCHEMA as _SIG_SCHEMA,
-    )
-    from mit_mapreduce_spark.operators.mmdedup import (
         _afp_batch, _fingerprint_audio_assets_from,
     )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
     from mit_mapreduce_spark.streaming import docs_stream
 
     tune(spark)
     sigs = (
         _fingerprint_audio_assets_from(docs_stream(spark, sf_dir))
-        .mapInPandas(_afp_batch, _SIG_SCHEMA)
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
     )
     return spark.table(run_stream_to_table(sigs, "append"))
 
 
 def _sql_image_sigs() -> str:
+    from mit_mapreduce_spark.operators.banding import sql_sigs_over
     from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
-    return _mmdedup_batch._sql_sigs_over(_sql_image_bits())
+    return sql_sigs_over(_sql_image_bits())
 
 
 @query("stream_image_fingerprints", oracle=_sql_image_sigs())
@@ -740,8 +740,7 @@ def stream_image_fingerprints(spark: SparkSession,
 
 
 @query("stream_video_fingerprints",
-       oracle=_mmdedup_batch._sql_sigs_over(
-           _mmdedup_batch._sql_video_bits()))
+       oracle=_banding.sql_sigs_over(_mmdedup_batch._sql_video_bits()))
 def stream_video_fingerprints(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """STREAMING video fingerprint-at-ingest: per micro-batch Y4M

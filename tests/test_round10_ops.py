@@ -129,6 +129,13 @@ def test_audio_fingerprint_kernel_semantics():
     out2 = list(_afp_batch(iter([pd.DataFrame({
         "asset_id": [9], "payload": [b"not audio"]})])))[0]
     assert len(out2) == 0
+    # non-16-bit PCM quarantines too (the fingerprint is defined over
+    # int16 samples; an 8-bit payload must drop, not crash or be
+    # silently mis-read as int16)
+    eight = encode_wav(16000, 1, bytes(range(101)), bits=8)
+    out3 = list(_afp_batch(iter([pd.DataFrame({
+        "asset_id": [10], "payload": [eight]})])))[0]
+    assert len(out3) == 0
 
 
 def test_audio_clusters_and_keep_report(spark, sf_dir):
@@ -387,7 +394,7 @@ def test_banded_join_degenerate_bucket(spark):
     one bucket per band — the join must still return exactly C(n,2)
     pairs at Hamming 0 (the skew case SCALE.md hands to AQE), and a
     corpus of all-distinct random signatures must return none."""
-    from mit_mapreduce_spark.operators.dedup import banded_hamming_pairs2
+    from mit_mapreduce_spark.operators.banding import banded_hamming_pairs2
     from mit_mapreduce_spark.operators.mmdedup import (
         FP_BANDS, FP_BAND_BITS, FP_HAM_MAX,
     )
