@@ -42,10 +42,16 @@ from mit_mapreduce_spark.catalog import load_table
 _HEXPOS = "strpos('0123456789abcdef', substr(hex, CAST({p} AS INT), 1)) - 1"
 
 
-def sql_byte_at(hexpos_expr: str) -> str:
-    """DuckDB byte value at hex position expr (1-based pair start)."""
-    return (f"({_HEXPOS.format(p=hexpos_expr + ' + 1')}) * 16"
-            f" + ({_HEXPOS.format(p=hexpos_expr + ' + 2')})")
+def sql_byte_at(byte_expr: str) -> str:
+    """DuckDB expression: the byte value at 0-based BYTE offset
+    ``byte_expr`` of the hex column ``hex`` (two nibble lookups).
+    The ONE byte-at helper for every chain-reconstruction oracle —
+    byte index in, byte value out (ADVICE r10: a hex-digit-offset
+    twin of this lived in multimodal.py and the two conventions
+    differed by a factor of 2; consolidated here on the byte-index
+    convention)."""
+    return (f"(({_HEXPOS.format(p=f'2*({byte_expr}) + 1')}) * 16"
+            f" + ({_HEXPOS.format(p=f'2*({byte_expr}) + 2')}))")
 
 
 # --- Spark side --------------------------------------------------------------
@@ -57,7 +63,12 @@ def explode_bands(sigs: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
     sig1). shiftright is arithmetic but the mask makes the extraction
     sign-safe — shared by the pair join and the search."""
     per_word = 64 // band_bits
-    assert n_bands <= 2 * per_word
+    if n_bands > 2 * per_word:
+        # not an assert: a violation silently drops the overflow
+        # bands from the index (incomplete pair set), and asserts
+        # vanish under `python -O` (ADVICE r10)
+        raise ValueError(
+            f"{n_bands} bands of {band_bits} bits exceed two int64 words")
     mask = (1 << band_bits) - 1
     return sigs.select(
         "asset_id", "sig0", "sig1",
@@ -84,7 +95,12 @@ def banded_hamming_pairs2(sigs: DataFrame, n_bands: int, band_bits: int,
     output stream (the r9 SCALE.md find). Callers localCheckpoint
     the signature frame so the kernel runs once, not once per join
     leg."""
-    assert ham_max < n_bands
+    if ham_max >= n_bands:
+        # pigeonhole losslessness needs radius < n_bands; a violating
+        # caller would silently get an INCOMPLETE pair set, so this
+        # must survive `python -O` (ADVICE r10)
+        raise ValueError(
+            f"radius {ham_max} not pigeonhole-lossless with {n_bands} bands")
     bands = explode_bands(sigs, n_bands, band_bits)
     x = bands.alias("x")
     y = bands.alias("y")
@@ -213,21 +229,25 @@ def planted_chain_expr(seed: str, need: int, unit_bytes: int) -> "F.Column":
 
 
 def sql_planted_hex(seed: str, need: int, unit_bytes: int,
-                    prefixes: tuple[str, ...], group: int) -> str:
+                    prefixes: tuple[str, ...], group: int,
+                    where: str | None = None) -> str:
     """DuckDB CTE text (p, ch, hx): rebuild each asset's payload hex
     from the group chain + variant prefix — the oracle-side twin of
     planted_chain_expr. hx carries (doc_id, hex, jmax); jmax is the
     byte index bound threaded through a COLUMN because a literal
     bound constant-folds DuckDB's list out of row context (the
-    lambda-correlation gotcha)."""
+    lambda-correlation gotcha). ``where`` restricts which documents
+    HAVE an asset of this modality (the sparse-corpus model the r11
+    manifest rides); None = every doc (the dense pair-op fixtures)."""
     n_digests = (need + 31) // 32
     cases = " ".join(
         f"WHEN {v} THEN '{p}'" for v, p in enumerate(prefixes[:-1]))
+    where_sql = f" WHERE {where}" if where else ""
     return f"""
     p AS (
       SELECT doc_id, doc_id - doc_id % {group} AS base,
              CAST(doc_id % {group} AS INT) AS v
-      FROM documents),
+      FROM documents{where_sql}),
     ch AS (
       SELECT doc_id, v,
              substr(array_to_string(list_transform(
@@ -294,9 +314,13 @@ def sql_search_tail(query_mod: int, k: int) -> str:
     """
 
 
-def sql_cc_over(pairs_sql: str) -> str:
+def sql_cc_over(pairs_sql: str, where: str | None = None) -> str:
     """DuckDB recursive transitive closure over a pair query — the
-    declarative check of the iterative min-label loop."""
+    declarative check of the iterative min-label loop. ``where``
+    restricts the singleton-filled vertex set to the docs that HAVE
+    an asset (must match the ``where`` the pair query was built
+    with); None = every doc."""
+    where_sql = f" WHERE {where}" if where else ""
     return f"""
     WITH RECURSIVE base AS ({pairs_sql}),
     und AS (
@@ -313,7 +337,7 @@ def sql_cc_over(pairs_sql: str) -> str:
            CAST(LEAST(d.doc_id,
                 COALESCE((SELECT MIN(b) FROM reach WHERE a = d.doc_id),
                          d.doc_id)) AS BIGINT) AS cluster_id
-    FROM documents d
+    FROM documents d{where_sql}
     """
 
 

@@ -689,7 +689,7 @@ P_LEN = 15   # passage window, in tokens
     """,
 )
 def dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-level duplication: every {P_LEN}-token window
+    """Exact substring-level duplication: every 15-token window
     that recurs across documents, with its document and occurrence
     counts — the passage-granular dedup signal (C4 / RefinedWeb style)
     that document-level MinHash misses (boilerplate headers, quoted
@@ -966,7 +966,7 @@ def cleaned_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def remove_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span SURGERY, not just detection: cut every cross-doc duplicated
-    {P_LEN}-token window (the dup_passages signal) out of every doc
+    15-token window (the dup_passages signal) out of every doc
     except the window's keeper (min doc_id) — the C4 §3.1 move
     ('discard all but one of any three-sentence span occurring more
     than once'), done corpus-consistently so exactly one copy of each
@@ -1320,7 +1320,7 @@ def _sql_containment_bruteforce(mod: int = CONT_MOD,
 
 @query("dedup_containment", oracle=_sql_containment_bruteforce())
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT asymmetric containment pairs (|A∩B|/|A| ≥ {CONT_T})
+    """EXACT asymmetric containment pairs (|A∩B|/|A| ≥ 0.98)
     without the all-pairs join — the quote/sub-document detector that
     completes the dedup tier: Jaccard (symmetric near-dup), MinHash
     (probabilistic), SimHash, dup passages (positional) … and now

@@ -62,8 +62,8 @@ from pyspark.sql import types as T
 from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.operators.banding import (
     banded_hamming_pairs2, keep_report_frame, label_with_singletons,
-    planted_base, planted_chain_expr, sql_band_tail, sql_cc_over,
-    sql_keep_report_over, sql_planted_hex,
+    planted_base, planted_chain_expr, sql_band_tail, sql_byte_at,
+    sql_cc_over, sql_keep_report_over, sql_planted_hex,
 )
 from mit_mapreduce_spark.functions.imagecodec import (
     decode_image, resize_nearest,
@@ -597,9 +597,6 @@ def _audio_features_batch(
                             for k, v in out.items()})
 
 
-_HEXPOS = "strpos('0123456789abcdef', substr(hex, CAST({p} AS INT), 1)) - 1"
-
-
 def _sql_audio_features() -> str:
     """DuckDB twin: reconstruct the PCM signal INDEPENDENTLY from the
     sha256 chain (the same construction audio_assets uses), parse the
@@ -610,10 +607,8 @@ def _sql_audio_features() -> str:
     (s, v)) so the multi-KB hex string never rides the 10M exploded
     sample rows — the naive carry-hex-per-row form spilled
     unboundedly at sf0.1; this one runs in ~8 s."""
-    lo = (f"({_HEXPOS.format(p='4*s + 1')}) * 16"
-          f" + ({_HEXPOS.format(p='4*s + 2')})")
-    hi = (f"({_HEXPOS.format(p='4*s + 3')}) * 16"
-          f" + ({_HEXPOS.format(p='4*s + 4')})")
+    lo = sql_byte_at("2*s")
+    hi = sql_byte_at("2*s + 1")
     return f"""
     WITH p AS (
       SELECT doc_id, text,
@@ -1173,13 +1168,6 @@ def _decode_bands_batch(
                for i in range(N_FEATURES)}})
 
 
-def _sql_byte_at(p: str) -> str:
-    """DuckDB expression: the byte at 0-based offset ``p`` of the hex
-    column ``hex`` (two _HEXPOS nibble lookups)."""
-    return (f"(({_HEXPOS.format(p=f'2*({p}) + 1')}) * 16"
-            f" + ({_HEXPOS.format(p=f'2*({p}) + 2')}))")
-
-
 def _sql_image_chain_ctes() -> str:
     """p/hx CTEs shared by the decode and resize oracles: per NON-JPEG
     asset (doc_id % 4 <> 3 — the JPEG legs quarantine by contract),
@@ -1219,8 +1207,8 @@ def _sql_image_decode() -> str:
     LIST from 8 band lambdas — list indexing inside list_transform is
     O(|list|) per access in DuckDB, which turned a 2 s oracle into
     minutes."""
-    luma = (f"(299 * {_sql_byte_at('3*j')} + 587 * {_sql_byte_at('3*j + 1')}"
-            f" + 114 * {_sql_byte_at('3*j + 2')}) // 1000")
+    luma = (f"(299 * {sql_byte_at('3*j')} + 587 * {sql_byte_at('3*j + 1')}"
+            f" + 114 * {sql_byte_at('3*j + 2')}) // 1000")
     nf = N_FEATURES
     m_cols = ", ".join(
         f"MAX(CASE WHEN band = {k} THEN s // n END) AS m{k}"
@@ -1689,29 +1677,31 @@ def _phash_batch(
             "sig1": pd.Series(out["sig1"], dtype="int64")})
 
 
-def _sql_image_phash() -> str:
+def _sql_image_phash(where: str | None = None) -> str:
     """DuckDB twin: rebuild each asset's pixel hex from the group
     chain + variant prefix, recompute the luma grid and the dHash
     16-bit band values (band = grid row), then the SAME banded
     candidate generation (pigeonhole-lossless for radius 7, exactly
     as dedup_simhash_pairs argues) and per-pair Hamming via summed
     band popcounts. Fully parameterized by the grid constants — the
-    r10 widening to 17x8/128-bit changed no SQL structure."""
+    r10 widening to 17x8/128-bit changed no SQL structure. ``where``
+    restricts the asset set (the r11 sparse-modality manifest)."""
     return f"""
-    WITH {_sql_image_bits()},
+    WITH {_sql_image_bits(where)},
     {sql_band_tail(PH_HAM_MAX)}
     """
 
 
-def _sql_image_bits() -> str:
+def _sql_image_bits(where: str | None = None) -> str:
     """DuckDB CTE chain through `bits` (doc_id, band, bv) for the
     image dHash — shared by the pair oracle above and the image
     search oracle (mmdedup.image_phash_search)."""
-    luma = (f"(299 * {_sql_byte_at('3*j')} + 587 * {_sql_byte_at('3*j + 1')}"
-            f" + 114 * {_sql_byte_at('3*j + 2')}) // 1000")
+    luma = (f"(299 * {sql_byte_at('3*j')} + 587 * {sql_byte_at('3*j + 1')}"
+            f" + 114 * {sql_byte_at('3*j + 2')}) // 1000")
     # jmax from sql_planted_hex is the BYTE bound (3 bytes per pixel);
     # the pixel-index series bound is (jmax + 1) // 3 - 1
-    return f"""{sql_planted_hex("ph", _PH_NEED, 3, _PH_PREFIXES, PH_GROUP)},
+    return f"""{sql_planted_hex("ph", _PH_NEED, 3, _PH_PREFIXES, PH_GROUP,
+                                where)},
     g AS (
       SELECT doc_id, u.j AS j, u.g AS g
       FROM hx, UNNEST(list_transform(

@@ -375,13 +375,13 @@ HIST_BUCKETS = 20
     """,
 )
 def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width {HIST_BUCKETS}-bucket histogram of order totals —
+    """Equi-width 20-bucket histogram of order totals —
     the profiler's distribution view. Two passes: a global min/max
     (1-row broadcast cross join) and one bucketing aggregation; the
     bucket index is pinned IEEE arithmetic (identical expression
     order cross-engine, max clamped into the last bucket), so even
     the bucket boundaries are hash-exact. At 100 TB both passes are
-    map-side-combined scans; the histogram itself is {HIST_BUCKETS}
+    map-side-combined scans; the histogram itself is 20
     rows."""
     o = load_table(spark, sf_dir, "orders")
     mm = F.broadcast(o.agg(F.min("o_totalprice").alias("lo"),

@@ -421,7 +421,7 @@ def _heavy_hitters_fn(key, pdfs, state):
 
 @query("stream_heavy_hitters")
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming top-{HH_TOP} heavy hitters per event type via a
+    """Streaming top-10 heavy hitters per event type via a
     space-saving sketch in applyInPandasWithState: O(HH_CAPACITY)
     state per key regardless of user cardinality — the bounded-memory
     answer to "who is hammering this event right now" that an exact
@@ -429,7 +429,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     On the fixture the capacity exceeds the distinct-user count, so
     the sketch is EXACT and tests/test_streaming.py asserts equality
-    with the batch groupBy top-{HH_TOP}; at production cardinalities
+    with the batch groupBy top-10; at production cardinalities
     the same operator degrades gracefully to the ε = n/capacity
     overestimate guarantee. The ONE remaining oracle-exempt streaming
     query (module docstring): at sf0.01 eviction fires (~150 users per

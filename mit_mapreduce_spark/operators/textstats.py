@@ -475,7 +475,7 @@ COLL_TOP = 50
     """,
 )
 def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collocation mining: top-{COLL_TOP} bigrams by PMI-style lift,
+    """Collocation mining: top-50 bigrams by PMI-style lift,
     P(w1,w2) / (P(w1)·P(w2)) — the corpus's statistically-bound word
     pairs (PMI itself is log2(lift); ranking by lift avoids the
     cross-engine last-ulp hazards of ln, so the score is exact given
@@ -485,7 +485,7 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (both map-side combined), then bigram⋈unigram equi-joins —
     the unigram side is |vocabulary| rows, broadcast-scale even at
     100 TB corpora. The two corpus totals ride along as a broadcast
-    1-row cross join, and the top-{COLL_TOP} is a
+    1-row cross join, and the top-50 is a
     TakeOrderedAndProject, not a global sort."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", _spark_tokens().alias("arr"))
@@ -670,7 +670,7 @@ TOPDOCS_N = 5
     """,
 )
 def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered ARRAY aggregation: the {TOPDOCS_N} longest documents per
+    """Ordered ARRAY aggregation: the 5 longest documents per
     language as an ordered array column — the shape used for per-group
     exemplar lists (few-shot pools, per-domain samples). Spark has no
     ORDER BY inside collect_list, so the order is imposed by
@@ -897,7 +897,7 @@ WIN_MIN_SHARED = 3   # fingerprints a pair must share to be reported
     """,
 )
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOSS at corpus scale: document pairs sharing >= {WIN_MIN_SHARED}
+    """MOSS at corpus scale: document pairs sharing >= 3
     winnowing fingerprints, with containment (shared / smaller doc's
     fingerprint count) — the plagiarism/near-copy report built on the
     sublinear sketch instead of full windows.
@@ -972,7 +972,7 @@ VOCAB_K = 20   # top-K corpus words form the tokenizer vocabulary
     """,
 )
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage: build the top-{K} corpus
+    """Tokenizer-vocabulary coverage: build the top-20 corpus
     vocabulary by frequency (count-desc, word-asc deterministic
     tie-break) and report per-source out-of-vocabulary token rates —
     the standard pre-tokenizer diagnostic for whether a training mix's
@@ -1207,7 +1207,7 @@ def _bpe_learn(
 
 @query("bpe_apply_vocab", oracle=_sql_bpe_apply())
 def bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer APPLICATION: run the learned {R}-merge BPE over the
+    """Tokenizer APPLICATION: run the learned 4-merge BPE over the
     corpus and report, per source, how well the shared vocabulary
     compresses it — words, characters, resulting subword count,
     subwords-per-word, and compression vs the unmerged char+marker
