@@ -82,6 +82,18 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
 })
 
 
+# Queries whose SEMANTICS changed after their last official green
+# row: recorded evidence from rounds BEFORE the change round is
+# stale (it certified different behavior), so they re-enter the
+# fresh-first tier until a round >= the change round records them
+# green again. r11: the multimodal manifest pair switched from dense
+# inner-joined media legs to sparse left-joined presence semantics.
+_CHANGED_IN_ROUND = {
+    "pipeline_multimodal_manifest": 11,
+    "pipeline_multimodal_ready": 11,
+}
+
+
 def _recorded_green() -> dict[str, int]:
     """Names with an official green driver row, mapped to the LATEST
     round whose committed CORRECTNESS_r*.json shows them green (the
@@ -117,6 +129,8 @@ def _recorded_green() -> dict[str, int]:
         for name, row in doc.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
+            if rnd < _CHANGED_IN_ROUND.get(name, 0):
+                continue   # evidence predates a semantic change
             green = (row.get("hash_match") is True
                      or (row.get("hash_match") is None
                          and name not in operators.ORACLES

@@ -156,6 +156,62 @@ def fingerprint_search_topk(sigs: DataFrame, n_bands: int, band_bits: int,
     )
 
 
+def banded_match_scores(inc_sigs: DataFrame, idx_sigs: DataFrame,
+                        n_bands: int, band_bits: int,
+                        ham_max: int) -> DataFrame:
+    """(asset_id, matched_id, hamming) for every banded candidate
+    within ham_max between an INCOMING signature frame and an INDEX
+    signature frame — the one-sided twin of banded_hamming_pairs2's
+    self-join (same pigeonhole losslessness: <= ham_max flipped bits
+    leave an unchanged shared band). NOT de-duplicated: a pair
+    sharing k bands appears k times, with identical hamming on every
+    copy — the batch screen's best-pick window and the streaming
+    alert's dropDuplicates both absorb that, and skipping the
+    distinct here keeps the operator a single stateless join (which
+    is what lets the SAME body run inside a micro-batch against a
+    static index)."""
+    if ham_max >= n_bands:
+        raise ValueError(
+            f"radius {ham_max} not pigeonhole-lossless with {n_bands} bands")
+    ib = explode_bands(inc_sigs, n_bands, band_bits).select(
+        "asset_id", F.col("sig0").alias("_is0"),
+        F.col("sig1").alias("_is1"), "b", "bv")
+    xb = explode_bands(idx_sigs, n_bands, band_bits).select(
+        F.col("asset_id").alias("matched_id"),
+        F.col("sig0").alias("_xs0"), F.col("sig1").alias("_xs1"), "b", "bv")
+    ham = (F.bit_count(F.col("_is0").bitwiseXOR(F.col("_xs0")))
+           + F.bit_count(F.col("_is1").bitwiseXOR(F.col("_xs1"))))
+    return (
+        ib.join(xb, ["b", "bv"])
+        .select("asset_id", "matched_id", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= ham_max)
+    )
+
+
+def incremental_screen(inc_assets: DataFrame, inc_sigs: DataFrame,
+                       idx_sigs: DataFrame, n_bands: int, band_bits: int,
+                       ham_max: int) -> DataFrame:
+    """Incremental near-dup SCREEN: for every incoming asset, the
+    best (min hamming, tie min id) in-radius match in the persisted
+    signature index, or NULLs when nothing in the index is within
+    the radius — the media twin of dedup_incremental_bloom's
+    shard-vs-corpus verdict, riding the shared band machinery
+    one-sided. Returns (asset_id, matched_id, hamming, is_neardup)
+    with exactly one row per incoming asset."""
+    from pyspark.sql import Window as W
+
+    scored = banded_match_scores(inc_sigs, idx_sigs, n_bands, band_bits,
+                                 ham_max)
+    w = W.partitionBy("asset_id").orderBy("hamming", "matched_id")
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+    return (
+        inc_assets.join(best, "asset_id", "left")
+        .select("asset_id", "matched_id", "hamming",
+                F.col("matched_id").isNotNull().alias("is_neardup"))
+    )
+
+
 def label_with_singletons(entities: DataFrame, id_col: str,
                           pairs: DataFrame, a: str, b: str) -> DataFrame:
     """(id_col, cluster_id) over EVERY entity: min-label connected
@@ -311,6 +367,63 @@ def sql_search_tail(query_mod: int, k: int) -> str:
                   ORDER BY hamming, cid) AS INT) AS rnk
       FROM scored)
     SELECT qid, cid, hamming, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
+def sql_screen_scored(inc_pred: str, ham_max: int) -> str:
+    """DuckDB CTEs (cand, scored, inrad) over a `bits` CTE split
+    asymmetrically into an incoming shard and the index: banded
+    candidates between the two sides, per-pair Hamming, radius
+    filter. ``inc_pred`` is a predicate template over ``{d}`` (the
+    doc_id column) selecting the INCOMING side; the index is its
+    complement. Shared by the incremental-screen and streaming-alert
+    oracles."""
+    return f"""
+    cand AS (
+      SELECT DISTINCT x.doc_id AS iid, y.doc_id AS cid
+      FROM bits x JOIN bits y
+        ON x.band = y.band AND x.bv = y.bv
+      WHERE ({inc_pred.format(d='x.doc_id')})
+        AND NOT ({inc_pred.format(d='y.doc_id')})),
+    scored AS (
+      SELECT c.iid, c.cid,
+             CAST(SUM(bit_count(xor(x.bv, y.bv))) AS INT) AS hamming
+      FROM cand c
+      JOIN bits x ON x.doc_id = c.iid
+      JOIN bits y ON y.doc_id = c.cid AND y.band = x.band
+      GROUP BY c.iid, c.cid),
+    inrad AS (SELECT iid, cid, hamming FROM scored
+              WHERE hamming <= {ham_max})"""
+
+
+def sql_incremental_tail(inc_pred: str, ham_max: int) -> str:
+    """DuckDB tail over `bits`: the incremental screen's per-incoming-
+    asset verdict — best in-radius index match (min hamming, tie min
+    id) or NULLs, one row per incoming asset."""
+    return f"""
+    {sql_screen_scored(inc_pred, ham_max)},
+    best AS (
+      SELECT iid, cid, hamming,
+             row_number() OVER (PARTITION BY iid
+                                ORDER BY hamming, cid) AS rn
+      FROM inrad)
+    SELECT d.doc_id AS asset_id,
+           CAST(b.cid AS BIGINT) AS matched_id,
+           b.hamming AS hamming,
+           (b.cid IS NOT NULL) AS is_neardup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.iid = d.doc_id
+    WHERE {inc_pred.format(d='d.doc_id')}
+    """
+
+
+def sql_alert_tail(inc_pred: str, ham_max: int) -> str:
+    """DuckDB tail over `bits`: the streaming near-dup alert's pair
+    rows — every (incoming asset, index asset) within the radius."""
+    return f"""
+    {sql_screen_scored(inc_pred, ham_max)}
+    SELECT iid AS asset_id, CAST(cid AS BIGINT) AS matched_id, hamming
+    FROM inrad
     """
 
 

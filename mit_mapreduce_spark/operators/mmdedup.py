@@ -62,9 +62,10 @@ from pyspark.sql import types as T
 
 from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.operators.banding import (
-    banded_hamming_pairs2, fingerprint_search_topk, keep_report_frame,
-    label_with_singletons, planted_base, planted_chain_expr, sql_band_tail,
-    sql_byte_at, sql_cc_over, sql_keep_report_over, sql_planted_hex,
+    banded_hamming_pairs2, fingerprint_search_topk, incremental_screen,
+    keep_report_frame, label_with_singletons, planted_base,
+    planted_chain_expr, sql_band_tail, sql_byte_at, sql_cc_over,
+    sql_incremental_tail, sql_keep_report_over, sql_planted_hex,
     sql_search_tail, sql_sigs_over,
 )
 from mit_mapreduce_spark.operators.multimodal import (
@@ -784,3 +785,99 @@ def video_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fingerprint_search_topk(sigs, FP_BANDS, FP_BAND_BITS,
                                    FPS_MOD, FPS_K)
+
+# --- incremental media dedup: screen an incoming shard against the index ----
+#
+# dedup_incremental_bloom (dedup.py) screens an incoming TEXT shard
+# against the retained corpus; these are the media twins (VERDICT r10
+# ask #2): screen an incoming asset shard's FINGERPRINTS against the
+# persisted signature index via the shared band equi-join, one-sided.
+# The incoming shard is doc_id % 40 < 6 — chosen so the planted
+# groups of 4 exercise BOTH verdicts: a 40-aligned group's first four
+# members are all incoming (nothing of their group is in the index ->
+# no in-radius match, NULL verdict), while members 4-5 of the next
+# group arrive with mates 6-7 already indexed (guaranteed in-radius
+# match). At 100 TB the index side is the signature table the
+# continuous ingest legs (stream_*_fingerprints) already maintain —
+# 16 bytes per retained asset, no re-decode of the corpus — and only
+# the (band, value) buckets the incoming shard actually touches are
+# joined.
+
+FP_INC_PRED = "{d} % 40 < 6"   # predicate template: the incoming shard
+
+
+def _incremental(spark: SparkSession, sf_dir: str, fixture_from,
+                 kernel) -> DataFrame:
+    """Shared body of the three media incremental screens: ONE
+    fingerprint pass over the corpus (the signature table both sides
+    live in), split into incoming shard and index, then the
+    banded one-sided screen."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    inc_pred = F.col("asset_id") % 40 < 6
+    sigs = (
+        fixture_from(docs).mapInPandas(kernel, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    inc_assets = docs.select(F.col("doc_id").alias("asset_id")) \
+        .where(inc_pred)
+    return incremental_screen(
+        inc_assets, sigs.where(inc_pred), sigs.where(~inc_pred),
+        FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)
+
+
+@query("dedup_audio_incremental",
+       oracle=f"WITH {_sql_audio_bits()},"
+              f" {sql_incremental_tail(FP_INC_PRED, FP_HAM_MAX)}")
+def dedup_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental AUDIO dedup: screen an incoming shard of audio
+    assets against the retained corpus's fingerprint index — per
+    incoming asset, the best (min hamming, tie min id) index match
+    within radius 7, or NULLs when the shard asset is genuinely new.
+    The daily-ingest decision dedup_incremental_bloom makes for text,
+    made for audio: is_neardup says "drop/quarantine, we already have
+    this recording", matched_id says which retained asset it
+    duplicates.
+
+    100 TB posture: the index side is the persisted signature table
+    (16 bytes/asset, maintained by stream_audio_fingerprints) — the
+    corpus is never re-decoded per shard; the incoming side is one
+    decode+fingerprint Arrow pass over the shard only; candidates
+    come from the shared band equi-join restricted to the buckets
+    the shard touches, and the radius filter is the same pushable
+    two-popcount expression as the pair op. The oracle rebuilds both
+    sides' fingerprints from the sha256 chain and recomputes the
+    screen in SQL; a pytest checks the screen against a quadratic
+    brute force on crafted signatures."""
+    return _incremental(spark, sf_dir, _fingerprint_audio_assets_from,
+                        _afp_batch)
+
+
+def _sql_image_inc() -> str:
+    from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
+    return (f"WITH {_sql_image_bits()},"
+            f" {sql_incremental_tail(FP_INC_PRED, FP_HAM_MAX)}")
+
+
+@query("dedup_image_incremental", oracle=_sql_image_inc())
+def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE dedup: the incoming-shard screen on the
+    image dHash index (see dedup_audio_incremental — one shared
+    body, one-sided band join, per-asset best-match verdict)."""
+    from mit_mapreduce_spark.operators.multimodal import (
+        _phash_batch, _phash_image_assets_from,
+    )
+
+    return _incremental(spark, sf_dir, _phash_image_assets_from,
+                        _phash_batch)
+
+
+@query("dedup_video_incremental",
+       oracle=f"WITH {_sql_video_bits()},"
+              f" {sql_incremental_tail(FP_INC_PRED, FP_HAM_MAX)}")
+def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIDEO dedup: the incoming-shard screen on the
+    video frame-sequence index (see dedup_audio_incremental — one
+    shared body, one-sided band join, per-asset best-match
+    verdict)."""
+    return _incremental(spark, sf_dir, _fingerprint_video_assets_from,
+                        _vfp_batch)

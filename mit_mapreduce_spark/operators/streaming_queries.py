@@ -758,3 +758,61 @@ def stream_video_fingerprints(spark: SparkSession,
     sigs = (_fingerprint_video_assets_from(docs_stream(spark, sf_dir))
             .mapInPandas(_vfp_batch, _PHASH_SCHEMA))
     return spark.table(run_stream_to_table(sigs, "append"))
+
+
+@query("stream_fingerprint_alerts",
+       oracle=f"WITH {_mmdedup_batch._sql_audio_bits()},"
+              f" {_banding.sql_alert_tail(_mmdedup_batch.FP_INC_PRED, _mmdedup_batch.FP_HAM_MAX)}")
+def stream_fingerprint_alerts(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ALERT at ingest (VERDICT r10 ask #3): the
+    incoming asset shard (doc_id % 40 < 6, the same split as the
+    batch incremental screens) arrives as a manifest stream; each
+    micro-batch builds the WAV payloads and fingerprints them (the
+    stateless stages stream_audio_fingerprints runs), then a
+    STREAM-STATIC band equi-join against the retained corpus's
+    signature index flags every incoming asset within Hamming 7 of
+    an indexed asset — "this upload duplicates retained asset X",
+    emitted at the door instead of waiting for the nightly dedup
+    pass. Output rows are (asset_id, matched_id, hamming) pairs,
+    dropDuplicates'd on the pair key (a pair sharing k unchanged
+    bands surfaces from k band buckets with identical hamming; the
+    streaming dedup state holds one row per ALERT, which scales
+    with duplicates found, not with the corpus).
+
+    Oracle = the batch screen's pair SQL (banding.sql_alert_tail
+    over the audio bits chain): fingerprinting and the band join are
+    stateless per-batch stages, append mode emits each first pair
+    occurrence exactly once, so the drain equals the batch pair set
+    regardless of micro-batch boundaries. 100 TB posture: the static
+    side is the persisted 16-byte/asset signature index — re-read,
+    never re-decoded, per micro-batch; the join is the same pushable
+    two-popcount candidate filter as the batch tier; a production
+    deployment adds a watermark TTL on the dedup state if alert keys
+    must expire."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.mmdedup import (
+        FP_BAND_BITS, FP_BANDS, FP_HAM_MAX, _afp_batch,
+        _fingerprint_audio_assets_from,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    inc_pred = F.col("doc_id") % 40 < 6
+    idx_docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id").where(~inc_pred)
+    idx_sigs = (
+        _fingerprint_audio_assets_from(idx_docs)
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    inc_sigs = (
+        _fingerprint_audio_assets_from(
+            docs_stream(spark, sf_dir).where(inc_pred))
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
+    )
+    alerts = _banding.banded_match_scores(
+        inc_sigs, idx_sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX
+    ).dropDuplicates(["asset_id", "matched_id"])
+    return spark.table(run_stream_to_table(alerts, "append"))

@@ -177,6 +177,33 @@ def main(sf_dir: str) -> dict:
             .mapInPandas(_afp_batch, _PHASH_SCHEMA))
     results["audio_fingerprints"] = _drive(sigs, "append", "sb_audio_fp")
 
+    # near-dup alert at ingest (r11): the stream_fingerprint_alerts
+    # pipeline — per micro-batch fingerprint of the incoming shard
+    # (doc_id % 40 < 6), stream-static band join against the
+    # batch-computed corpus signature index, radius filter, per-pair
+    # dedup state. rows_per_sec counts incoming-shard docs through
+    # build -> decode -> fingerprint -> join -> alert.
+    from mit_mapreduce_spark.operators.banding import banded_match_scores
+    from mit_mapreduce_spark.operators.mmdedup import (
+        FP_BAND_BITS, FP_BANDS, FP_HAM_MAX,
+    )
+
+    inc_pred = F.col("doc_id") % 40 < 6
+    idx_sigs = (
+        _fingerprint_audio_assets_from(
+            spark.read.parquet(dstage).select("doc_id").where(~inc_pred))
+        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    al_source = (spark.readStream.schema(dschema)
+                 .option("maxFilesPerTrigger", 1).parquet(dstage))
+    inc_sigs = (_fingerprint_audio_assets_from(al_source.where(inc_pred))
+                .mapInPandas(_afp_batch, _PHASH_SCHEMA))
+    alerts = banded_match_scores(
+        inc_sigs, idx_sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX
+    ).dropDuplicates(["asset_id", "matched_id"])
+    results["fingerprint_alerts"] = _drive(alerts, "append", "sb_fp_alerts")
+
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
     return results

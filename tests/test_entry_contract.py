@@ -139,5 +139,5 @@ def test_streaming_drains_reuse_batch_twin_oracles():
     # ingest audit, r10 the three fingerprint-at-ingest legs); only
     # the order-dependent sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 14
+    assert len(streaming) == 15
     assert "stream_heavy_hitters" not in ORACLES

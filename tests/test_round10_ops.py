@@ -264,18 +264,33 @@ def test_mmdedup_shuffle_budgets(spark, sf_dir):
 
 def test_multimodal_manifest_semantics(spark, sf_dir):
     """ready must be the AND of the five pillar bits, and each pillar
-    bit must agree with the pillar query it composes (spot-checked
-    against the independently-run cluster/funnel ops)."""
+    bit must agree with the pillar leg it composes (spot-checked
+    against the independently-run SPARSE image cluster leg — since
+    r11 the manifest's media legs cover only the docs that OWN an
+    asset of the modality, and absence is keep-pass)."""
+    from mit_mapreduce_spark.operators.mmdedup import (
+        MM_IMAGE_ABSENT, _sparse_clusters,
+    )
+    from mit_mapreduce_spark.operators.multimodal import (
+        _phash_batch, _phash_image_assets_from,
+    )
+
     m = {r.doc_id: r for r in operators.QUERIES[
         "pipeline_multimodal_manifest"](spark, sf_dir).collect()}
     assert m
     for r in m.values():
         assert r.ready == (r.keep_text & r.keep_quality & r.keep_image
                            & r.keep_audio & r.keep_video)
-    img = {r.asset_id: r.cluster_id for r in operators.QUERIES[
-        "dedup_image_clusters"](spark, sf_dir).collect()}
+    img = {r.asset_id: r.cluster_id for r in _sparse_clusters(
+        spark, sf_dir, _phash_image_assets_from, _phash_batch,
+        MM_IMAGE_ABSENT).collect()}
+    mod, rem = MM_IMAGE_ABSENT
     for doc_id, r in m.items():
-        assert r.keep_image == int(img[doc_id] == doc_id)
+        if doc_id % mod == rem:
+            assert doc_id not in img          # no image asset, no row
+            assert r.keep_image == 1          # absence is keep-pass
+        else:
+            assert r.keep_image == int(img[doc_id] == doc_id)
     ok, msg = compare(
         operators.QUERIES["pipeline_multimodal_manifest"](spark, sf_dir),
         operators.ORACLES["pipeline_multimodal_manifest"], sf_dir)

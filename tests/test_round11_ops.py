@@ -1,0 +1,227 @@
+"""Round-11 operators: sparse-modality manifest semantics, the
+incremental media dedup screens, and the stream-static near-dup
+alert at ingest."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mit_mapreduce_spark import operators, plans
+from mit_mapreduce_spark.testing import compare
+
+operators.load_all()
+
+from mit_mapreduce_spark.operators import mmdedup  # noqa: E402
+from mit_mapreduce_spark.operators.banding import (  # noqa: E402
+    banded_match_scores, incremental_screen,
+)
+from mit_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    _PHASH_SCHEMA, _phash_batch, _phash_image_assets_from,
+)
+
+
+# --- sparse-modality manifest -------------------------------------------------
+
+def test_manifest_covers_every_document(spark, sf_dir):
+    """No document may be inner-join-dropped: the manifest has
+    exactly one row per doc, whether or not it owns media assets."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    m = operators.QUERIES["pipeline_multimodal_manifest"](spark, sf_dir)
+    assert m.count() == n_docs
+
+
+def test_manifest_text_only_doc_can_be_ready(spark, sf_dir):
+    """The r10 regression this round fixes: a document owning NO
+    media assets (doc_id ≡ 28 mod 210 misses all three presence
+    predicates) must pass every media bit and be ready iff its text
+    and quality bits pass — modality absence never blocks
+    readiness."""
+    rows = operators.QUERIES["pipeline_multimodal_manifest"](
+        spark, sf_dir).where((F.col("doc_id") % 210) == 28).collect()
+    assert rows, "fixture must contain text-only docs"
+    for r in rows:
+        assert r.keep_image == 1 and r.keep_audio == 1 \
+            and r.keep_video == 1
+        assert r.ready == (r.keep_text & r.keep_quality)
+
+
+def test_manifest_ready_with_absent_modality_exists(spark, sf_dir):
+    """The sparse semantics must be live in the data, not just the
+    schema: some doc missing at least one modality is ready."""
+    imod, irem = mmdedup.MM_IMAGE_ABSENT
+    amod, arem = mmdedup.MM_AUDIO_ABSENT
+    vmod, vrem = mmdedup.MM_VIDEO_ABSENT
+    absent_any = ((F.col("doc_id") % imod == irem)
+                  | (F.col("doc_id") % amod == arem)
+                  | (F.col("doc_id") % vmod == vrem))
+    m = operators.QUERIES["pipeline_multimodal_manifest"](spark, sf_dir)
+    assert m.where((F.col("ready") == 1) & absent_any).count() > 0
+
+
+def test_sparse_clusters_cover_present_docs_only(spark, sf_dir):
+    """Each sparse media leg labels exactly the docs that own the
+    asset — absent docs have no cluster row (they pass by predicate,
+    not by a synthetic singleton)."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    mod, rem = mmdedup.MM_AUDIO_ABSENT
+    docs = load_table(spark, sf_dir, "documents")
+    n_present = docs.where(F.col("doc_id") % mod != rem).count()
+    cl = mmdedup._sparse_clusters(
+        spark, sf_dir, mmdedup._fingerprint_audio_assets_from,
+        mmdedup._afp_batch, mmdedup.MM_AUDIO_ABSENT)
+    got = cl.select("asset_id").collect()
+    assert len(got) == n_present
+    assert all(r.asset_id % mod != rem for r in got)
+
+
+# --- incremental media dedup screens -------------------------------------------
+
+def _collect_sigs(assets_df, kernel):
+    m64 = (1 << 64) - 1
+    rows = assets_df.mapInPandas(kernel, _PHASH_SCHEMA).collect()
+    return {r.asset_id: (r.sig0 & m64) | ((r.sig1 & m64) << 64)
+            for r in rows}
+
+
+def _bruteforce_screen(sig: dict, ham_max: int):
+    """Quadratic truth: per incoming asset the best (min hamming,
+    tie min id) in-radius index match."""
+    inc = {a for a in sig if a % 40 < 6}
+    idx = {a for a in sig if a % 40 >= 6}
+    out = {}
+    for a in inc:
+        best = None
+        for b in sorted(idx):
+            ham = bin(sig[a] ^ sig[b]).count("1")
+            if ham <= ham_max and (best is None or (ham, b) < best):
+                best = (ham, b)
+        out[a] = best
+    return out
+
+
+@pytest.mark.parametrize("opname, fixture_from, kernel", [
+    ("dedup_audio_incremental", mmdedup._fingerprint_audio_assets_from,
+     mmdedup._afp_batch),
+    ("dedup_image_incremental", _phash_image_assets_from, _phash_batch),
+    ("dedup_video_incremental", mmdedup._fingerprint_video_assets_from,
+     mmdedup._vfp_batch),
+])
+def test_incremental_vs_python_bruteforce(spark, sf_dir, opname,
+                                          fixture_from, kernel):
+    """The one-sided banded screen must equal a quadratic brute force
+    over the same fingerprints (banding losslessness, one-sided), for
+    all three modalities."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sig = _collect_sigs(fixture_from(docs), kernel)
+    want = _bruteforce_screen(sig, mmdedup.FP_HAM_MAX)
+    got = {r.asset_id: r for r in
+           operators.QUERIES[opname](spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for a, best in want.items():
+        r = got[a]
+        if best is None:
+            assert r.matched_id is None and r.hamming is None \
+                and r.is_neardup is False
+        else:
+            assert (r.hamming, r.matched_id) == best
+            assert r.is_neardup is True
+
+
+def test_incremental_exercises_both_verdicts(spark, sf_dir):
+    """The doc_id % 40 < 6 shard split plants both outcomes: fully-
+    incoming 40-aligned groups (no index match) and split groups
+    (guaranteed match)."""
+    df = operators.QUERIES["dedup_audio_incremental"](spark, sf_dir)
+    by = {r.is_neardup: r["count"] for r in
+          df.groupBy("is_neardup").count().collect()}
+    assert by.get(True, 0) > 0 and by.get(False, 0) > 0
+
+
+def test_incremental_plans(spark, sf_dir):
+    """Candidates must come from the band equi-join (no cartesian)
+    and the post-checkpoint plan stays within the screen's exchange
+    budget: band join + best-pick window + verdict join."""
+    for name in ("dedup_audio_incremental", "dedup_image_incremental",
+                 "dedup_video_incremental"):
+        df = operators.QUERIES[name](spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        n = plans.shuffle_count(df)
+        assert n <= 5, f"{name}: {n} exchanges"
+
+
+def test_incremental_screen_crafted_corner_cases(spark):
+    """Crafted signatures: an incoming asset equidistant from two
+    index assets must pick the min id; radius boundary (hamming ==
+    FP_HAM_MAX) matches, radius+1 does not."""
+    # each case sits on its own sig1 base (pairwise Hamming >= 31) so
+    # cross-case pairs can never fall inside the radius
+    b2 = (1 << 32) - 1
+    b3 = ((1 << 32) - 1) << 31
+    rows = [
+        # case 1 (base 0): incoming 0 ties at hamming 1 vs index 46, 86
+        (0, 1, 0), (46, 3, 0), (86, 0, 0),
+        # case 2 (base b2): index 126 at exactly FP_HAM_MAX from inc 2
+        (2, (1 << mmdedup.FP_HAM_MAX) - 1, b2), (126, 0, b2),
+        # case 3 (base b3): index 166 at FP_HAM_MAX + 1 from inc 3
+        (3, (1 << (mmdedup.FP_HAM_MAX + 1)) - 1, b3), (166, 0, b3),
+    ]
+    sigs = spark.createDataFrame(rows, "asset_id long, sig0 long, sig1 long")
+    inc_pred = F.col("asset_id") % 40 < 6
+    out = {r.asset_id: r for r in incremental_screen(
+        sigs.where(inc_pred).select("asset_id"),
+        sigs.where(inc_pred), sigs.where(~inc_pred),
+        mmdedup.FP_BANDS, mmdedup.FP_BAND_BITS,
+        mmdedup.FP_HAM_MAX).collect()}
+    assert out[0].matched_id == 46 and out[0].hamming == 1  # tie -> min id
+    assert out[2].matched_id == 126 \
+        and out[2].hamming == mmdedup.FP_HAM_MAX   # boundary in
+    assert out[3].matched_id is None               # boundary + 1 out
+
+
+# --- stream-static near-dup alert ----------------------------------------------
+
+def test_stream_alert_equals_batch(spark, sf_dir):
+    """The availableNow drain of stream_fingerprint_alerts must equal
+    the batch-side screen pairs exactly (stateless stages + append
+    mode + per-pair dedup)."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    drained = {(r.asset_id, r.matched_id, r.hamming) for r in
+               operators.QUERIES["stream_fingerprint_alerts"](
+                   spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    inc_pred = F.col("doc_id") % 40 < 6
+    sigs = (mmdedup._fingerprint_audio_assets_from(docs)
+            .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+            .localCheckpoint(eager=False))
+    p = F.col("asset_id") % 40 < 6
+    batch = {(r.asset_id, r.matched_id, r.hamming) for r in
+             banded_match_scores(sigs.where(p), sigs.where(~p),
+                                 mmdedup.FP_BANDS, mmdedup.FP_BAND_BITS,
+                                 mmdedup.FP_HAM_MAX)
+             .dropDuplicates(["asset_id", "matched_id"]).collect()}
+    assert drained == batch
+    assert drained, "fixture must produce alerts"
+
+
+def test_alert_matches_incremental_verdicts(spark, sf_dir):
+    """Consistency across the two r11 surfaces: the set of alerted
+    incoming assets equals the set the batch screen marks
+    is_neardup, and the screen's best match appears among that
+    asset's alert pairs."""
+    alerts = operators.QUERIES["stream_fingerprint_alerts"](
+        spark, sf_dir).collect()
+    screen = {r.asset_id: r for r in operators.QUERIES[
+        "dedup_audio_incremental"](spark, sf_dir).collect()}
+    alerted = {}
+    for r in alerts:
+        alerted.setdefault(r.asset_id, set()).add((r.matched_id, r.hamming))
+    assert set(alerted) == {a for a, r in screen.items() if r.is_neardup}
+    for a, pairs in alerted.items():
+        assert (screen[a].matched_id, screen[a].hamming) in pairs
