@@ -180,6 +180,7 @@ def main() -> None:
         "deltas_vs_prev": deltas,
         "retimed": retimed,
         "floor_retimed": floor_retimed,
+        "floor_rebased": FLOOR_REBASE,
         "sf": sf,
     }
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
@@ -236,12 +237,27 @@ def adjudicate_retime(readings: list[float],
     return mn, "min(rerun-died)"
 
 
+# Floors re-based after repeated non-reproduction (r11, closing the
+# two-round `bpe_apply_vocab` drift watch): BENCH_r06's 1.57 s was
+# never re-approached in four rounds of full captures (r7-r10: 2.70 /
+# 2.63 / 3.76 / 2.62) nor in three consecutive quiet-box standalone
+# captures at r11 HEAD (7.91 cold-kernel / 3.05 / 2.94), and no
+# BPE-path commit lands in the r6->r7 window (textstats.py history is
+# retrieval work) — adjudication: the r6 reading was a one-off
+# favorable capture, not the box's reproducible floor. Entries here
+# RAISE the historical minimum to the demonstrated converged band so
+# the stale outlier stops triggering a retime every round; the rebase
+# travels in BENCH_FULL.json as ``floor_rebased``.
+FLOOR_REBASE = {"bpe_apply_vocab": 2.6}
+
+
 def bench_floors(sf: float, here: str) -> dict[str, float]:
     """Per-query historical floor: the minimum positive recorded time
     across every committed capture at the same sf (driver-recorded
-    BENCH_r*.json compact lines + the last BENCH_FULL.json). The floor
-    is the box's demonstrated-achievable time; a reading far above it
-    triggers one standalone rerun (see main)."""
+    BENCH_r*.json compact lines + the last BENCH_FULL.json), raised to
+    any FLOOR_REBASE entry. The floor is the box's demonstrated-
+    achievable time; a reading far above it triggers one standalone
+    rerun (see main)."""
     import glob
 
     floors: dict[str, float] = {}
@@ -258,6 +274,9 @@ def bench_floors(sf: float, here: str) -> dict[str, float]:
         for name, t in (payload.get("queries") or {}).items():
             if isinstance(t, (int, float)) and t >= 0:
                 floors[name] = min(floors.get(name, t), float(t))
+    for name, fl in FLOOR_REBASE.items():
+        if name in floors:
+            floors[name] = max(floors[name], fl)
     return floors
 
 
