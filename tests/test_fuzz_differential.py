@@ -913,3 +913,56 @@ def test_differential_fuzz_r10_media_dedup_and_manifest(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial}/{op}: {msg}"
+
+
+def test_differential_fuzz_r11_incremental_and_alerts(spark, tmp_path):
+    """r11 fuzz class: the incremental media screens and the
+    stream-static alert over hostile corpora — RANDOM NON-CONTIGUOUS
+    doc_ids (partial variant groups, irregular shard splits,
+    presence-predicate gaps) including degenerate splits where the
+    incoming shard or the index side is EMPTY, plus the usual
+    NULL/empty-text rows. Every op must stay hash-green against its
+    chain oracle on every corpus (the manifest pair rides the r10
+    class, which fuzzes whatever semantics are current — now the
+    sparse ones)."""
+    import random
+
+    rng = random.Random(1111)
+    ops = ["dedup_audio_incremental", "dedup_image_incremental",
+           "dedup_video_incremental", "stream_fingerprint_alerts"]
+    id_pools = [
+        list(range(0, 4)),                 # all incoming, EMPTY index
+        list(range(6, 14)),                # all index, EMPTY shard
+        None,                              # random non-contiguous
+        None,
+    ]
+    for trial, pool in enumerate(id_pools):
+        td = str(tmp_path / f"r11t{trial}")
+        os.makedirs(td)
+        if pool is None:
+            pool = sorted(rng.sample(range(500), rng.randint(3, 12)))
+        rows = []
+        for i in pool:
+            kind = rng.random()
+            text = (None if kind < 0.2 else "" if kind < 0.3
+                    else " ".join(rng.choice(_ALPH)
+                                  for _ in range(rng.randint(1, 40))))
+            rows.append((i, text, rng.choice(["s1", "s2"]),
+                         rng.choice(["en", "de", None])))
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows],
+                                pa.int64()),
+        })
+        pq.write_table(tab, os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"
