@@ -225,3 +225,46 @@ def test_alert_matches_incremental_verdicts(spark, sf_dir):
     assert set(alerted) == {a for a, r in screen.items() if r.is_neardup}
     for a, pairs in alerted.items():
         assert (screen[a].matched_id, screen[a].hamming) in pairs
+
+
+def test_alert_dedup_state_ttl_variant(spark, sf_dir):
+    """Production-posture check, in code rather than prose: the alert
+    body with an ingest-time watermark + dropDuplicatesWithinWatermark
+    — the bounded-state form a deployment runs so alert keys EXPIRE
+    instead of accumulating forever — drains the same alert set as
+    the registered unbounded-dedup query in the availableNow case
+    (every pair's first occurrence is inside the watermark window, so
+    the TTL can only change steady-state memory, never the drain)."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+    from mit_mapreduce_spark.streaming import docs_stream, run_stream_to_table
+
+    tune(spark)
+    inc_pred = F.col("doc_id") % 40 < 6
+    idx_sigs = (
+        mmdedup._fingerprint_audio_assets_from(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id").where(~inc_pred))
+        .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    inc_sigs = (
+        mmdedup._fingerprint_audio_assets_from(
+            docs_stream(spark, sf_dir).where(inc_pred))
+        .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+    )
+    ttl = (
+        banded_match_scores(inc_sigs, idx_sigs, mmdedup.FP_BANDS,
+                            mmdedup.FP_BAND_BITS, mmdedup.FP_HAM_MAX)
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["asset_id", "matched_id"])
+        .select("asset_id", "matched_id", "hamming")
+    )
+    drained = {(r.asset_id, r.matched_id, r.hamming)
+               for r in spark.table(run_stream_to_table(ttl, "append"))
+               .collect()}
+    registered = {(r.asset_id, r.matched_id, r.hamming)
+                  for r in operators.QUERIES["stream_fingerprint_alerts"](
+                      spark, sf_dir).collect()}
+    assert drained == registered and drained
