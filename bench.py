@@ -180,7 +180,7 @@ def main() -> None:
         "deltas_vs_prev": deltas,
         "retimed": retimed,
         "floor_retimed": floor_retimed,
-        "floor_rebased": FLOOR_REBASE,
+        "floor_rebased": FLOOR_REBASE.get(sf, {}),
         "sf": sf,
     }
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
@@ -247,8 +247,11 @@ def adjudicate_retime(readings: list[float],
 # favorable capture, not the box's reproducible floor. Entries here
 # RAISE the historical minimum to the demonstrated converged band so
 # the stale outlier stops triggering a retime every round; the rebase
-# travels in BENCH_FULL.json as ``floor_rebased``.
-FLOOR_REBASE = {"bpe_apply_vocab": 2.6}
+# travels in BENCH_FULL.json as ``floor_rebased``. Keyed per SCALE
+# FACTOR — a rebase measured at one sf must not mask regressions at
+# another (review find: floors are per-sf, so the override must be
+# too).
+FLOOR_REBASE = {0.1: {"bpe_apply_vocab": 2.6}}
 
 
 def bench_floors(sf: float, here: str) -> dict[str, float]:
@@ -274,7 +277,7 @@ def bench_floors(sf: float, here: str) -> dict[str, float]:
         for name, t in (payload.get("queries") or {}).items():
             if isinstance(t, (int, float)) and t >= 0:
                 floors[name] = min(floors.get(name, t), float(t))
-    for name, fl in FLOOR_REBASE.items():
+    for name, fl in FLOOR_REBASE.get(sf, {}).items():
         if name in floors:
             floors[name] = max(floors[name], fl)
     return floors

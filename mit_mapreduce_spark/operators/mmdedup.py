@@ -493,9 +493,27 @@ def dedup_video_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_IMAGE_ABSENT = (5, 3)   # doc_id % 5 == 3  -> doc has no image
 MM_AUDIO_ABSENT = (7, 0)   # doc_id % 7 == 0  -> doc has no audio
 MM_VIDEO_ABSENT = (6, 4)   # doc_id % 6 == 4  -> doc has no video
-IMG_PRESENT_SQL = "doc_id % 5 <> 3"
-AUD_PRESENT_SQL = "doc_id % 7 <> 0"
-VID_PRESENT_SQL = "doc_id % 6 <> 4"
+
+
+def _present_sql(absent: tuple[int, int]) -> str:
+    """SQL presence predicate derived from the ONE tuple spelling
+    (review find: three hand-synced literal forms invited a
+    guaranteed-confusing oracle red on any predicate change)."""
+    mod, rem = absent
+    return f"doc_id % {mod} <> {rem}"
+
+
+def _keep_media_sql(alias: str, absent: tuple[int, int]) -> str:
+    """SQL keep bit for one media modality: absent (by the derived
+    predicate) OR the doc is its cluster's canonical member."""
+    mod, rem = absent
+    return (f"(d.doc_id % {mod} = {rem}"
+            f" OR {alias}.cluster_id = d.doc_id)")
+
+
+IMG_PRESENT_SQL = _present_sql(MM_IMAGE_ABSENT)
+AUD_PRESENT_SQL = _present_sql(MM_AUDIO_ABSENT)
+VID_PRESENT_SQL = _present_sql(MM_VIDEO_ABSENT)
 
 
 def _present_docs(spark: SparkSession, sf_dir: str,
@@ -507,18 +525,22 @@ def _present_docs(spark: SparkSession, sf_dir: str,
 
 
 def _sparse_clusters(spark: SparkSession, sf_dir: str,
-                     fixture_from, kernel,
-                     absent: tuple[int, int]) -> DataFrame:
+                     fixture_from, kernel, absent: tuple[int, int],
+                     n_bands: int = FP_BANDS,
+                     band_bits: int = FP_BAND_BITS,
+                     ham_max: int = FP_HAM_MAX) -> DataFrame:
     """(asset_id, cluster_id) over the PRESENT subset of one modality:
     the same fixture builder + fingerprint kernel + banded pair join +
     min-label CC the dense tier runs, restricted to the docs that own
-    an asset — the manifest's sparse media legs."""
+    an asset — the manifest's sparse media legs. Geometry is a
+    parameter so the image leg stays pinned to PH_* (aliases of the
+    FP_* defaults today, free to diverge)."""
     docs = _present_docs(spark, sf_dir, absent)
     sigs = (
         fixture_from(docs).mapInPandas(kernel, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
-    pairs = banded_hamming_pairs2(sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX) \
+    pairs = banded_hamming_pairs2(sigs, n_bands, band_bits, ham_max) \
         .select("asset_a", "asset_b")
     return label_with_singletons(
         docs.select(F.col("doc_id").alias("asset_id")), "asset_id",
@@ -542,9 +564,9 @@ def _sql_manifest() -> str:
 
     kt = "tc.cluster_id = d.doc_id"
     kq = "fd.g AND fd.r AND fd.l"
-    ki = "(d.doc_id % 5 = 3 OR ic.cluster_id = d.doc_id)"
-    ka = "(d.doc_id % 7 = 0 OR ac.cluster_id = d.doc_id)"
-    kv = "(d.doc_id % 6 = 4 OR vc.cluster_id = d.doc_id)"
+    ki = _keep_media_sql("ic", MM_IMAGE_ABSENT)
+    ka = _keep_media_sql("ac", MM_AUDIO_ABSENT)
+    kv = _keep_media_sql("vc", MM_VIDEO_ABSENT)
     return f"""
     WITH {_sql_funnel_verdicts()}
     SELECT d.doc_id, d.lang, d.source,
@@ -592,15 +614,16 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("passes").alias("_r"))
     lm = quality_lm_bigram(spark, sf_dir).select("doc_id", "novelty")
     media = []
-    for col, fixture_from, kernel, absent in (
+    for col, fixture_from, kernel, absent, geom in (
             ("_icl", _phash_image_assets_from, _phash_batch,
-             MM_IMAGE_ABSENT),
+             MM_IMAGE_ABSENT, (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)),
             ("_acl", _fingerprint_audio_assets_from, _afp_batch,
-             MM_AUDIO_ABSENT),
+             MM_AUDIO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)),
             ("_vcl", _fingerprint_video_assets_from, _vfp_batch,
-             MM_VIDEO_ABSENT)):
+             MM_VIDEO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX))):
         media.append(
-            _sparse_clusters(spark, sf_dir, fixture_from, kernel, absent)
+            _sparse_clusters(spark, sf_dir, fixture_from, kernel,
+                             absent, *geom)
             .select(F.col("asset_id").alias("doc_id"),
                     F.col("cluster_id").alias(col)))
     m = (docs.join(tc, "doc_id").join(g, "doc_id").join(r, "doc_id")
@@ -803,17 +826,32 @@ def video_phash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the (band, value) buckets the incoming shard actually touches are
 # joined.
 
-FP_INC_PRED = "{d} % 40 < 6"   # predicate template: the incoming shard
+# The incoming-shard split, single-sourced (review find: the Column
+# form was re-spelled in streaming_queries and streambench): both the
+# SQL template and the Spark predicate derive from the same pair.
+FP_INC_MOD, FP_INC_LT = 40, 6
+FP_INC_PRED = f"{{d}} % {FP_INC_MOD} < {FP_INC_LT}"
+
+
+def inc_shard_col(name: str = "asset_id"):
+    """Spark twin of FP_INC_PRED over the given id column — TRUE for
+    rows in the incoming shard."""
+    return F.col(name) % FP_INC_MOD < FP_INC_LT
 
 
 def _incremental(spark: SparkSession, sf_dir: str, fixture_from,
-                 kernel) -> DataFrame:
+                 kernel, n_bands: int = FP_BANDS,
+                 band_bits: int = FP_BAND_BITS,
+                 ham_max: int = FP_HAM_MAX) -> DataFrame:
     """Shared body of the three media incremental screens: ONE
     fingerprint pass over the corpus (the signature table both sides
     live in), split into incoming shard and index, then the
-    banded one-sided screen."""
+    banded one-sided screen. Geometry is a parameter so each modality
+    stays pinned to its own constants (image passes PH_*; the FP_*
+    defaults are the audio/video geometry, aliases of PH_* today but
+    free to diverge)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    inc_pred = F.col("asset_id") % 40 < 6
+    inc_pred = inc_shard_col()
     sigs = (
         fixture_from(docs).mapInPandas(kernel, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
@@ -822,7 +860,7 @@ def _incremental(spark: SparkSession, sf_dir: str, fixture_from,
         .where(inc_pred)
     return incremental_screen(
         inc_assets, sigs.where(inc_pred), sigs.where(~inc_pred),
-        FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)
+        n_bands, band_bits, ham_max)
 
 
 @query("dedup_audio_incremental",
@@ -855,7 +893,7 @@ def dedup_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_image_inc() -> str:
     from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
     return (f"WITH {_sql_image_bits()},"
-            f" {sql_incremental_tail(FP_INC_PRED, FP_HAM_MAX)}")
+            f" {sql_incremental_tail(FP_INC_PRED, PH_HAM_MAX)}")
 
 
 @query("dedup_image_incremental", oracle=_sql_image_inc())
@@ -868,7 +906,7 @@ def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _incremental(spark, sf_dir, _phash_image_assets_from,
-                        _phash_batch)
+                        _phash_batch, PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)
 
 
 @query("dedup_video_incremental",

@@ -793,13 +793,13 @@ def stream_fingerprint_alerts(spark: SparkSession,
     from mit_mapreduce_spark.catalog import load_table
     from mit_mapreduce_spark.operators.mmdedup import (
         FP_BAND_BITS, FP_BANDS, FP_HAM_MAX, _afp_batch,
-        _fingerprint_audio_assets_from,
+        _fingerprint_audio_assets_from, inc_shard_col,
     )
     from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
     from mit_mapreduce_spark.streaming import docs_stream
 
     tune(spark)
-    inc_pred = F.col("doc_id") % 40 < 6
+    inc_pred = inc_shard_col("doc_id")
     idx_docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id").where(~inc_pred)
     idx_sigs = (

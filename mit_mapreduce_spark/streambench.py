@@ -178,17 +178,20 @@ def main(sf_dir: str) -> dict:
     results["audio_fingerprints"] = _drive(sigs, "append", "sb_audio_fp")
 
     # near-dup alert at ingest (r11): the stream_fingerprint_alerts
-    # pipeline — per micro-batch fingerprint of the incoming shard
-    # (doc_id % 40 < 6), stream-static band join against the
-    # batch-computed corpus signature index, radius filter, per-pair
-    # dedup state. rows_per_sec counts incoming-shard docs through
-    # build -> decode -> fingerprint -> join -> alert.
+    # pipeline — per micro-batch fingerprint of the incoming shard,
+    # stream-static band join against the batch-computed corpus
+    # signature index, radius filter, per-pair dedup state. NOTE on
+    # units (review find): numInputRows counts every staged manifest
+    # doc READ (the shard filter runs after the file source), so
+    # rows_per_sec is manifest-docs/s; the record carries shard_docs
+    # so consumers can derive the per-SHARD-doc rate.
     from mit_mapreduce_spark.operators.banding import banded_match_scores
     from mit_mapreduce_spark.operators.mmdedup import (
-        FP_BAND_BITS, FP_BANDS, FP_HAM_MAX,
+        FP_BAND_BITS, FP_BANDS, FP_HAM_MAX, inc_shard_col,
     )
 
-    inc_pred = F.col("doc_id") % 40 < 6
+    inc_pred = inc_shard_col("doc_id")
+    shard_docs = spark.read.parquet(dstage).where(inc_pred).count()
     idx_sigs = (
         _fingerprint_audio_assets_from(
             spark.read.parquet(dstage).select("doc_id").where(~inc_pred))
@@ -202,7 +205,10 @@ def main(sf_dir: str) -> dict:
     alerts = banded_match_scores(
         inc_sigs, idx_sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX
     ).dropDuplicates(["asset_id", "matched_id"])
-    results["fingerprint_alerts"] = _drive(alerts, "append", "sb_fp_alerts")
+    results["fingerprint_alerts"] = {
+        **_drive(alerts, "append", "sb_fp_alerts"),
+        "shard_docs": shard_docs,
+    }
 
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))

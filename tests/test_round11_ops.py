@@ -7,7 +7,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from mit_mapreduce_spark import operators, plans
-from mit_mapreduce_spark.testing import compare
 
 operators.load_all()
 
