@@ -141,3 +141,22 @@ def test_streaming_drains_reuse_batch_twin_oracles():
     streaming = [n for n in ORACLES if n.startswith("stream_")]
     assert len(streaming) == 15
     assert "stream_heavy_hitters" not in ORACLES
+
+
+def test_semantics_changed_queries_resnapshot():
+    """r11: a query whose semantics changed after its last official
+    green row (the manifest pair's r10 rows certified the dense
+    inner-join form) must re-enter the fresh-first tier until a round
+    >= the change round records it green again — stale evidence must
+    not keep it out of the driver's snapshot."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    last_green = e._recorded_green()
+    for name, rnd in e._CHANGED_IN_ROUND.items():
+        assert name in names
+        # evidence from rounds before the change must not count
+        assert last_green.get(name, 0) == 0 or last_green[name] >= rnd
+        # until re-recorded, the query leads the snapshot ordering
+        if name not in last_green:
+            assert names.index(name) < 50

@@ -267,3 +267,46 @@ def test_alert_dedup_state_ttl_variant(spark, sf_dir):
                   for r in operators.QUERIES["stream_fingerprint_alerts"](
                       spark, sf_dir).collect()}
     assert drained == registered and drained
+
+
+def test_streamed_signature_index_feeds_the_screen(spark, sf_dir, tmp_path):
+    """The 100 TB story made material end to end: the signature rows
+    drained by the streaming fingerprint-at-ingest leg, PERSISTED to
+    a real parquet signature table (writeStream parquet sink +
+    checkpoint), are the index the incremental screen consumes —
+    screening the incoming shard against the persisted table, with no
+    corpus re-decode anywhere, yields exactly the registered
+    dedup_audio_incremental verdicts."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    inc_pred = mmdedup.inc_shard_col("doc_id")
+    dst, ckpt = str(tmp_path / "sigidx"), str(tmp_path / "ckpt")
+    idx_leg = (
+        mmdedup._fingerprint_audio_assets_from(
+            docs_stream(spark, sf_dir).where(~inc_pred))
+        .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+    )
+    q = (idx_leg.writeStream.format("parquet")
+         .option("path", dst).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    persisted_index = spark.read.parquet(dst)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    inc_docs = docs.where(inc_pred)
+    inc_sigs = (
+        mmdedup._fingerprint_audio_assets_from(inc_docs)
+        .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    screened = incremental_screen(
+        inc_docs.select(F.col("doc_id").alias("asset_id")),
+        inc_sigs, persisted_index,
+        mmdedup.FP_BANDS, mmdedup.FP_BAND_BITS, mmdedup.FP_HAM_MAX)
+    got = {tuple(r) for r in screened.collect()}
+    want = {tuple(r) for r in operators.QUERIES[
+        "dedup_audio_incremental"](spark, sf_dir).collect()}
+    assert got == want and got
