@@ -49,3 +49,71 @@ def test_flaky_arrow_kernel_is_retried_to_exact_result():
     out = subprocess.run([sys.executable, "-c", _CODE],
                          capture_output=True, text=True, timeout=300)
     assert "CHAOS_OK" in out.stdout, (out.stdout[-500:], out.stderr[-2000:])
+
+
+_SCREEN_CODE = '''
+import os, sys
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (SparkSession.builder.master("local[4, 2]")   # 2 attempts/task
+         .appName("chaos-screen")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators import mmdedup
+from mit_mapreduce_spark.operators.banding import incremental_screen
+from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
+
+
+def flaky(batches):
+    """Crash the FIRST attempt of every fingerprint task; retries run
+    the real kernel (crash.go's maybeCrash, made deterministic)."""
+    from pyspark import TaskContext
+    if TaskContext.get().attemptNumber() == 0:
+        raise RuntimeError("chaos: injected first-attempt failure")
+    yield from mmdedup._afp_batch(batches)
+
+
+sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+docs = load_table(spark, sf, "documents").select("doc_id")
+inc_pred = mmdedup.inc_shard_col()
+
+
+def screen(kernel):
+    sigs = (mmdedup._fingerprint_audio_assets_from(docs)
+            .mapInPandas(kernel, _PHASH_SCHEMA)
+            .localCheckpoint(eager=False))
+    inc_assets = (docs.select(F.col("doc_id").alias("asset_id"))
+                  .where(inc_pred))
+    return {tuple(r) for r in incremental_screen(
+        inc_assets, sigs.where(inc_pred), sigs.where(~inc_pred),
+        mmdedup.FP_BANDS, mmdedup.FP_BAND_BITS,
+        mmdedup.FP_HAM_MAX).collect()}
+
+
+assert screen(flaky) == screen(mmdedup._afp_batch)
+print("CHAOS_SCREEN_OK")
+'''
+
+
+def test_flaky_fingerprint_screen_is_retried_to_exact_result():
+    """r11: the incremental screen's decode+fingerprint stage is
+    retry-safe end to end — crash every fingerprint task's first
+    attempt and the screen still produces the exact verdict set (the
+    fixture chains and the kernel are deterministic, so recovery is
+    bit-identical, the crash.go guarantee at the operator level)."""
+    import os
+
+    env = dict(os.environ,
+               SPARK_GRAFT_REPO=os.path.dirname(
+                   os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run([sys.executable, "-c", _SCREEN_CODE],
+                         capture_output=True, text=True, timeout=600,
+                         env=env)
+    assert "CHAOS_SCREEN_OK" in out.stdout, (
+        out.stdout[-500:], out.stderr[-2000:])
