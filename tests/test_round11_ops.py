@@ -310,3 +310,46 @@ def test_streamed_signature_index_feeds_the_screen(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in operators.QUERIES[
         "dedup_audio_incremental"](spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_screen_degenerate_single_bucket(spark):
+    """Hostile-corpus worst case for the ONE-SIDED join: every asset
+    has the IDENTICAL signature, so all candidates fall into one
+    (band, value) bucket per band — the screen must still produce
+    exactly one verdict per incoming asset (best = min index id,
+    hamming 0), the same skew story as the pair join's degenerate
+    bucket (AQE handles the volume; correctness must not depend on
+    bucket spread)."""
+    rows = [(i, 123456789, -987654321) for i in range(200)]
+    sigs = spark.createDataFrame(rows, "asset_id long, sig0 long, sig1 long")
+    inc_pred = F.col("asset_id") % 40 < 6
+    out = {r.asset_id: r for r in incremental_screen(
+        sigs.where(inc_pred).select("asset_id"),
+        sigs.where(inc_pred), sigs.where(~inc_pred),
+        mmdedup.FP_BANDS, mmdedup.FP_BAND_BITS,
+        mmdedup.FP_HAM_MAX).collect()}
+    incoming = [i for i in range(200) if i % 40 < 6]
+    min_idx = min(i for i in range(200) if i % 40 >= 6)
+    assert set(out) == set(incoming)
+    for r in out.values():
+        assert r.matched_id == min_idx and r.hamming == 0 \
+            and r.is_neardup is True
+
+
+def test_banding_invariant_violations_raise(spark):
+    """ADVICE r10: invariant violations that would yield silently
+    INCOMPLETE results must raise (and survive `python -O`), not
+    assert."""
+    from mit_mapreduce_spark.operators.banding import (
+        banded_hamming_pairs2, explode_bands,
+    )
+
+    sigs = spark.createDataFrame([(1, 0, 0)],
+                                 "asset_id long, sig0 long, sig1 long")
+    with pytest.raises(ValueError):
+        banded_hamming_pairs2(sigs, n_bands=8, band_bits=16, ham_max=8)
+    with pytest.raises(ValueError):
+        banded_match_scores(sigs, sigs, n_bands=8, band_bits=16,
+                            ham_max=8)
+    with pytest.raises(ValueError):
+        explode_bands(sigs, n_bands=9, band_bits=16)  # > two words
