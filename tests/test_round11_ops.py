@@ -353,3 +353,49 @@ def test_banding_invariant_violations_raise(spark):
                             ham_max=8)
     with pytest.raises(ValueError):
         explode_bands(sigs, n_bands=9, band_bits=16)  # > two words
+
+
+def test_alert_body_is_modality_generic(spark, sf_dir):
+    """The registered alert is the audio leg; the body is modality-
+    generic (banded_match_scores doesn't know what a signature
+    hashes). Pin that by running the IMAGE composition — stream-side
+    phash per micro-batch against the static image index — and
+    checking the drain equals the batch pair set, so an r12 image/
+    video alert registration is a naming decision, not new code."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.multimodal import (
+        PH_BAND_BITS, PH_BANDS, PH_HAM_MAX,
+    )
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+    from mit_mapreduce_spark.streaming import docs_stream, run_stream_to_table
+
+    tune(spark)
+    inc_pred = mmdedup.inc_shard_col("doc_id")
+    idx_sigs = (
+        _phash_image_assets_from(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id").where(~inc_pred))
+        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    inc_stream = (
+        _phash_image_assets_from(docs_stream(spark, sf_dir).where(inc_pred))
+        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
+    )
+    alerts = banded_match_scores(
+        inc_stream, idx_sigs, PH_BANDS, PH_BAND_BITS, PH_HAM_MAX
+    ).dropDuplicates(["asset_id", "matched_id"])
+    drained = {tuple(r) for r in
+               spark.table(run_stream_to_table(alerts, "append")).collect()}
+
+    inc_batch = (
+        _phash_image_assets_from(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id").where(inc_pred))
+        .mapInPandas(_phash_batch, _PHASH_SCHEMA)
+    )
+    batch = {tuple(r) for r in
+             banded_match_scores(inc_batch, idx_sigs, PH_BANDS,
+                                 PH_BAND_BITS, PH_HAM_MAX)
+             .dropDuplicates(["asset_id", "matched_id"]).collect()}
+    assert drained == batch and drained
