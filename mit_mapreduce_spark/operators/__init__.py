@@ -23,6 +23,7 @@ def load_all() -> None:
         temporal,
         multimodal,
         mmdedup,
+        mmquality,
         profiling,
         udfs,
         mrparity,
