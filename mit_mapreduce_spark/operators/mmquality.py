@@ -250,8 +250,17 @@ def quality_audio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling, two engines). 100 TB: one decode pass, ~40 bytes of
     stats per asset leave the scan, verdicts are JVM comparisons,
     no shuffle at all before a consumer aggregates."""
+    return _audio_screen_from(load_table(spark, sf_dir, "documents"))
+
+
+def _audio_screen_from(docs: DataFrame) -> DataFrame:
+    """quality_audio_screen body over an arbitrary documents frame —
+    every stage is stateless (JVM fixture expressions, the Arrow
+    decode kernel, verdict comparisons), so the identical pipeline
+    serves the batch query and the streaming quality-at-ingest leg
+    (stream_audio_quality)."""
     stats = (
-        quality_audio_assets(spark, sf_dir)
+        _quality_audio_assets_from(docs)
         .mapInPandas(_aq_stats_batch, _AQ_STAT_SCHEMA)
     )
     silent = F.expr(AQ_SILENT)
@@ -467,8 +476,14 @@ def quality_video_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions across the nf = 4,5,6 geometries. 100 TB posture:
     identical to the audio screen — one parse pass, five int64s per
     asset out, no shuffle."""
+    return _video_screen_from(load_table(spark, sf_dir, "documents"))
+
+
+def _video_screen_from(docs: DataFrame) -> DataFrame:
+    """quality_video_screen body over an arbitrary documents frame
+    (stateless stages — see _audio_screen_from)."""
     stats = (
-        quality_video_assets(spark, sf_dir)
+        _quality_video_assets_from(docs)
         .mapInPandas(_vq_stats_batch, _VQ_STAT_SCHEMA)
     )
     black = F.expr(VQ_BLACK)
@@ -629,8 +644,14 @@ def quality_image_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda, and applies the SAME verdict SQL (IQ_FLAT/IQ_DARK).
     100 TB posture: one decode pass, five int64s per asset out, no
     shuffle."""
+    return _image_screen_from(load_table(spark, sf_dir, "documents"))
+
+
+def _image_screen_from(docs: DataFrame) -> DataFrame:
+    """quality_image_screen body over an arbitrary documents frame
+    (stateless stages — see _audio_screen_from)."""
     stats = (
-        quality_image_assets(spark, sf_dir)
+        _quality_image_assets_from(docs)
         .mapInPandas(_iq_stats_batch, _IQ_STAT_SCHEMA)
     )
     flat = F.expr(IQ_FLAT)

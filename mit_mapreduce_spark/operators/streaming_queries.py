@@ -40,6 +40,7 @@ from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 from mit_mapreduce_spark.operators import events as _events_batch  # noqa: F401
 from mit_mapreduce_spark.operators import banding as _banding  # noqa: F401
 from mit_mapreduce_spark.operators import mmdedup as _mmdedup_batch  # noqa: F401
+from mit_mapreduce_spark.operators import mmquality as _mmquality_batch  # noqa: F401
 from mit_mapreduce_spark.operators import multimodal as _multimodal_batch  # noqa: F401
 from mit_mapreduce_spark.operators import sketches as _sketches_batch  # noqa: F401
 from mit_mapreduce_spark.operators.events import SESSION_GAP_US
@@ -816,3 +817,33 @@ def stream_fingerprint_alerts(spark: SparkSession,
         inc_sigs, idx_sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX
     ).dropDuplicates(["asset_id", "matched_id"])
     return spark.table(run_stream_to_table(alerts, "append"))
+
+
+@query("stream_audio_quality",
+       oracle=_mmquality_batch._sql_audio_screen())
+def stream_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality screen at ingest (r11): the documents
+    manifest arrives as a file stream; each micro-batch builds the
+    WAV payloads, runs the REAL decode + integer-DSP screen kernel
+    (the identical stateless stages batch quality_audio_screen runs),
+    and the per-asset verdict rows drain in append mode — degenerate
+    assets (silent / hard-clipped / DC-biased) flagged at the door,
+    the quality twin of stream_audio_fingerprints' continuously-
+    maintained index: a production pipeline quarantines on
+    `NOT passes` before the asset ever reaches storage or training.
+
+    Oracle = the batch screen's chain SQL verbatim: every stage is
+    stateless and append mode emits each input row's verdicts exactly
+    once, so the drain equals the batch screen row-for-row regardless
+    of micro-batch boundaries. The screen body is modality-agnostic
+    plumbing (asset build -> Arrow stats kernel -> shared verdict
+    expressions); a pytest drains the video leg to prove an image or
+    video registration is a naming decision, not new code. 100 TB
+    posture: zero streaming state — a pure per-batch map, throughput
+    scales with executors."""
+    from mit_mapreduce_spark.operators.mmquality import _audio_screen_from
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    screened = _audio_screen_from(docs_stream(spark, sf_dir))
+    return spark.table(run_stream_to_table(screened, "append"))

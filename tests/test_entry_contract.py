@@ -134,12 +134,15 @@ def test_streaming_drains_reuse_batch_twin_oracles():
             == ORACLES["event_transitions"])
     assert (ORACLES["stream_multimodal_quarantine"]
             == ORACLES["multimodal_quarantine_report"])
-    # and all fourteen deterministic drains are oracle-bearing (r8
-    # session 2 added the sequence-stepper twin, r9 the multimodal
-    # ingest audit, r10 the three fingerprint-at-ingest legs); only
-    # the order-dependent sketch stays rows-only
+    assert (ORACLES["stream_audio_quality"]
+            == ORACLES["quality_audio_screen"])
+    # and all deterministic drains are oracle-bearing (r8 session 2
+    # added the sequence-stepper twin, r9 the multimodal ingest
+    # audit, r10 the three fingerprint-at-ingest legs + the ingest
+    # alert, r11 the quality-at-ingest leg); only the order-dependent
+    # sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 15
+    assert len(streaming) == 16
     assert "stream_heavy_hitters" not in ORACLES
 
 

@@ -212,3 +212,42 @@ def test_media_report_matches_screens(spark, sf_dir):
         assert rep[modality].n_pass == n_pass
         assert rep[modality].n_fail == n - n_pass
         assert rep[modality].pass_frac == pytest.approx(n_pass / n)
+
+
+# --- streaming quality-at-ingest -------------------------------------------------
+
+def test_stream_audio_quality_equals_batch_screen(spark, sf_dir):
+    """Batch parity: the append-mode drain of the streaming quality
+    leg equals the batch screen row-for-row (stateless stages, one
+    verdict row per asset)."""
+    key = lambda r: (r.asset_id, r.n_samples, r.silence_count,  # noqa: E731
+                     r.clip_count, r.dc_sum, r.is_silent,
+                     r.is_clipped, r.is_dc_biased, r.passes)
+    drained = {key(r) for r in operators.QUERIES[
+        "stream_audio_quality"](spark, sf_dir).collect()}
+    batch = {key(r) for r in operators.QUERIES[
+        "quality_audio_screen"](spark, sf_dir).collect()}
+    assert drained == batch and drained
+
+
+def test_stream_quality_modality_generic_video_leg(spark, sf_dir):
+    """The registered ingest leg covers audio; the body is
+    modality-agnostic (asset build -> Arrow stats kernel -> shared
+    verdict expressions), proved by draining the VIDEO composition
+    and matching the batch video screen exactly — an image or video
+    registration is a naming decision, not new code."""
+    from mit_mapreduce_spark.operators.mmquality import _video_screen_from
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+    from mit_mapreduce_spark.streaming import docs_stream, run_stream_to_table
+
+    tune(spark)
+    drained = {(r.asset_id, r.n_frames, r.n_black, r.n_frozen_pairs,
+                r.y_total, r.is_black, r.is_static, r.passes)
+               for r in spark.table(run_stream_to_table(
+                   _video_screen_from(docs_stream(spark, sf_dir)),
+                   "append")).collect()}
+    batch = {(r.asset_id, r.n_frames, r.n_black, r.n_frozen_pairs,
+              r.y_total, r.is_black, r.is_static, r.passes)
+             for r in operators.QUERIES["quality_video_screen"](
+                 spark, sf_dir).collect()}
+    assert drained == batch and drained
