@@ -966,3 +966,55 @@ def test_differential_fuzz_r11_incremental_and_alerts(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial}/{op}: {msg}"
+
+
+def test_differential_fuzz_r11_quality_screens(spark, tmp_path):
+    """r11 fuzz class #2: the media quality screens over hostile
+    corpora — RANDOM NON-CONTIGUOUS doc_ids (irregular degenerate-
+    class coverage: a corpus may be all-silent, all-healthy, or miss
+    entire classes), tiny doc counts, and the usual NULL/empty-text
+    rows (the quality fixtures seed from doc_id, so NULL-text docs
+    still own assets). Every screen and the composed report must stay
+    hash-green against its chain oracle on every corpus."""
+    import random
+
+    rng = random.Random(1112)
+    ops = ["quality_audio_screen", "quality_image_screen",
+           "quality_video_screen", "quality_media_report",
+           "stream_audio_quality"]
+    id_pools = [
+        [0, 8, 16],                        # one class only (all silent)
+        [4, 5, 6, 7, 12, 13],              # healthy chain classes only
+        None,                              # random non-contiguous
+        None,
+    ]
+    for trial, pool in enumerate(id_pools):
+        td = str(tmp_path / f"r11q{trial}")
+        os.makedirs(td)
+        if pool is None:
+            pool = sorted(rng.sample(range(500), rng.randint(2, 12)))
+        rows = []
+        for i in pool:
+            kind = rng.random()
+            text = (None if kind < 0.2 else "" if kind < 0.3
+                    else " ".join(rng.choice(_ALPH)
+                                  for _ in range(rng.randint(1, 40))))
+            rows.append((i, text, rng.choice(["s1", "s2"]),
+                         rng.choice(["en", "de", None])))
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows],
+                                pa.int64()),
+        })
+        pq.write_table(tab, os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"
