@@ -210,6 +210,17 @@ def main(sf_dir: str) -> dict:
         "shard_docs": shard_docs,
     }
 
+    # quality-at-ingest (r11): per micro-batch WAV build + real
+    # decode + integer-DSP screen, append-mode verdict drain
+    # (stream_audio_quality's pipeline); rows_per_sec = docs/sec
+    # through the full build -> decode -> screen path.
+    from mit_mapreduce_spark.operators.mmquality import _audio_screen_from
+
+    q_source = (spark.readStream.schema(dschema)
+                .option("maxFilesPerTrigger", 1).parquet(dstage))
+    results["audio_quality"] = _drive(
+        _audio_screen_from(q_source), "append", "sb_audio_q")
+
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
     return results
