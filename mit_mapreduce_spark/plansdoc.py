@@ -89,6 +89,15 @@ PICKS = [
      "runs as WindowGroupLimit with a PARTIAL pass below the exchange "
      "(at most one candidate row per asset per partition shuffles); "
      "the verdict is one left join back to the shard"),
+    ("quality_audio_screen",
+     "media quality screen — a pure map pipeline: ONE exchange in "
+     "the whole plan and it is fan_out's deliberate round-robin "
+     "repartition of the single-row-group fixture scan (a no-op on "
+     "a real many-file corpus); above it the JVM fixture build, the "
+     "Arrow encode and decode+DSP kernels, and the verdict "
+     "comparisons all pipeline in one stage — the scan reads ONLY "
+     "doc_id, and no join or aggregate exists to shuffle the "
+     "payloads"),
 ]
 
 

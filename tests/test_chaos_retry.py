@@ -117,3 +117,70 @@ def test_flaky_fingerprint_screen_is_retried_to_exact_result():
                          env=env)
     assert "CHAOS_SCREEN_OK" in out.stdout, (
         out.stdout[-500:], out.stderr[-2000:])
+
+
+_QUALITY_CODE = '''
+import os, sys
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[4, 2]")   # 2 attempts/task
+         .appName("chaos-quality")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators import mmquality
+from mit_mapreduce_spark.operators.mmquality import (
+    _AQ_STAT_SCHEMA, _aq_stats_batch, _quality_audio_assets_from,
+)
+from pyspark.sql import functions as F
+
+
+def flaky(batches):
+    """Crash the FIRST attempt of every screen task; retries run the
+    real kernel (crash.go's maybeCrash, made deterministic)."""
+    from pyspark import TaskContext
+    if TaskContext.get().attemptNumber() == 0:
+        raise RuntimeError("chaos: injected first-attempt failure")
+    yield from _aq_stats_batch(batches)
+
+
+sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+docs = load_table(spark, sf, "documents")
+
+
+def screen(kernel):
+    stats = _quality_audio_assets_from(docs).mapInPandas(
+        kernel, _AQ_STAT_SCHEMA)
+    silent = F.expr(mmquality.AQ_SILENT)
+    clipped = F.expr(mmquality.AQ_CLIPPED)
+    dc = F.expr(mmquality.AQ_DC)
+    return {tuple(r) for r in stats.select(
+        "asset_id", "n_samples", "silence_count", "clip_count",
+        "dc_sum", silent.alias("is_silent"), clipped.alias("is_clipped"),
+        dc.alias("is_dc_biased")).collect()}
+
+
+assert screen(flaky) == screen(_aq_stats_batch)
+print("CHAOS_QUALITY_OK")
+'''
+
+
+def test_flaky_quality_screen_is_retried_to_exact_result():
+    """r11: the quality screen's decode+DSP stage is retry-safe —
+    crash every screen task's first attempt and the verdict stats
+    are bit-identical on recovery (deterministic fixture chains +
+    integer kernel, the crash.go guarantee at the operator level)."""
+    import os
+
+    env = dict(os.environ,
+               SPARK_GRAFT_REPO=os.path.dirname(
+                   os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run([sys.executable, "-c", _QUALITY_CODE],
+                         capture_output=True, text=True, timeout=600,
+                         env=env)
+    assert "CHAOS_QUALITY_OK" in out.stdout, (
+        out.stdout[-500:], out.stderr[-2000:])
