@@ -550,3 +550,27 @@ def test_round9_shuffle_budgets(spark, sf_dir, name, budget):
     n = plans.shuffle_count(df)
     assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
     assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("quality_audio_screen", 1),    # fan_out of the fixture scan only:
+                                    # the screen itself is a pure map
+    ("quality_image_screen", 1),
+    ("quality_video_screen", 1),
+    ("quality_media_report", 6),    # 3 screen legs (fan_out each) +
+                                    # the 3-row union rollup's partial/
+                                    # final agg exchanges
+])
+def test_round11_quality_shuffle_budgets(spark, sf_dir, name, budget):
+    """Round-11 quality screens: the plan must stay a map over the
+    asset scan — the only allowed exchange is fan_out's deliberate
+    repartition of the single-row-group fixture scan (payload bytes
+    must never shuffle; there is no join to put them on one)."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+    if name != "quality_media_report":
+        # the one exchange carries doc_id alone, pre-payload-build
+        fp = plans.formatted_plan(df)
+        assert "SortMergeJoin" not in fp and "BroadcastHashJoin" not in fp
