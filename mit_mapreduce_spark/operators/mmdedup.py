@@ -503,12 +503,18 @@ def _present_sql(absent: tuple[int, int]) -> str:
     return f"doc_id % {mod} <> {rem}"
 
 
-def _keep_media_sql(alias: str, absent: tuple[int, int]) -> str:
+def _keep_media_sql(alias: str, q_alias: str,
+                    absent: tuple[int, int]) -> str:
     """SQL keep bit for one media modality: absent (by the derived
-    predicate) OR the doc is its cluster's canonical member."""
+    predicate) OR the doc's asset is both its near-dup cluster's
+    canonical member AND a quality-screen pass (r11 second half:
+    the mmquality screens fold into the manifest — an owned asset
+    must survive dedup AND quality; COALESCE treats a missing
+    quality row, i.e. an undecodable asset, as fail)."""
     mod, rem = absent
     return (f"(d.doc_id % {mod} = {rem}"
-            f" OR {alias}.cluster_id = d.doc_id)")
+            f" OR ({alias}.cluster_id = d.doc_id"
+            f" AND COALESCE({q_alias}.passes, FALSE)))")
 
 
 IMG_PRESENT_SQL = _present_sql(MM_IMAGE_ABSENT)
@@ -560,13 +566,16 @@ def _sql_manifest() -> str:
     inner join."""
     from mit_mapreduce_spark.operators.curation import _sql_funnel_verdicts
     from mit_mapreduce_spark.operators.dedup import _sql_cc
+    from mit_mapreduce_spark.operators.mmquality import (
+        _sql_audio_screen, _sql_image_screen, _sql_video_screen,
+    )
     from mit_mapreduce_spark.operators.multimodal import _sql_image_phash
 
     kt = "tc.cluster_id = d.doc_id"
     kq = "fd.g AND fd.r AND fd.l"
-    ki = _keep_media_sql("ic", MM_IMAGE_ABSENT)
-    ka = _keep_media_sql("ac", MM_AUDIO_ABSENT)
-    kv = _keep_media_sql("vc", MM_VIDEO_ABSENT)
+    ki = _keep_media_sql("ic", "iq", MM_IMAGE_ABSENT)
+    ka = _keep_media_sql("ac", "aq", MM_AUDIO_ABSENT)
+    kv = _keep_media_sql("vc", "vq", MM_VIDEO_ABSENT)
     return f"""
     WITH {_sql_funnel_verdicts()}
     SELECT d.doc_id, d.lang, d.source,
@@ -589,6 +598,12 @@ def _sql_manifest() -> str:
     LEFT JOIN ({sql_cc_over(_sql_video_phash(VID_PRESENT_SQL),
                             VID_PRESENT_SQL)}) vc
       ON vc.asset_id = d.doc_id
+    LEFT JOIN ({_sql_image_screen(IMG_PRESENT_SQL)}) iq
+      ON iq.asset_id = d.doc_id
+    LEFT JOIN ({_sql_audio_screen(AUD_PRESENT_SQL)}) aq
+      ON aq.asset_id = d.doc_id
+    LEFT JOIN ({_sql_video_screen(VID_PRESENT_SQL)}) vq
+      ON vq.asset_id = d.doc_id
     """
 
 
@@ -599,6 +614,9 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FUNNEL_MAX_NOVELTY, gopher_quality_rules, quality_repetition,
     )
     from mit_mapreduce_spark.operators.dedup import dedup_clusters
+    from mit_mapreduce_spark.operators.mmquality import (
+        _audio_screen_from, _image_screen_from, _video_screen_from,
+    )
     from mit_mapreduce_spark.operators.multimodal import (
         _phash_batch, _phash_image_assets_from,
     )
@@ -626,28 +644,47 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                              absent, *geom)
             .select(F.col("asset_id").alias("doc_id"),
                     F.col("cluster_id").alias(col)))
+    # r11 second half: the media QUALITY screens (mmquality) fold in
+    # — each present subset's assets get a passes bit, joined left
+    for col, screen_from, absent in (
+            ("_iqp", _image_screen_from, MM_IMAGE_ABSENT),
+            ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
+            ("_vqp", _video_screen_from, MM_VIDEO_ABSENT)):
+        mod, rem = absent
+        present = load_table(spark, sf_dir, "documents") \
+            .select("doc_id").where(F.col("doc_id") % mod != rem)
+        media.append(
+            screen_from(present)
+            .select(F.col("asset_id").alias("doc_id"),
+                    F.col("passes").alias(col))
+            # truncate the deep Arrow-pipeline lineage before the
+            # 10-join composition, like the cluster legs — a measured
+            # 14 s of driver-side ANALYSIS on the un-truncated plan
+            .localCheckpoint(eager=False))
     m = (docs.join(tc, "doc_id").join(g, "doc_id").join(r, "doc_id")
-         .join(lm, "doc_id", "left")
-         .join(media[0], "doc_id", "left")
-         .join(media[1], "doc_id", "left")
-         .join(media[2], "doc_id", "left"))
+         .join(lm, "doc_id", "left"))
+    for leg in media:
+        m = m.join(leg, "doc_id", "left")
     keep_text = F.col("_tcl") == F.col("doc_id")
     keep_quality = (F.col("_g") & F.col("_r")
                     & F.col("novelty").isNotNull()
                     & (F.col("novelty") <= FUNNEL_MAX_NOVELTY))
 
-    def keep_media(cl: str, absent: tuple[int, int]):
+    def keep_media(cl: str, qp: str, absent: tuple[int, int]):
         # absent modality = keep-pass, by the EXPLICIT presence
         # predicate (not by null-ness of the left join, so a bug that
         # dropped a present doc's cluster row would surface as a
-        # keep=false mismatch, not silently pass)
+        # keep=false mismatch, not silently pass); an OWNED asset must
+        # be its cluster's canonical member AND a quality-screen pass
+        # (a missing quality row = undecodable asset = fail)
         mod, rem = absent
         return F.when(F.col("doc_id") % mod == rem, F.lit(True)) \
-            .otherwise(F.col(cl) == F.col("doc_id"))
+            .otherwise((F.col(cl) == F.col("doc_id"))
+                       & F.coalesce(F.col(qp), F.lit(False)))
 
-    keep_image = keep_media("_icl", MM_IMAGE_ABSENT)
-    keep_audio = keep_media("_acl", MM_AUDIO_ABSENT)
-    keep_video = keep_media("_vcl", MM_VIDEO_ABSENT)
+    keep_image = keep_media("_icl", "_iqp", MM_IMAGE_ABSENT)
+    keep_audio = keep_media("_acl", "_aqp", MM_AUDIO_ABSENT)
+    keep_video = keep_media("_vcl", "_vqp", MM_VIDEO_ABSENT)
     ready = (keep_text & keep_quality & keep_image & keep_audio
              & keep_video)
     return m.select(
@@ -665,18 +702,23 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_multimodal_manifest(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The CROSS-MODALITY per-doc training manifest (VERDICT r9 ask
-    #5; MODALITY-SPARSE since r11 per VERDICT r10 ask #1): one row
-    per document with the five pillar keep decisions — text near-dup
-    keeper (MinHash CC canonical member), three-stage quality funnel
-    pass (Gopher -> repetition -> LM novelty), and the
-    image/audio/video perceptual-near-dup keepers — plus `ready`,
-    the single bit a training run consumes: keep the doc iff its text
-    survived dedup AND quality AND every asset the doc OWNS survived
-    its modality's perceptual dedup. Docs own assets per the
-    deterministic presence predicates (doc_id % 5 == 3: no image,
-    % 7 == 0: no audio, % 6 == 4: no video); an absent modality is
-    keep-PASS — a text-only document can be ready, which the r10
-    inner-join form silently forbade.
+    #5; MODALITY-SPARSE since r11 per VERDICT r10 ask #1; media
+    QUALITY folded in later in r11 when the mmquality screens
+    landed): one row per document with the five pillar keep
+    decisions — text near-dup keeper (MinHash CC canonical member),
+    three-stage quality funnel pass (Gopher -> repetition -> LM
+    novelty), and per owned image/audio/video asset BOTH the
+    perceptual-near-dup keeper bit AND the modality's quality-screen
+    pass (silent/clipped/DC audio, black/frozen video, flat/dark
+    images — quality_*_screen) — plus `ready`, the single bit a
+    training run consumes: keep the doc iff its text survived dedup
+    AND quality AND every asset the doc OWNS survived its modality's
+    dedup AND quality screens. Docs own assets per the deterministic
+    presence predicates (doc_id % 5 == 3: no image, % 7 == 0: no
+    audio, % 6 == 4: no video); an absent modality is keep-PASS — a
+    text-only document can be ready, which the r10 inner-join form
+    silently forbade. An owned asset with no quality row
+    (undecodable) is a FAIL, never a silent pass.
 
     One plan, no re-decode: every input is an (id, label/flag) table
     the pillar operators already produce (cluster tables are two

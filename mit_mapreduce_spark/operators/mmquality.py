@@ -90,7 +90,11 @@ def _quality_audio_assets_from(docs: DataFrame) -> DataFrame:
         _AUDIO_SCHEMA, _encode_audio_batch,
     )
 
-    chain = (
+    # the chain rides a COLUMN so the big sha2-transform tree appears
+    # ONCE in the plan, not once per CASE branch — with three screens
+    # composed into the manifest, duplicated chain trees measurably
+    # inflated driver-side analysis time
+    chain = F.expr(
         "substring(unhex(concat_ws('', transform("
         "  sequence(0, cast(ceil((_nf * 2) / 32.0) as int) - 1),"
         "  i -> sha2(concat('aq', cast(doc_id as string), '|',"
@@ -101,12 +105,13 @@ def _quality_audio_assets_from(docs: DataFrame) -> DataFrame:
           WHEN 1 THEN unhex(repeat('ff7f', _nf))
           WHEN 2 THEN unhex(repeat('0040', _nf))
           WHEN 3 THEN concat(unhex(repeat('0000', _nf div 2)),
-                             substring({chain}, _nf + 1, _nf))
-          ELSE {chain}
+                             substring(_chain, _nf + 1, _nf))
+          ELSE _chain
         END""")
     raw = (
         fan_out(docs.select("doc_id"))
         .withColumn("_nf", F.expr(AQ_NF).cast("int"))
+        .withColumn("_chain", chain)
         .withColumn("_rate", F.lit(AQ_RATE).cast("int"))
         .withColumn("_ch", F.lit(1).cast("int"))
         .withColumn("lang", F.lit(""))
@@ -172,18 +177,21 @@ AQ_CLIPPED = "clip_count * 100 >= n_samples"
 AQ_DC = "abs(dc_sum) * 10 >= n_samples * 32768"
 
 
-def _sql_audio_screen() -> str:
+def _sql_audio_screen(where: str | None = None) -> str:
     """DuckDB twin: rebuild each class's PCM hex, decode the
     little-endian int16 samples inside the list lambda (the
     audio-features oracle pattern), aggregate the four stats, apply
-    the shared verdict expressions."""
+    the shared verdict expressions. ``where`` restricts which
+    documents own an audio asset (the sparse-corpus model the
+    manifest rides); None = every doc (the registered screen)."""
     lo = sql_byte_at("2*s")
     hi = sql_byte_at("2*s + 1")
+    where_sql = f" WHERE {where}" if where else ""
     return f"""
     WITH p AS (
       SELECT doc_id, CAST({AQ_NF} AS BIGINT) AS nf,
              CAST(doc_id % {AQ_CLS} AS INT) AS cls
-      FROM documents),
+      FROM documents{where_sql}),
     ch AS (
       SELECT doc_id, nf, cls,
              substr(array_to_string(list_transform(
@@ -307,7 +315,9 @@ def _quality_video_assets_from(docs: DataFrame) -> DataFrame:
     )
 
     fb, fh = VQ_FRAME_BYTES, VQ_FRAME_BYTES * 2   # bytes, hex chars
-    chainhex = (
+    # chain as a column: one sha2 tree in the plan (see the audio
+    # fixture's note)
+    chainhex = F.expr(
         "substring(concat_ws('', transform("
         f"  sequence(0, cast(ceil((_nf * {fb}) / 32.0) as int) - 1),"
         "  i -> sha2(concat('vq', cast(doc_id as string), '|',"
@@ -315,16 +325,17 @@ def _quality_video_assets_from(docs: DataFrame) -> DataFrame:
     yuv = F.expr(f"""
         unhex(CASE cast(doc_id % {VQ_CLS} as int)
           WHEN 0 THEN repeat('00', _nf * {fb})
-          WHEN 1 THEN repeat(substring({chainhex}, 1, {fh}), _nf)
+          WHEN 1 THEN repeat(substring(_chainhex, 1, {fh}), _nf)
           WHEN 2 THEN concat(repeat('00', (_nf div 2) * {fb}),
-                             substring({chainhex},
+                             substring(_chainhex,
                                        (_nf div 2) * {fh} + 1,
                                        (_nf - _nf div 2) * {fh}))
-          ELSE {chainhex}
+          ELSE _chainhex
         END)""")
     raw = (
         fan_out(docs.select("doc_id"))
         .withColumn("_nf", F.expr(VQ_NF).cast("int"))
+        .withColumn("_chainhex", chainhex)
         .withColumn("_w", F.lit(VQ_W).cast("int"))
         .withColumn("_h", F.lit(VQ_H).cast("int"))
         .withColumn("_fps", F.lit(25).cast("int"))
@@ -398,18 +409,20 @@ VQ_BLACK = "n_black * 2 >= n_frames"
 VQ_STATIC = "n_frames > 1 AND n_frozen_pairs = n_frames - 1"
 
 
-def _sql_video_screen() -> str:
+def _sql_video_screen(where: str | None = None) -> str:
     """DuckDB twin: rebuild each class's YUV hex, slice it into
     frames, re-sum each frame's Y plane by hex-pair decode, compare
     adjacent frame hex for the frozen count, apply the shared verdict
-    expressions."""
+    expressions. ``where`` restricts asset ownership (see
+    _sql_audio_screen)."""
     fh = VQ_FRAME_BYTES * 2
     byte_at = sql_byte_at("j")
+    where_sql = f" WHERE {where}" if where else ""
     return f"""
     WITH p AS (
       SELECT doc_id, CAST({VQ_NF} AS BIGINT) AS nf,
              CAST(doc_id % {VQ_CLS} AS INT) AS cls
-      FROM documents),
+      FROM documents{where_sql}),
     ch AS (
       SELECT doc_id, nf, cls,
              substr(array_to_string(list_transform(
@@ -520,7 +533,7 @@ def quality_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_image_assets_from(docs: DataFrame) -> DataFrame:
-    chainhex = (
+    chainhex = F.expr(
         "substring(concat_ws('', transform("
         f"  sequence(0, cast(ceil({IQ_BYTES} / 32.0) as int) - 1),"
         "  i -> sha2(concat('iq', cast(doc_id as string), '|',"
@@ -530,12 +543,13 @@ def _quality_image_assets_from(docs: DataFrame) -> DataFrame:
           WHEN 0 THEN repeat('80', {IQ_BYTES})
           WHEN 1 THEN repeat('00', {IQ_BYTES})
           WHEN 2 THEN repeat('8081', {IQ_BYTES // 2})
-          ELSE {chainhex}
+          ELSE _chainhex
         END)""")
     header = F.encode(F.lit(f"P6\n{IQ_W} {IQ_H}\n255\n"), "UTF-8")
-    return fan_out(docs.select("doc_id")).select(
-        F.col("doc_id").alias("asset_id"),
-        F.concat(header, pix).alias("payload"))
+    return (fan_out(docs.select("doc_id"))
+            .withColumn("_chainhex", chainhex)
+            .select(F.col("doc_id").alias("asset_id"),
+                    F.concat(header, pix).alias("payload")))
 
 
 _IQ_STAT_SCHEMA = T.StructType([
@@ -585,19 +599,21 @@ IQ_FLAT = "max_byte - min_byte <= 8"
 IQ_DARK = "sum_bytes < n_bytes * 16"
 
 
-def _sql_image_screen() -> str:
+def _sql_image_screen(where: str | None = None) -> str:
     """DuckDB twin: rebuild each class's RGB hex, decode every byte
     inside one list lambda, aggregate min/max/sum, apply the shared
     verdict expressions. The byte-index bound is threaded through the
     jmax COLUMN, not a literal — a literal bound constant-folds the
     list out of row context and `hex` inside the lambda fails to bind
-    (the lambda-correlation gotcha, see banding.sql_planted_hex)."""
+    (the lambda-correlation gotcha, see banding.sql_planted_hex).
+    ``where`` restricts asset ownership (see _sql_audio_screen)."""
     byte_at = sql_byte_at("j")
+    where_sql = f" WHERE {where}" if where else ""
     return f"""
     WITH p AS (
       SELECT doc_id, CAST(doc_id % {IQ_CLS} AS INT) AS cls,
              {IQ_BYTES - 1} AS jmax
-      FROM documents),
+      FROM documents{where_sql}),
     hx AS (
       SELECT doc_id, jmax,
              CASE cls

@@ -264,13 +264,17 @@ def test_mmdedup_shuffle_budgets(spark, sf_dir):
 
 def test_multimodal_manifest_semantics(spark, sf_dir):
     """ready must be the AND of the five pillar bits, and each pillar
-    bit must agree with the pillar leg it composes (spot-checked
-    against the independently-run SPARSE image cluster leg — since
-    r11 the manifest's media legs cover only the docs that OWN an
-    asset of the modality, and absence is keep-pass)."""
+    bit must agree with the pillar legs it composes (spot-checked
+    against the independently-run SPARSE image cluster leg AND the
+    sparse image quality leg — since r11 the manifest's media legs
+    cover only the docs that OWN an asset of the modality, absence
+    is keep-pass, and an owned asset must be BOTH its cluster's
+    canonical member and a quality-screen pass)."""
+    from mit_mapreduce_spark.catalog import load_table
     from mit_mapreduce_spark.operators.mmdedup import (
         MM_IMAGE_ABSENT, _sparse_clusters,
     )
+    from mit_mapreduce_spark.operators.mmquality import _image_screen_from
     from mit_mapreduce_spark.operators.multimodal import (
         _phash_batch, _phash_image_assets_from,
     )
@@ -285,12 +289,17 @@ def test_multimodal_manifest_semantics(spark, sf_dir):
         spark, sf_dir, _phash_image_assets_from, _phash_batch,
         MM_IMAGE_ABSENT).collect()}
     mod, rem = MM_IMAGE_ABSENT
+    present = load_table(spark, sf_dir, "documents") \
+        .select("doc_id").where(F.col("doc_id") % mod != rem)
+    iq = {r.asset_id: r.passes
+          for r in _image_screen_from(present).collect()}
     for doc_id, r in m.items():
         if doc_id % mod == rem:
             assert doc_id not in img          # no image asset, no row
             assert r.keep_image == 1          # absence is keep-pass
         else:
-            assert r.keep_image == int(img[doc_id] == doc_id)
+            assert r.keep_image == int(img[doc_id] == doc_id
+                                       and iq[doc_id])
     ok, msg = compare(
         operators.QUERIES["pipeline_multimodal_manifest"](spark, sf_dir),
         operators.ORACLES["pipeline_multimodal_manifest"], sf_dir)
@@ -363,13 +372,16 @@ def test_fingerprint_search_recall(spark, sf_dir, opname):
 
 def test_multimodal_manifest_shuffle_budget(spark, sf_dir):
     """Exchange budget for the composition (VERDICT r9 ask #5): the
-    manifest is seven doc_id-keyed joins over checkpoint-truncated
+    manifest is ten doc_id-keyed joins over checkpoint-truncated
     pillar outputs plus the quality-stage aggregations — 11 exchanges
-    post-checkpoint measured at pin time; the rollup adds exactly one
-    more. A budget breach means a pillar started re-shuffling inside
-    the composition."""
-    budgets = {"pipeline_multimodal_manifest": 12,
-               "pipeline_multimodal_ready": 13,
+    post-checkpoint measured at the r10 pin, +2 when the three media
+    quality legs folded in late in r11 (each screen is a pure map
+    whose only exchange is its fan_out; the joins ride the existing
+    doc_id partitioning); the rollup adds exactly one more. A budget
+    breach means a pillar started re-shuffling inside the
+    composition."""
+    budgets = {"pipeline_multimodal_manifest": 14,
+               "pipeline_multimodal_ready": 15,
                "audio_fingerprint_search": 2,
                "dedup_audio_clusters": 2,
                "dedup_video_clusters": 2}
