@@ -650,11 +650,8 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("_iqp", _image_screen_from, MM_IMAGE_ABSENT),
             ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
             ("_vqp", _video_screen_from, MM_VIDEO_ABSENT)):
-        mod, rem = absent
-        present = load_table(spark, sf_dir, "documents") \
-            .select("doc_id").where(F.col("doc_id") % mod != rem)
         media.append(
-            screen_from(present)
+            screen_from(_present_docs(spark, sf_dir, absent))
             .select(F.col("asset_id").alias("doc_id"),
                     F.col("passes").alias(col))
             # truncate the deep Arrow-pipeline lineage before the

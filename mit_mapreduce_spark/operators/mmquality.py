@@ -91,9 +91,10 @@ def _quality_audio_assets_from(docs: DataFrame) -> DataFrame:
     )
 
     # the chain rides a COLUMN so the big sha2-transform tree appears
-    # ONCE in the plan, not once per CASE branch — with three screens
-    # composed into the manifest, duplicated chain trees measurably
-    # inflated driver-side analysis time
+    # once in the ANALYZED plan (CollapseProject still inlines it per
+    # consuming CASE branch physically — see PLANS.md) — with three
+    # screens composed into the manifest, per-branch chain trees
+    # measurably inflated driver-side analysis time
     chain = F.expr(
         "substring(unhex(concat_ws('', transform("
         "  sequence(0, cast(ceil((_nf * 2) / 32.0) as int) - 1),"
@@ -315,8 +316,8 @@ def _quality_video_assets_from(docs: DataFrame) -> DataFrame:
     )
 
     fb, fh = VQ_FRAME_BYTES, VQ_FRAME_BYTES * 2   # bytes, hex chars
-    # chain as a column: one sha2 tree in the plan (see the audio
-    # fixture's note)
+    # chain as a column: one sha2 tree in the analyzed plan (see the
+    # audio fixture's note)
     chainhex = F.expr(
         "substring(concat_ws('', transform("
         f"  sequence(0, cast(ceil((_nf * {fb}) / 32.0) as int) - 1),"
@@ -693,7 +694,8 @@ def _sql_media_report() -> str:
              AS n_fail,
            CAST(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
                 / COUNT(*) AS DOUBLE) AS pass_frac
-    FROM ({screen_sql}) t"""
+    FROM ({screen_sql}) t
+    HAVING COUNT(*) > 0"""
 
     return " UNION ALL ".join([
         leg("audio", _sql_audio_screen()),
@@ -710,7 +712,10 @@ def quality_media_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("N audio assets in, M survive the silence/clipping/DC screens").
     Composes the three screens; each leg is one decode pass + one
     map-side-combinable rollup, so the report costs the sum of its
-    parts and shuffles three 1-row aggregates."""
+    parts and shuffles three 1-row aggregates. The oracle legs carry
+    HAVING COUNT(*) > 0 so an empty corpus yields zero rows on both
+    engines (a GROUP-BY-less SQL aggregate would otherwise emit its
+    one NULL-sum row while Spark's groupBy emits none)."""
     legs = []
     for modality, screen in (("audio", quality_audio_screen),
                              ("image", quality_image_screen),

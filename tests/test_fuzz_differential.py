@@ -983,6 +983,8 @@ def test_differential_fuzz_r11_quality_screens(spark, tmp_path):
            "quality_video_screen", "quality_media_report",
            "stream_audio_quality"]
     id_pools = [
+        [],                                # EMPTY corpus: both engines
+        #                                    must emit zero report rows
         [0, 8, 16],                        # one class only (all silent)
         [4, 5, 6, 7, 12, 13],              # healthy chain classes only
         None,                              # random non-contiguous
