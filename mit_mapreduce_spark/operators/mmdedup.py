@@ -624,40 +624,65 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", "source")
-    tc = dedup_clusters(spark, sf_dir) \
-        .select("doc_id", F.col("cluster_id").alias("_tcl"))
     g = gopher_quality_rules(spark, sf_dir) \
         .select("doc_id", F.col("passes").alias("_g"))
     r = quality_repetition(spark, sf_dir) \
         .select("doc_id", F.col("passes").alias("_r"))
     lm = quality_lm_bigram(spark, sf_dir).select("doc_id", "novelty")
-    media = []
-    for col, fixture_from, kernel, absent, geom in (
-            ("_icl", _phash_image_assets_from, _phash_batch,
-             MM_IMAGE_ABSENT, (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)),
-            ("_acl", _fingerprint_audio_assets_from, _afp_batch,
-             MM_AUDIO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)),
-            ("_vcl", _fingerprint_video_assets_from, _vfp_batch,
-             MM_VIDEO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX))):
-        media.append(
-            _sparse_clusters(spark, sf_dir, fixture_from, kernel,
-                             absent, *geom)
+
+    # The EAGER legs — the text CC loop, the three media
+    # fingerprint+CC loops (each runs Spark jobs at construction
+    # time), and the three quality screens (eager-checkpointed here)
+    # — each underutilize the executor pool (sub-second Arrow jobs
+    # over small signature/stat tables), so they are submitted
+    # CONCURRENTLY from a thread pool: seven drivers' worth of small
+    # jobs overlap instead of serializing, cutting the composed
+    # query's wall time without touching any leg's plan. Spark job
+    # submission is thread-safe; each leg lands in its own
+    # checkpointed RDD exactly as before.
+    def _tc_leg():
+        return dedup_clusters(spark, sf_dir) \
+            .select("doc_id", F.col("cluster_id").alias("_tcl"))
+
+    def _cluster_leg(col, fixture_from, kernel, absent, geom):
+        return _sparse_clusters(spark, sf_dir, fixture_from, kernel,
+                                absent, *geom) \
             .select(F.col("asset_id").alias("doc_id"),
-                    F.col("cluster_id").alias(col)))
-    # r11 second half: the media QUALITY screens (mmquality) fold in
-    # — each present subset's assets get a passes bit, joined left
-    for col, screen_from, absent in (
-            ("_iqp", _image_screen_from, MM_IMAGE_ABSENT),
-            ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
-            ("_vqp", _video_screen_from, MM_VIDEO_ABSENT)):
-        media.append(
-            screen_from(_present_docs(spark, sf_dir, absent))
+                    F.col("cluster_id").alias(col))
+
+    def _quality_leg(col, screen_from, absent):
+        # eager checkpoint: truncates the deep Arrow-pipeline lineage
+        # before the 10-join composition (a measured 14 s of
+        # driver-side ANALYSIS on the un-truncated plan) and lets the
+        # pool overlap the screen's decode jobs with the CC loops
+        return screen_from(_present_docs(spark, sf_dir, absent)) \
             .select(F.col("asset_id").alias("doc_id"),
-                    F.col("passes").alias(col))
-            # truncate the deep Arrow-pipeline lineage before the
-            # 10-join composition, like the cluster legs — a measured
-            # 14 s of driver-side ANALYSIS on the un-truncated plan
-            .localCheckpoint(eager=False))
+                    F.col("passes").alias(col)) \
+            .localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        tc_f = pool.submit(_tc_leg)
+        media_f = [
+            pool.submit(_cluster_leg, col, fixture_from, kernel,
+                        absent, geom)
+            for col, fixture_from, kernel, absent, geom in (
+                ("_icl", _phash_image_assets_from, _phash_batch,
+                 MM_IMAGE_ABSENT, (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)),
+                ("_acl", _fingerprint_audio_assets_from, _afp_batch,
+                 MM_AUDIO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)),
+                ("_vcl", _fingerprint_video_assets_from, _vfp_batch,
+                 MM_VIDEO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)))
+        ] + [
+            pool.submit(_quality_leg, col, screen_from, absent)
+            for col, screen_from, absent in (
+                ("_iqp", _image_screen_from, MM_IMAGE_ABSENT),
+                ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
+                ("_vqp", _video_screen_from, MM_VIDEO_ABSENT))
+        ]
+        tc = tc_f.result()
+        media = [f.result() for f in media_f]
     m = (docs.join(tc, "doc_id").join(g, "doc_id").join(r, "doc_id")
          .join(lm, "doc_id", "left"))
     for leg in media:
