@@ -880,11 +880,13 @@ def test_differential_fuzz_r10_media_dedup_and_manifest(spark, tmp_path):
            "audio_fingerprint_search", "image_phash_search",
            "video_phash_search", "stream_audio_fingerprints",
            "pipeline_multimodal_manifest", "pipeline_multimodal_ready"]
-    for trial in range(3):
+    # trial 3 (r11): the EMPTY corpus — every tier and the manifest
+    # must emit zero rows on both engines, not error or diverge
+    for trial in range(4):
         td = str(tmp_path / f"r10t{trial}")
         os.makedirs(td)
         rows = []
-        for i in range(rng.randint(2, 10)):
+        for i in range(0 if trial == 3 else rng.randint(2, 10)):
             kind = rng.random()
             if kind < 0.2:
                 text = None
