@@ -983,3 +983,237 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict)."""
     return _incremental(spark, sf_dir, _fingerprint_video_assets_from,
                         _vfp_batch)
+
+
+# --- daily-ingest ADMISSION: the at-the-door twin of the manifest -----------
+#
+# The batch manifest answers "which RETAINED docs are training-ready"
+# after the nightly pillar runs; the admission table answers the
+# operational question that precedes it: "of TODAY'S incoming shard,
+# which docs do we admit at all?" Door-appropriate legs: exact
+# normalized-text dedup against the retained corpus (the MinHash CC
+# is a nightly batch job; at the door you screen exact text + media
+# fingerprints), the three-stage text quality funnel, and per OWNED
+# media asset the one-sided fingerprint screen against the persisted
+# signature index AND the modality's quality screen. Same shard split
+# as the media screens (doc_id % 40 < 6), same presence predicates as
+# the manifest, same explicit absence-is-pass semantics.
+
+_NORM_FP_SQL = "md5(lower(regexp_replace(trim({t}), '\\s+', ' ', 'g')))"
+
+
+def _sql_admission() -> str:
+    """DuckDB twin of the admission table: composes the funnel
+    verdict CTEs, an exact normalized-fingerprint semi-join for the
+    text-dup bit, and per modality the presence-filtered incremental
+    screen + quality screen (each a parenthesized WITH-subquery, so
+    the three bits/cand/scored CTE chains don't collide)."""
+    from mit_mapreduce_spark.operators.curation import _sql_funnel_verdicts
+    from mit_mapreduce_spark.operators.mmquality import (
+        _sql_audio_screen, _sql_image_screen, _sql_video_screen,
+    )
+    from mit_mapreduce_spark.operators.multimodal import _sql_image_bits
+
+    inc_d = FP_INC_PRED.format(d="d.doc_id")
+
+    def inc_and(present_sql: str) -> str:
+        # predicate template over {d}: in the shard AND owns the asset
+        return f"({FP_INC_PRED}) AND ({present_sql.replace('doc_id', '{d}')})"
+
+    def screen_sub(bits_sql: str, present_sql: str, ham: int) -> str:
+        return (f"(WITH {bits_sql},"
+                f" {sql_incremental_tail(inc_and(present_sql), ham)})")
+
+    ii = screen_sub(_sql_image_bits(IMG_PRESENT_SQL), IMG_PRESENT_SQL,
+                    PH_HAM_MAX)
+    ai = screen_sub(_sql_audio_bits(AUD_PRESENT_SQL), AUD_PRESENT_SQL,
+                    FP_HAM_MAX)
+    vi = screen_sub(_sql_video_bits(VID_PRESENT_SQL), VID_PRESENT_SQL,
+                    FP_HAM_MAX)
+
+    def q_where(present_sql: str) -> str:
+        return f"({FP_INC_PRED.format(d='doc_id')}) AND ({present_sql})"
+
+    def keep_media(absent: tuple[int, int], scr: str, q: str) -> str:
+        mod, rem = absent
+        return (f"(d.doc_id % {mod} = {rem}"
+                f" OR (COALESCE(NOT {scr}.is_neardup, FALSE)"
+                f" AND COALESCE({q}.passes, FALSE)))")
+
+    fp = _NORM_FP_SQL
+    kt = "td.doc_id IS NULL"
+    kq = "fd.g AND fd.r AND fd.l"
+    ki = keep_media(MM_IMAGE_ABSENT, "ii", "iq")
+    ka = keep_media(MM_AUDIO_ABSENT, "ai", "aq")
+    kv = keep_media(MM_VIDEO_ABSENT, "vi", "vq")
+    return f"""
+    WITH {_sql_funnel_verdicts()},
+    tdup AS (
+      SELECT i.doc_id FROM documents i
+      WHERE ({FP_INC_PRED.format(d='i.doc_id')}) AND i.text IS NOT NULL
+        AND {fp.format(t='i.text')} IN (
+          SELECT {fp.format(t='c.text')} FROM documents c
+          WHERE NOT ({FP_INC_PRED.format(d='c.doc_id')})
+            AND c.text IS NOT NULL))
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(CASE WHEN {kt} THEN 1 ELSE 0 END AS INT) AS keep_text,
+           CAST(CASE WHEN {kq} THEN 1 ELSE 0 END AS INT) AS keep_quality,
+           CAST(CASE WHEN {ki} THEN 1 ELSE 0 END AS INT) AS keep_image,
+           CAST(CASE WHEN {ka} THEN 1 ELSE 0 END AS INT) AS keep_audio,
+           CAST(CASE WHEN {kv} THEN 1 ELSE 0 END AS INT) AS keep_video,
+           CAST(CASE WHEN {kt} AND {kq} AND {ki} AND {ka} AND {kv}
+                THEN 1 ELSE 0 END AS INT) AS admit
+    FROM documents d
+    JOIN fdoc fd ON fd.doc_id = d.doc_id
+    LEFT JOIN tdup td ON td.doc_id = d.doc_id
+    LEFT JOIN {ii} ii ON ii.asset_id = d.doc_id
+    LEFT JOIN {ai} ai ON ai.asset_id = d.doc_id
+    LEFT JOIN {vi} vi ON vi.asset_id = d.doc_id
+    LEFT JOIN ({_sql_image_screen(q_where(IMG_PRESENT_SQL))}) iq
+      ON iq.asset_id = d.doc_id
+    LEFT JOIN ({_sql_audio_screen(q_where(AUD_PRESENT_SQL))}) aq
+      ON aq.asset_id = d.doc_id
+    LEFT JOIN ({_sql_video_screen(q_where(VID_PRESENT_SQL))}) vq
+      ON vq.asset_id = d.doc_id
+    WHERE {inc_d}
+    """
+
+
+@query("pipeline_ingest_admission", oracle=_sql_admission())
+def pipeline_ingest_admission(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The DAILY-INGEST admission table (r11, composing the round's
+    incremental screens and quality screens into the one decision a
+    continuous pipeline makes at the door): one row per INCOMING-
+    shard document (doc_id % 40 < 6, the media screens' split) with
+    keep_text (its normalized text does NOT already exist in the
+    retained corpus — the exact-dup gate that runs at ingest; MinHash
+    near-dup stays a nightly batch job), keep_quality (the
+    Gopher -> repetition -> LM funnel), and per owned media asset
+    keep_image/audio/video (NOT within Hamming radius of the
+    persisted fingerprint index AND passes the modality's quality
+    screen; absence is pass, an undecodable asset fails), plus
+    `admit` — the AND a production gate enforces before the asset
+    ever reaches storage.
+
+    100 TB posture: every leg is the screen-shaped op it composes —
+    the text gate is one broadcast-size fingerprint semi-join (the
+    shard's fingerprints vs the corpus fingerprint set, never the
+    corpus rows), the media screens are one-sided band equi-joins
+    against the 16-byte/asset signature index the streaming legs
+    maintain, the quality screens decode the SHARD only, and the
+    funnel verdicts are single-scan array expressions — the retained
+    corpus is never re-decoded. The seven eager legs overlap on a
+    thread pool like the manifest's. Oracle: one composition of the
+    funnel CTEs, an IN-subquery for the text gate, and six
+    presence-filtered WITH-subqueries (screens + quality)."""
+    from mit_mapreduce_spark.operators.curation import (
+        FUNNEL_MAX_NOVELTY, gopher_quality_rules, quality_repetition,
+    )
+    from mit_mapreduce_spark.operators.mmquality import (
+        _audio_screen_from, _image_screen_from, _video_screen_from,
+    )
+    from mit_mapreduce_spark.operators.multimodal import (
+        _phash_batch, _phash_image_assets_from,
+    )
+    from mit_mapreduce_spark.operators.textstats import quality_lm_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc_pred = inc_shard_col("doc_id")
+    inc_docs = docs.where(inc_pred).select("doc_id", "lang", "source")
+    norm_fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                             r"\s+", " ")))
+
+    def _text_dup_leg():
+        corpus_fps = (docs.where(~inc_pred)
+                      .where(F.col("text").isNotNull())
+                      .select(norm_fp.alias("_fp")).distinct())
+        return (docs.where(inc_pred)
+                .where(F.col("text").isNotNull())
+                .select("doc_id", norm_fp.alias("_fp"))
+                .join(corpus_fps, "_fp", "left_semi")
+                .select("doc_id", F.lit(True).alias("_tdup")))
+
+    def _screen_leg(col, fixture_from, kernel, absent, geom):
+        owners = _present_docs(spark, sf_dir, absent)
+        sigs = (fixture_from(owners)
+                .mapInPandas(kernel, _PHASH_SCHEMA)
+                .localCheckpoint(eager=False))
+        inc_assets = owners.select(F.col("doc_id").alias("asset_id")) \
+            .where(inc_shard_col())
+        return incremental_screen(
+            inc_assets, sigs.where(inc_shard_col()),
+            sigs.where(~inc_shard_col()), *geom) \
+            .select(F.col("asset_id").alias("doc_id"),
+                    F.col("is_neardup").alias(col)) \
+            .localCheckpoint(eager=True)
+
+    def _quality_leg(col, screen_from, absent):
+        mod, rem = absent
+        shard_owned = docs.select("doc_id") \
+            .where(inc_pred & (F.col("doc_id") % mod != rem))
+        return screen_from(shard_owned) \
+            .select(F.col("asset_id").alias("doc_id"),
+                    F.col("passes").alias(col)) \
+            .localCheckpoint(eager=True)
+
+    g = gopher_quality_rules(spark, sf_dir) \
+        .select("doc_id", F.col("passes").alias("_g"))
+    r = quality_repetition(spark, sf_dir) \
+        .select("doc_id", F.col("passes").alias("_r"))
+    lm = quality_lm_bigram(spark, sf_dir).select("doc_id", "novelty")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        td_f = pool.submit(_text_dup_leg)
+        legs_f = [
+            pool.submit(_screen_leg, col, fixture_from, kernel, absent,
+                        geom)
+            for col, fixture_from, kernel, absent, geom in (
+                ("_ind", _phash_image_assets_from, _phash_batch,
+                 MM_IMAGE_ABSENT, (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)),
+                ("_and", _fingerprint_audio_assets_from, _afp_batch,
+                 MM_AUDIO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)),
+                ("_vnd", _fingerprint_video_assets_from, _vfp_batch,
+                 MM_VIDEO_ABSENT, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)))
+        ] + [
+            pool.submit(_quality_leg, col, screen_from, absent)
+            for col, screen_from, absent in (
+                ("_iqp", _image_screen_from, MM_IMAGE_ABSENT),
+                ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
+                ("_vqp", _video_screen_from, MM_VIDEO_ABSENT))
+        ]
+        td = td_f.result()
+        legs = [f.result() for f in legs_f]
+
+    m = (inc_docs.join(td, "doc_id", "left")
+         .join(g, "doc_id").join(r, "doc_id").join(lm, "doc_id", "left"))
+    for leg in legs:
+        m = m.join(leg, "doc_id", "left")
+
+    keep_text = ~F.coalesce(F.col("_tdup"), F.lit(False))
+    keep_quality = (F.col("_g") & F.col("_r")
+                    & F.col("novelty").isNotNull()
+                    & (F.col("novelty") <= FUNNEL_MAX_NOVELTY))
+
+    def keep_media(nd: str, qp: str, absent: tuple[int, int]):
+        mod, rem = absent
+        return F.when(F.col("doc_id") % mod == rem, F.lit(True)) \
+            .otherwise(F.coalesce(~F.col(nd), F.lit(False))
+                       & F.coalesce(F.col(qp), F.lit(False)))
+
+    keep_image = keep_media("_ind", "_iqp", MM_IMAGE_ABSENT)
+    keep_audio = keep_media("_and", "_aqp", MM_AUDIO_ABSENT)
+    keep_video = keep_media("_vnd", "_vqp", MM_VIDEO_ABSENT)
+    admit = (keep_text & keep_quality & keep_image & keep_audio
+             & keep_video)
+    return m.select(
+        "doc_id", "lang", "source",
+        keep_text.cast("int").alias("keep_text"),
+        keep_quality.cast("int").alias("keep_quality"),
+        keep_image.cast("int").alias("keep_image"),
+        keep_audio.cast("int").alias("keep_audio"),
+        keep_video.cast("int").alias("keep_video"),
+        admit.cast("int").alias("admit"),
+    )

@@ -399,3 +399,66 @@ def test_alert_body_is_modality_generic(spark, sf_dir):
                                  PH_BAND_BITS, PH_HAM_MAX)
              .dropDuplicates(["asset_id", "matched_id"]).collect()}
     assert drained == batch and drained
+
+
+# --- daily-ingest admission table ----------------------------------------------
+
+def test_admission_covers_exactly_the_shard_and_admits_consistently(
+        spark, sf_dir):
+    """One row per incoming-shard doc; admit must be the AND of the
+    five gate bits; every keep bit is exercised in both directions on
+    the fixture."""
+    from mit_mapreduce_spark.catalog import load_table
+
+    rows = operators.QUERIES["pipeline_ingest_admission"](
+        spark, sf_dir).collect()
+    shard = {r.doc_id for r in load_table(spark, sf_dir, "documents")
+             .select("doc_id").where(F.col("doc_id") % 40 < 6).collect()}
+    assert {r.doc_id for r in rows} == shard and rows
+    for r in rows:
+        assert r.admit == (r.keep_text & r.keep_quality & r.keep_image
+                           & r.keep_audio & r.keep_video)
+    for bit in ("keep_quality", "keep_image", "keep_audio",
+                "keep_video"):
+        vals = {getattr(r, bit) for r in rows}
+        assert vals == {0, 1}, (bit, vals)
+
+
+def test_admission_absent_modality_is_pass(spark, sf_dir):
+    """A shard doc owning no audio (doc_id % 7 == 0) must pass the
+    audio gate regardless of any screen — absence is keep-pass, by
+    the explicit presence predicate."""
+    rows = operators.QUERIES["pipeline_ingest_admission"](
+        spark, sf_dir).where(F.col("doc_id") % 7 == 0).collect()
+    assert rows
+    for r in rows:
+        assert r.keep_audio == 1
+
+
+def test_admission_audio_gate_matches_component_legs(spark, sf_dir):
+    """The audio gate must equal the independently-run presence-
+    filtered incremental screen AND quality screen — the admission
+    table composes, never re-derives."""
+    from mit_mapreduce_spark.operators.banding import incremental_screen
+    from mit_mapreduce_spark.operators.mmquality import _audio_screen_from
+
+    owners = mmdedup._present_docs(spark, sf_dir, mmdedup.MM_AUDIO_ABSENT)
+    sigs = (mmdedup._fingerprint_audio_assets_from(owners)
+            .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+            .localCheckpoint(eager=False))
+    inc = mmdedup.inc_shard_col()
+    nd = {r.asset_id: r.is_neardup for r in incremental_screen(
+        owners.select(F.col("doc_id").alias("asset_id")).where(inc),
+        sigs.where(inc), sigs.where(~inc), mmdedup.FP_BANDS,
+        mmdedup.FP_BAND_BITS, mmdedup.FP_HAM_MAX).collect()}
+    qp = {r.asset_id: r.passes for r in _audio_screen_from(
+        owners.where(mmdedup.inc_shard_col("doc_id"))).collect()}
+    mod, rem = mmdedup.MM_AUDIO_ABSENT
+    rows = operators.QUERIES["pipeline_ingest_admission"](
+        spark, sf_dir).collect()
+    for r in rows:
+        if r.doc_id % mod == rem:
+            assert r.keep_audio == 1
+        else:
+            assert r.keep_audio == int((not nd[r.doc_id])
+                                       and qp[r.doc_id])
