@@ -1217,3 +1217,54 @@ def pipeline_ingest_admission(spark: SparkSession,
         keep_video.cast("int").alias("keep_video"),
         admit.cast("int").alias("admit"),
     )
+
+
+def _admission_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission table as a frame — shared by the registered
+    query and its per-(lang, source) accounting rollup."""
+    return pipeline_ingest_admission(spark, sf_dir)
+
+
+@query(
+    "pipeline_ingest_report",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep_text) AS BIGINT) AS n_text_new,
+           CAST(SUM(keep_quality) AS BIGINT) AS n_quality_pass,
+           CAST(SUM(keep_image) AS BIGINT) AS n_image_pass,
+           CAST(SUM(keep_audio) AS BIGINT) AS n_audio_pass,
+           CAST(SUM(keep_video) AS BIGINT) AS n_video_pass,
+           CAST(SUM(admit) AS BIGINT) AS n_admitted,
+           CAST(CAST(SUM(admit) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS admit_frac
+    FROM ({{m}}) m
+    GROUP BY lang, source
+    """.format(m=_sql_admission()),
+)
+def pipeline_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) accounting over the daily-ingest admission
+    table — the sign-off number of a continuous ingest run ("today's
+    shard from source Y in language X: N docs arrived, M admitted
+    after the text-dup, quality, and media screens"), the at-the-door
+    twin of pipeline_multimodal_ready. One aggregation over
+    pipeline_ingest_admission; the keep_* sums count absent
+    modalities as passes, matching the admission's sparse
+    semantics."""
+    m = _admission_frame(spark, sf_dir)
+    return (
+        m.groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("keep_text").cast("bigint").alias("n_text_new"),
+             F.sum("keep_quality").cast("bigint").alias("n_quality_pass"),
+             F.sum("keep_image").cast("bigint").alias("n_image_pass"),
+             F.sum("keep_audio").cast("bigint").alias("n_audio_pass"),
+             F.sum("keep_video").cast("bigint").alias("n_video_pass"),
+             F.sum("admit").cast("bigint").alias("n_admitted"))
+        .select("lang", "source", "n_docs", "n_text_new",
+                "n_quality_pass", "n_image_pass", "n_audio_pass",
+                "n_video_pass", "n_admitted",
+                (F.col("n_admitted").cast("double")
+                 / F.col("n_docs").cast("double"))
+                .cast("double").alias("admit_frac"))
+    )

@@ -462,3 +462,18 @@ def test_admission_audio_gate_matches_component_legs(spark, sf_dir):
         else:
             assert r.keep_audio == int((not nd[r.doc_id])
                                        and qp[r.doc_id])
+
+
+def test_admission_report_matches_table(spark, sf_dir):
+    """The rollup's totals must re-add to the admission table's bits,
+    and the oracle must agree."""
+    agg = operators.QUERIES["pipeline_ingest_report"](
+        spark, sf_dir).collect()
+    tab = operators.QUERIES["pipeline_ingest_admission"](
+        spark, sf_dir).collect()
+    assert sum(r.n_docs for r in agg) == len(tab)
+    assert sum(r.n_admitted for r in agg) == sum(r.admit for r in tab)
+    assert sum(r.n_audio_pass for r in agg) == sum(
+        r.keep_audio for r in tab)
+    for r in agg:
+        assert 0.0 <= r.admit_frac <= 1.0
