@@ -574,3 +574,20 @@ def test_round11_quality_shuffle_budgets(spark, sf_dir, name, budget):
         # the one exchange carries doc_id alone, pre-payload-build
         fp = plans.formatted_plan(df)
         assert "SortMergeJoin" not in fp and "BroadcastHashJoin" not in fp
+
+
+@pytest.mark.parametrize("name,budget", [
+    ("pipeline_ingest_admission", 16),   # 8 doc_id joins over
+                                         # checkpointed screen legs +
+                                         # the text-gate semi-join and
+                                         # funnel aggregations
+    ("pipeline_ingest_report", 17),      # + the rollup's agg exchange
+])
+def test_round11_admission_shuffle_budgets(spark, sf_dir, name, budget):
+    """The admission pair composes checkpointed screen legs over
+    doc_id equi-joins — a budget breach means a leg started
+    re-shuffling inside the composition; no cartesian anywhere."""
+    df = QUERIES[name](spark, sf_dir)
+    n = plans.shuffle_count(df)
+    assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
+    assert "CartesianProduct" not in plans.formatted_plan(df)
