@@ -111,3 +111,95 @@ def test_nan_normalization_is_tagged():
     (srow,) = _rows_to_key(["x"], [("NaN",)])
     assert row != srow
     assert not any(isinstance(v, float) and math.isnan(v) for v in row)
+
+
+# --- media quality kernels (r11): arbitrary-signal differentials ----------
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+       st.integers(1, 2))
+@settings(max_examples=40, deadline=None)
+def test_audio_quality_stats_match_brute_force(samples, channels):
+    """The Arrow audio-quality kernel's four stats equal a pure-Python
+    brute force for ARBITRARY int16 PCM in 1-2 channels — the
+    hypothesis extension of the crafted-payload differential (the
+    planted fixture only exercises the classes it plants)."""
+    import struct
+
+    import pandas as pd
+
+    from mit_mapreduce_spark.functions.audiocodec import encode_wav
+    from mit_mapreduce_spark.operators.mmquality import (
+        _aq_stats_batch, AQ_CLIP_T, AQ_SIL_T,
+    )
+
+    if len(samples) % channels:
+        samples = samples[:len(samples) - len(samples) % channels]
+    if not samples:
+        samples = [0] * channels
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    payload = encode_wav(8000, channels, pcm)
+    out = pd.concat(list(_aq_stats_batch(
+        iter([pd.DataFrame({"asset_id": [1], "payload": [payload]})]))))
+    r = out.iloc[0]
+    assert r["n_samples"] == len(samples)
+    assert r["silence_count"] == sum(abs(s) <= AQ_SIL_T for s in samples)
+    assert r["clip_count"] == sum(abs(s) >= AQ_CLIP_T for s in samples)
+    assert r["dc_sum"] == sum(samples)
+
+
+@given(st.lists(st.integers(0, 255), min_size=3, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_image_quality_stats_match_brute_force(rgb):
+    """The image-quality kernel's byte stats equal a brute force for
+    ARBITRARY RGB byte streams."""
+    import pandas as pd
+
+    from mit_mapreduce_spark.functions.imagecodec import encode_ppm
+    from mit_mapreduce_spark.operators.mmquality import _iq_stats_batch
+
+    n_px = len(rgb) // 3
+    rgb = bytes(rgb[:n_px * 3])
+    payload = encode_ppm(n_px, 1, rgb)
+    out = pd.concat(list(_iq_stats_batch(
+        iter([pd.DataFrame({"asset_id": [1], "payload": [payload]})]))))
+    r = out.iloc[0]
+    assert r["n_bytes"] == len(rgb)
+    assert r["min_byte"] == min(rgb)
+    assert r["max_byte"] == max(rgb)
+    assert r["sum_bytes"] == sum(rgb)
+
+
+@given(st.integers(1, 6), st.integers(1, 8), st.integers(1, 4),
+       st.data())
+@settings(max_examples=30, deadline=None)
+def test_video_quality_stats_match_brute_force(nf, w, h, data):
+    """The video-quality kernel's frame stats equal a brute force for
+    ARBITRARY small Y4M streams, including generated black frames and
+    frozen runs."""
+    import pandas as pd
+
+    from hypothesis import strategies as st_
+
+    from mit_mapreduce_spark.functions.videocodec import encode_y4m
+    from mit_mapreduce_spark.operators.mmquality import _vq_stats_batch
+
+    fsz = 3 * w * h
+    frames = []
+    for _ in range(nf):
+        kind = data.draw(st_.integers(0, 2))
+        if kind == 0:
+            frames.append(bytes(fsz))                 # black
+        elif kind == 1 and frames:
+            frames.append(frames[-1])                 # frozen repeat
+        else:
+            frames.append(bytes(data.draw(st_.lists(
+                st_.integers(0, 255), min_size=fsz, max_size=fsz))))
+    payload = encode_y4m(w, h, frames)
+    out = pd.concat(list(_vq_stats_batch(
+        iter([pd.DataFrame({"asset_id": [1], "payload": [payload]})]))))
+    r = out.iloc[0]
+    assert r["n_frames"] == len(frames)
+    assert r["n_black"] == sum(1 for f in frames if sum(f[:w * h]) == 0)
+    assert r["n_frozen_pairs"] == sum(
+        1 for a, b in zip(frames, frames[1:]) if a == b)
+    assert r["y_total"] == sum(sum(f[:w * h]) for f in frames)
