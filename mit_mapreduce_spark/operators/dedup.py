@@ -156,7 +156,11 @@ def _band_hashes(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _sql_minhash_pipeline() -> str:
+def _sql_minhash_cte() -> str:
+    """Shared CTE prefix (shingles, sigs, bands) of the MinHash
+    oracles — factored (r11) so the pair pipeline and the incremental
+    screen compose the IDENTICAL signature/band construction instead
+    of hand-synced copies."""
     sig_cols = ", ".join(
         "MIN({h}) AS s{i}".format(
             h=_sql_hash60(f"shingle || '#{seed}'"), i=seed)
@@ -171,12 +175,16 @@ def _sql_minhash_pipeline() -> str:
             f"      FROM sigs"
         )
     band_rows = "\n      UNION ALL\n".join(band_selects)
-    return f"""
-    WITH shingles AS ({_SQL_SHINGLES}),
+    return f"""shingles AS ({_SQL_SHINGLES}),
     sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
     bands AS (
 {band_rows}
-    ),
+    )"""
+
+
+def _sql_minhash_pipeline() -> str:
+    return f"""
+    WITH {_sql_minhash_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -1412,3 +1420,117 @@ def _containment_impl(spark: SparkSession, sf_dir: str, mod: int,
         "doc_a", "doc_b", "n_a", "n_b", "n_inter",
         (F.col("n_inter").cast("double") / F.col("n_a"))
         .alias("containment"))
+
+
+# --- incremental MinHash screen: near-dup at the door for TEXT -------------
+
+def _sql_minhash_incremental() -> str:
+    """DuckDB twin of the incremental MinHash screen: the shared
+    signature/band CTEs, a one-sided band equi-join (incoming shard
+    vs retained corpus), exact-Jaccard re-score on candidates only,
+    per-incoming-doc best in-threshold match."""
+    return f"""
+    WITH {_sql_minhash_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS iid, b.doc_id AS cid
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      WHERE a.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.iid, c.cid, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.iid
+      JOIN shingles sb ON sb.doc_id = c.cid AND sb.shingle = sa.shingle
+      GROUP BY c.iid, c.cid),
+    scored AS (
+      SELECT i.iid, i.cid,
+             CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter)
+               AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.iid
+      JOIN sizes zb ON zb.doc_id = i.cid),
+    inrad AS (SELECT * FROM scored WHERE jaccard >= {JACCARD_MIN}),
+    best AS (
+      SELECT iid, cid, jaccard,
+             row_number() OVER (PARTITION BY iid
+                                ORDER BY jaccard DESC, cid) AS rn
+      FROM inrad)
+    SELECT d.doc_id,
+           CAST(b.cid AS BIGINT) AS matched_id,
+           b.jaccard AS jaccard,
+           (b.cid IS NOT NULL) AS is_neardup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.iid = d.doc_id
+    WHERE d.doc_id % {INC_MOD} = 0
+    """
+
+
+@query("dedup_minhash_incremental", oracle=_sql_minhash_incremental())
+def dedup_minhash_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental MinHash screen: for every document of the incoming
+    shard (doc_id % 10 == 0 — the SAME split as
+    dedup_incremental_bloom, so the two are the exact and near-dup
+    gates of one daily-ingest story), the best (max Jaccard, tie min
+    id) retained-corpus document within J >= 0.6, or NULLs when the
+    shard doc is genuinely new — NEAR-dup at the door, the text twin
+    of the media fingerprint screens (dedup_audio_incremental et
+    al.): the Bloom/exact gate catches reposts, this one catches
+    light edits.
+
+    100 TB posture: candidates come from a ONE-SIDED band equi-join —
+    the shard's band hashes against the persisted corpus band index
+    (4 md5s per retained doc, maintained incrementally; the corpus
+    text is never re-shingled in production — here both sides build
+    from the fixture for the oracle's sake); exact-Jaccard
+    verification touches candidates only, and the best-pick window
+    runs over in-threshold candidates. The oracle composes the SAME
+    signature/band CTEs as dedup_minhash (factored builder), so the
+    screen and the batch pair op cannot drift."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == 0
+    sh = shingles_df(docs).localCheckpoint(eager=False)
+    sigs = _minhash_sigs(sh).localCheckpoint(eager=False)
+    bands = _band_hashes(sigs)
+
+    ib = bands.where(inc_pred).select(
+        F.col("doc_id").alias("iid"), "band_idx", "band_hash")
+    xb = bands.where(~inc_pred).select(
+        F.col("doc_id").alias("cid"), "band_idx", "band_hash")
+    cand = (ib.join(xb, ["band_idx", "band_hash"])
+            .select("iid", "cid").distinct())
+
+    sizes = sigs.select("doc_id", "n")
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("iid"))
+        .join(sb, (F.col("sb.doc_id") == F.col("cid"))
+              & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("iid", "cid")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("za.n") + F.col("zb.n") - F.col("n_inter")))
+    inrad = (
+        inter.join(za, F.col("za.doc_id") == F.col("iid"))
+        .join(zb, F.col("zb.doc_id") == F.col("cid"))
+        .select("iid", "cid", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_MIN)
+    )
+    w = W.partitionBy("iid").orderBy(F.col("jaccard").desc(), "cid")
+    best = (inrad.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+    return (
+        docs.select("doc_id").where(inc_pred)
+        .join(best, F.col("iid") == F.col("doc_id"), "left")
+        .select("doc_id",
+                F.col("cid").cast("bigint").alias("matched_id"),
+                "jaccard",
+                F.col("cid").isNotNull().alias("is_neardup"))
+    )

@@ -932,7 +932,7 @@ def test_differential_fuzz_r11_incremental_and_alerts(spark, tmp_path):
     rng = random.Random(1111)
     ops = ["dedup_audio_incremental", "dedup_image_incremental",
            "dedup_video_incremental", "stream_fingerprint_alerts",
-           "pipeline_ingest_admission"]
+           "pipeline_ingest_admission", "dedup_minhash_incremental"]
     id_pools = [
         list(range(0, 4)),                 # all incoming, EMPTY index
         list(range(6, 14)),                # all index, EMPTY shard

@@ -477,3 +477,23 @@ def test_admission_report_matches_table(spark, sf_dir):
         r.keep_audio for r in tab)
     for r in agg:
         assert 0.0 <= r.admit_frac <= 1.0
+
+
+def test_minhash_incremental_consistent_with_pair_op(spark, sf_dir):
+    """The text near-dup screen must agree with the batch pair op
+    restricted to shard-corpus pairs: an incoming doc is flagged iff
+    dedup_minhash finds it an in-threshold cross-split pair, and the
+    recorded match is the max-Jaccard (tie min id) such mate."""
+    pairs = operators.QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    by_inc = {}
+    for p in pairs:
+        for inc, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if inc % 10 == 0 and other % 10 != 0:
+                by_inc.setdefault(inc, []).append((other, p.jaccard))
+    screen = {r.doc_id: r for r in operators.QUERIES[
+        "dedup_minhash_incremental"](spark, sf_dir).collect()}
+    assert set(k for k, v in screen.items() if v.is_neardup) \
+        == set(by_inc)
+    for inc, mates in by_inc.items():
+        want = max(mates, key=lambda m: (m[1], -m[0]))
+        assert (screen[inc].matched_id, screen[inc].jaccard) == want
