@@ -1424,18 +1424,23 @@ def _containment_impl(spark: SparkSession, sf_dir: str, mod: int,
 
 # --- incremental MinHash screen: near-dup at the door for TEXT -------------
 
-def _sql_minhash_incremental() -> str:
+def _sql_minhash_incremental(inc_pred: str | None = None) -> str:
     """DuckDB twin of the incremental MinHash screen: the shared
     signature/band CTEs, a one-sided band equi-join (incoming shard
     vs retained corpus), exact-Jaccard re-score on candidates only,
-    per-incoming-doc best in-threshold match."""
+    per-incoming-doc best in-threshold match. ``inc_pred`` is a
+    predicate template over ``{d}`` selecting the incoming side
+    (default: the registered screen's doc_id % 10 = 0 split; the
+    ingest-admission composition passes the media screens' split)."""
+    inc_pred = inc_pred or f"{{d}} % {INC_MOD} = 0"
     return f"""
     WITH {_sql_minhash_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS iid, b.doc_id AS cid
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-      WHERE a.doc_id % {INC_MOD} = 0 AND b.doc_id % {INC_MOD} <> 0),
+      WHERE ({inc_pred.format(d='a.doc_id')})
+        AND NOT ({inc_pred.format(d='b.doc_id')})),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
       SELECT c.iid, c.cid, COUNT(*) AS n_inter
@@ -1462,7 +1467,7 @@ def _sql_minhash_incremental() -> str:
            (b.cid IS NOT NULL) AS is_neardup
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.iid = d.doc_id
-    WHERE d.doc_id % {INC_MOD} = 0
+    WHERE {inc_pred.format(d='d.doc_id')}
     """
 
 
@@ -1488,10 +1493,19 @@ def dedup_minhash_incremental(spark: SparkSession,
     runs over in-threshold candidates. The oracle composes the SAME
     signature/band CTEs as dedup_minhash (factored builder), so the
     screen and the batch pair op cannot drift."""
+    return minhash_screen_frame(
+        spark, sf_dir, F.col("doc_id") % INC_MOD == 0)
+
+
+def minhash_screen_frame(spark: SparkSession, sf_dir: str,
+                         inc_pred) -> DataFrame:
+    """dedup_minhash_incremental's body over an arbitrary incoming-
+    shard predicate Column — shared by the registered screen and the
+    ingest-admission composition (which uses the media screens'
+    doc_id % 40 < 6 split)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    inc_pred = F.col("doc_id") % INC_MOD == 0
     sh = shingles_df(docs).localCheckpoint(eager=False)
     sigs = _minhash_sigs(sh).localCheckpoint(eager=False)
     bands = _band_hashes(sigs)

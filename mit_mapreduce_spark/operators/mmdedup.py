@@ -990,10 +990,11 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The batch manifest answers "which RETAINED docs are training-ready"
 # after the nightly pillar runs; the admission table answers the
 # operational question that precedes it: "of TODAY'S incoming shard,
-# which docs do we admit at all?" Door-appropriate legs: exact
-# normalized-text dedup against the retained corpus (the MinHash CC
-# is a nightly batch job; at the door you screen exact text + media
-# fingerprints), the three-stage text quality funnel, and per OWNED
+# which docs do we admit at all?" Door-appropriate legs: text dedup
+# against the retained corpus both EXACT (normalized-fingerprint
+# semi-join — catches reposts) and NEAR (the banded MinHash screen —
+# catches light edits; the full MinHash CC stays a nightly batch
+# job), the three-stage text quality funnel, and per OWNED
 # media asset the one-sided fingerprint screen against the persisted
 # signature index AND the modality's quality screen. Same shard split
 # as the media screens (doc_id % 40 < 6), same presence predicates as
@@ -1009,6 +1010,7 @@ def _sql_admission() -> str:
     screen + quality screen (each a parenthesized WITH-subquery, so
     the three bits/cand/scored CTE chains don't collide)."""
     from mit_mapreduce_spark.operators.curation import _sql_funnel_verdicts
+    from mit_mapreduce_spark.operators.dedup import _sql_minhash_incremental
     from mit_mapreduce_spark.operators.mmquality import (
         _sql_audio_screen, _sql_image_screen, _sql_video_screen,
     )
@@ -1041,7 +1043,8 @@ def _sql_admission() -> str:
                 f" AND COALESCE({q}.passes, FALSE)))")
 
     fp = _NORM_FP_SQL
-    kt = "td.doc_id IS NULL"
+    kt = ("td.doc_id IS NULL"
+          " AND COALESCE(NOT mh.is_neardup, TRUE)")
     kq = "fd.g AND fd.r AND fd.l"
     ki = keep_media(MM_IMAGE_ABSENT, "ii", "iq")
     ka = keep_media(MM_AUDIO_ABSENT, "ai", "aq")
@@ -1066,6 +1069,8 @@ def _sql_admission() -> str:
     FROM documents d
     JOIN fdoc fd ON fd.doc_id = d.doc_id
     LEFT JOIN tdup td ON td.doc_id = d.doc_id
+    LEFT JOIN ({_sql_minhash_incremental(FP_INC_PRED)}) mh
+      ON mh.doc_id = d.doc_id
     LEFT JOIN {ii} ii ON ii.asset_id = d.doc_id
     LEFT JOIN {ai} ai ON ai.asset_id = d.doc_id
     LEFT JOIN {vi} vi ON vi.asset_id = d.doc_id
@@ -1087,8 +1092,10 @@ def pipeline_ingest_admission(spark: SparkSession,
     continuous pipeline makes at the door): one row per INCOMING-
     shard document (doc_id % 40 < 6, the media screens' split) with
     keep_text (its normalized text does NOT already exist in the
-    retained corpus — the exact-dup gate that runs at ingest; MinHash
-    near-dup stays a nightly batch job), keep_quality (the
+    retained corpus AND is not a MinHash near-dup of a retained doc —
+    the exact gate catches reposts, the banded MinHash screen
+    (dedup.minhash_screen_frame on this shard split) catches light
+    edits), keep_quality (the
     Gopher -> repetition -> LM funnel), and per owned media asset
     keep_image/audio/video (NOT within Hamming radius of the
     persisted fingerprint index AND passes the modality's quality
@@ -1134,6 +1141,19 @@ def pipeline_ingest_admission(spark: SparkSession,
                 .join(corpus_fps, "_fp", "left_semi")
                 .select("doc_id", F.lit(True).alias("_tdup")))
 
+    def _text_neardup_leg():
+        # the MinHash screen on the admission's shard split — exact
+        # catches reposts, this catches light edits (the text twin of
+        # the media fingerprint gates)
+        from mit_mapreduce_spark.operators.dedup import (
+            minhash_screen_frame,
+        )
+
+        return minhash_screen_frame(spark, sf_dir,
+                                    inc_shard_col("doc_id")) \
+            .select("doc_id", F.col("is_neardup").alias("_mhnd")) \
+            .localCheckpoint(eager=True)
+
     def _screen_leg(col, fixture_from, kernel, absent, geom):
         owners = _present_docs(spark, sf_dir, absent)
         sigs = (fixture_from(owners)
@@ -1165,8 +1185,9 @@ def pipeline_ingest_admission(spark: SparkSession,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=7) as pool:
+    with ThreadPoolExecutor(max_workers=8) as pool:
         td_f = pool.submit(_text_dup_leg)
+        mh_f = pool.submit(_text_neardup_leg)
         legs_f = [
             pool.submit(_screen_leg, col, fixture_from, kernel, absent,
                         geom)
@@ -1185,14 +1206,16 @@ def pipeline_ingest_admission(spark: SparkSession,
                 ("_vqp", _video_screen_from, MM_VIDEO_ABSENT))
         ]
         td = td_f.result()
+        mh = mh_f.result()
         legs = [f.result() for f in legs_f]
 
-    m = (inc_docs.join(td, "doc_id", "left")
+    m = (inc_docs.join(td, "doc_id", "left").join(mh, "doc_id", "left")
          .join(g, "doc_id").join(r, "doc_id").join(lm, "doc_id", "left"))
     for leg in legs:
         m = m.join(leg, "doc_id", "left")
 
-    keep_text = ~F.coalesce(F.col("_tdup"), F.lit(False))
+    keep_text = (~F.coalesce(F.col("_tdup"), F.lit(False))
+                 & ~F.coalesce(F.col("_mhnd"), F.lit(False)))
     keep_quality = (F.col("_g") & F.col("_r")
                     & F.col("novelty").isNotNull()
                     & (F.col("novelty") <= FUNNEL_MAX_NOVELTY))
