@@ -27,7 +27,7 @@ from tools_scale_retrieval import SRC, TENX, build_tenx
 operators.load_all()
 
 OPS = ("dedup_audio_incremental", "dedup_image_incremental",
-       "dedup_video_incremental")
+       "dedup_video_incremental", "dedup_minhash_incremental")
 
 
 def main():
