@@ -70,7 +70,9 @@ from mit_mapreduce_spark.operators.registry import query
 AQ_NF = "400 + (doc_id % 5) * 100"     # frames (samples: mono)
 AQ_RATE = 16000
 AQ_SIL_T = 327        # |s| <= 327  ~ 1% of full scale: "near zero"
-AQ_CLIP_T = 32704     # |s| >= 32704: "at the rail" (top 64 values)
+AQ_CLIP_T = 32704     # |s| >= 32704: "at the rail" (64 values on the
+                      # positive rail, 65 on the negative — int16
+                      # reaches -32768)
 AQ_CLS = 8
 
 

@@ -418,7 +418,7 @@ def test_admission_covers_exactly_the_shard_and_admits_consistently(
     for r in rows:
         assert r.admit == (r.keep_text & r.keep_quality & r.keep_image
                            & r.keep_audio & r.keep_video)
-    for bit in ("keep_quality", "keep_image", "keep_audio",
+    for bit in ("keep_text", "keep_quality", "keep_image", "keep_audio",
                 "keep_video"):
         vals = {getattr(r, bit) for r in rows}
         assert vals == {0, 1}, (bit, vals)
@@ -490,6 +490,10 @@ def test_minhash_incremental_consistent_with_pair_op(spark, sf_dir):
         for inc, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
             if inc % 10 == 0 and other % 10 != 0:
                 by_inc.setdefault(inc, []).append((other, p.jaccard))
+    # the fixture must actually produce cross-split near-dup pairs —
+    # without this the is_neardup=True branch below is vacuous
+    # (ADVICE r11)
+    assert by_inc
     screen = {r.doc_id: r for r in operators.QUERIES[
         "dedup_minhash_incremental"](spark, sf_dir).collect()}
     assert set(k for k, v in screen.items() if v.is_neardup) \
