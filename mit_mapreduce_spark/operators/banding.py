@@ -54,6 +54,25 @@ def sql_byte_at(byte_expr: str) -> str:
             f" + ({_HEXPOS.format(p=f'2*({byte_expr}) + 2')}))")
 
 
+# --- the incoming-shard split, single-sourced --------------------------------
+#
+# Every incremental screen and streaming alert shares ONE split of
+# the corpus into "today's incoming shard" and "the retained index":
+# id % 40 < 6. It lives here (r12) because both the media tiers
+# (mmdedup) and the embedding tier (similarity) consume it, and
+# similarity must not import mmdedup; mmdedup re-exports the FP_*
+# aliases its r11 call sites were built on.
+
+INC_MOD, INC_LT = 40, 6
+INC_PRED = f"{{d}} % {INC_MOD} < {INC_LT}"
+
+
+def inc_col(name: str):
+    """Spark twin of INC_PRED over the given id column — TRUE for
+    rows in the incoming shard."""
+    return F.col(name) % INC_MOD < INC_LT
+
+
 # --- Spark side --------------------------------------------------------------
 
 def explode_bands(sigs: DataFrame, n_bands: int, band_bits: int) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mit_mapreduce_spark.catalog import fan_out, load_table
+from mit_mapreduce_spark.operators.banding import INC_PRED, inc_col
 from mit_mapreduce_spark.operators.registry import query
 
 DIM = 64
@@ -589,6 +590,236 @@ def embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= NEARDUP_TAU)
     )
+
+
+# --- incremental SEMANTIC screen: embedding near-dup at the door -----------
+#
+# The text tier screens an incoming shard exactly (fingerprints) and
+# near (MinHash); the media tiers screen perceptual fingerprints.
+# This is the EMBEDDING-space twin (VERDICT r11 ask #1): a
+# paraphrased repost that defeats shingle MinHash still lands next to
+# the retained original in embedding space, so the door needs a
+# semantic gate. One-sided sign-LSH: the incoming shard's vectors are
+# bucketed by EMB_SCR_BANDS independent sign-pattern bands (banded
+# like MinHash — a pair is a candidate if ANY band agrees, so recall
+# is 1-(1-p^6)^4 instead of p^6) and equi-joined against the
+# persisted bucket index; exact scaled-integer cosine verification
+# runs on bucket candidates only; a best-match window yields one
+# verdict row per incoming vector. Contract (same as ann_lsh_pairs):
+# "best in-threshold match among bucket candidates" — the
+# deterministic md5 hyperplanes make the probabilistic structure
+# fully recomputable, so the oracle checks every row.
+
+EMB_SCR_BANDS = 4      # independent sign-pattern bands...
+EMB_SCR_PLANES = 6     # ...of 6 hyperplanes = 64 buckets per band
+EMB_SCR_TAU = NEARDUP_TAU   # the embed_neardup_blocked threshold
+
+
+def _screen_planes() -> list[list[list[float]]]:
+    """[band][plane][dim] deterministic hyperplanes, md5-derived like
+    _planes() but band-salted so the four bands are independent."""
+    out = []
+    for b in range(EMB_SCR_BANDS):
+        band = []
+        for p in range(EMB_SCR_PLANES):
+            row = []
+            for d in range(DIM):
+                h = int(hashlib.md5(
+                    f"eband{b}p{p}:{d}".encode()).hexdigest()[:15], 16)
+                row.append(((h % 2001) - 1000) / 1000.0)
+            band.append(row)
+        out.append(band)
+    return out
+
+
+def _screen_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, bucket, nsq): each vector's bucket in every
+    band (MSB-first sign bits, the ann_lsh_pairs convention) plus its
+    scaled-integer squared norm — the persisted index's schema, one
+    row per (vector, band)."""
+    planes = _screen_planes()
+    plane_cols = F.array(*[
+        F.array(*[F.array(*[F.lit(w) for w in row]) for row in band])
+        for band in planes])
+    sign_bit = lambda plane: F.when(  # noqa: E731
+        F.aggregate(
+            F.zip_with(plane, F.col("embedding"),
+                       lambda w, x: F.round(w * x.cast("double") * SCALE)
+                       .cast("bigint")),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v) >= 0,
+        1).otherwise(0)
+    buckets = F.transform(
+        plane_cols,
+        lambda band: F.aggregate(
+            F.transform(band, sign_bit), F.lit(0),
+            lambda acc, bit: acc * 2 + bit))
+    nsq = _dot_scaled(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.select("vec_id", "embedding", buckets.alias("_bk"),
+                   nsq.alias("nsq"))
+        .select("vec_id", "nsq",
+                F.posexplode("_bk").alias("band_idx", "bucket"))
+    )
+
+
+def embed_screen_frame(spark: SparkSession, sf_dir: str,
+                       inc_pred) -> DataFrame:
+    """embed_neardup_incremental's body over an arbitrary incoming-
+    shard predicate Column on vec_id — shared by the registered
+    screen and the ingest-admission composition. Returns one row per
+    incoming vector: (vec_id, matched_id, cosine, is_neardup)."""
+    from pyspark.sql import Window as W
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # materialize the bucketed index once: the sign-bit lambdas are
+    # interpreted (24 x 64 terms per row) and both join sides read it
+    bk = _screen_buckets(emb).localCheckpoint(eager=False)
+    ib = bk.where(inc_pred & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("iid"), "band_idx", "bucket")
+    xb = bk.where((~inc_pred) & (F.col("nsq") > 0)).select(
+        F.col("vec_id").alias("cid"), "band_idx", "bucket")
+    cand = (ib.join(xb, ["band_idx", "bucket"])
+            .select("iid", "cid").distinct())
+    sides = emb.select("vec_id", "embedding") \
+        .join(bk.select("vec_id", "nsq").distinct(), "vec_id")
+    ea = sides.select(F.col("vec_id").alias("iid"),
+                      F.col("embedding").alias("_ia"),
+                      F.col("nsq").alias("_na"))
+    eb = sides.select(F.col("vec_id").alias("cid"),
+                      F.col("embedding").alias("_ib"),
+                      F.col("nsq").alias("_nb"))
+    # exact verification on candidates only — the explode + codegen
+    # partial-SUM dot (see embed_neardup_blocked: ~6x faster than the
+    # interpreted F.aggregate form)
+    dots = (
+        cand.join(ea, "iid").join(eb, "cid")
+        .select("iid", "cid", "_na", "_nb",
+                F.explode(F.arrays_zip(
+                    F.col("_ia").alias("x"),
+                    F.col("_ib").alias("y"))).alias("_p"))
+        .groupBy("iid", "cid", "_na", "_nb")
+        .agg(F.sum(
+            F.round(F.col("_p.x").cast("double")
+                    * F.col("_p.y").cast("double") * SCALE)
+            .cast("bigint")).alias("dot"))
+    )
+    inrad = (
+        dots.select(
+            "iid", "cid",
+            (F.col("dot").cast("double")
+             / (F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double")))).alias("cosine"))
+        .where(F.col("cosine") >= EMB_SCR_TAU)
+    )
+    w = W.partitionBy("iid").orderBy(F.col("cosine").desc(), "cid")
+    best = (inrad.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+    return (
+        emb.select("vec_id").where(inc_pred)
+        .join(best, F.col("iid") == F.col("vec_id"), "left")
+        .select("vec_id",
+                F.col("cid").cast("bigint").alias("matched_id"),
+                "cosine",
+                F.col("cid").isNotNull().alias("is_neardup"))
+    )
+
+
+def _sql_embed_screen(inc_pred: str) -> str:
+    """DuckDB twin of the embedding screen: recompute the banded
+    sign-LSH buckets from the md5 hyperplane constants, the one-sided
+    bucket equi-join, exact scaled-integer cosine verification, and
+    the best-match window. ``inc_pred`` is a predicate template over
+    ``{d}`` (the vec_id column) selecting the incoming side."""
+    vals = ",\n      ".join(
+        f"({b}, {p}, {d + 1}, {w!r})"
+        for b, band in enumerate(_screen_planes())
+        for p, row in enumerate(band) for d, w in enumerate(row))
+    return f"""
+    WITH eplanes(band_idx, p, d, w) AS (VALUES
+      {vals}),
+    bits AS (
+      SELECT e.vec_id, pl.band_idx, pl.p,
+             CASE WHEN SUM(CAST(ROUND(pl.w * CAST(e.embedding[pl.d] AS DOUBLE)
+                                      * {SCALE}) AS BIGINT)) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, eplanes pl
+      GROUP BY e.vec_id, pl.band_idx, pl.p),
+    buckets AS (
+      SELECT vec_id, band_idx,
+             CAST(SUM(bit * (1 << ({EMB_SCR_PLANES - 1} - p))) AS INT)
+               AS bucket
+      FROM bits GROUP BY vec_id, band_idx),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id
+      HAVING {_SQL_DOT.format(a='embedding', b='embedding')} <> 0),
+    cand AS (
+      SELECT DISTINCT i.vec_id AS iid, x.vec_id AS cid
+      FROM buckets i
+      JOIN norms ni ON ni.vec_id = i.vec_id
+      JOIN buckets x ON x.band_idx = i.band_idx AND x.bucket = i.bucket
+      JOIN norms nx ON nx.vec_id = x.vec_id
+      WHERE ({inc_pred.format(d='i.vec_id')})
+        AND NOT ({inc_pred.format(d='x.vec_id')})),
+    pdots AS (
+      SELECT c.iid, c.cid,
+             {_SQL_DOT.format(a='ea.embedding', b='eb.embedding')} AS dot
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.iid
+      JOIN embeddings eb ON eb.vec_id = c.cid,
+           (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY c.iid, c.cid),
+    scored AS (
+      SELECT p.iid, p.cid,
+             CAST(p.dot AS DOUBLE)
+               / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+      FROM pdots p
+      JOIN norms na ON na.vec_id = p.iid
+      JOIN norms nb ON nb.vec_id = p.cid),
+    inrad AS (SELECT * FROM scored WHERE cosine >= {EMB_SCR_TAU}),
+    best AS (
+      SELECT iid, cid, cosine,
+             row_number() OVER (PARTITION BY iid
+                                ORDER BY cosine DESC, cid) AS rn
+      FROM inrad)
+    SELECT e.vec_id,
+           CAST(b.cid AS BIGINT) AS matched_id,
+           b.cosine AS cosine,
+           (b.cid IS NOT NULL) AS is_neardup
+    FROM embeddings e
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.iid = e.vec_id
+    WHERE {inc_pred.format(d='e.vec_id')}
+    """
+
+
+@query("embed_neardup_incremental", oracle=_sql_embed_screen(INC_PRED))
+def embed_neardup_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup (VERDICT r11 ask #1): screen the
+    incoming shard's embedding vectors (vec_id % 40 < 6 — the same
+    split as every other screen, so the gates compose into one
+    admission) against the retained corpus's sign-LSH bucket index —
+    per incoming vector, the best (max cosine, tie min id) retained
+    vector among banded bucket candidates with cosine >= 0.35, or
+    NULLs when nothing semantically close is retained. The gate that
+    catches a paraphrased repost: shingle MinHash misses it, the
+    embedding doesn't.
+
+    100 TB posture: the index side is a PERSISTED (vec_id, band,
+    bucket, nsq) table — 4 small ints per retained vector, maintained
+    at ingest exactly like the media signature indexes; the incoming
+    side buckets the shard only; candidates come from the one-sided
+    band equi-join (per-bucket volume, never |shard| x |corpus|), and
+    exact verification + the best-pick window touch candidates only.
+    Banding over 4 independent sign-pattern bands keeps recall
+    1-(1-p^6)^4 instead of a single 24-bit pattern's p^24. The md5
+    hyperplanes are deterministic constants, so the DuckDB oracle
+    recomputes buckets, candidates, exact cosines, and the window —
+    nothing about the LSH is rows-only. A pytest checks the screen
+    against a numpy brute force of the same contract."""
+    return embed_screen_frame(spark, sf_dir, inc_col("vec_id"))
 
 
 # --- int8 quantization ----------------------------------------------------
