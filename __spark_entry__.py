@@ -88,9 +88,14 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
 # fresh-first tier until a round >= the change round records them
 # green again. r11: the multimodal manifest pair switched from dense
 # inner-joined media legs to sparse left-joined presence semantics.
+# r12: the ingest admission pair gained the semantic (embedding
+# screen) and clean (PII + contamination) gates — two new keep
+# columns and a seven-way admit.
 _CHANGED_IN_ROUND = {
     "pipeline_multimodal_manifest": 11,
     "pipeline_multimodal_ready": 11,
+    "pipeline_ingest_admission": 12,
+    "pipeline_ingest_report": 12,
 }
 
 

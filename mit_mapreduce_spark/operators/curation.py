@@ -264,10 +264,21 @@ EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
 IP_RE = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
 
 # The synthetic corpus has no PII, so seed deterministic PII from
-# doc_id; the scrubber then provably fires on every row.
+# doc_id; the scrubber then provably fires on every row. Both
+# spellings (SQL text and Spark Column) live here — the ingest
+# admission's clean gate (mmdedup) reuses them on its seeded subset.
 _SQL_PAYLOAD = ("text || ' contact user' || doc_id || "
                 "'@mail.example from 10.' || (doc_id % 200) || '.0.' || "
                 "(doc_id % 250 + 1)")
+
+
+def pii_payload_col() -> Column:
+    """Spark twin of _SQL_PAYLOAD: the document text with one seeded
+    email + one seeded IPv4 appended."""
+    return F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example from 10."), (F.col("doc_id") % 200),
+        F.lit(".0."), (F.col("doc_id") % 250 + 1))
 
 
 @query(
@@ -299,11 +310,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the redacted text keeps the checked output compact while still
     pinning every redacted byte against the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
-        F.lit("@mail.example from 10."), (F.col("doc_id") % 200),
-        F.lit(".0."), (F.col("doc_id") % 250 + 1))
-    seeded = docs.select("doc_id", payload.alias("payload"))
+    seeded = docs.select("doc_id", pii_payload_col().alias("payload"))
     redacted = F.regexp_replace(
         F.regexp_replace("payload", EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>")
     return seeded.select(

@@ -190,25 +190,42 @@ def main(sf_dir: str) -> dict:
         FP_BAND_BITS, FP_BANDS, FP_HAM_MAX, inc_shard_col,
     )
 
+    from mit_mapreduce_spark.operators.mmdedup import (
+        _fingerprint_video_assets_from, _vfp_batch,
+    )
+    from mit_mapreduce_spark.operators.multimodal import (
+        PH_BAND_BITS, PH_BANDS, PH_HAM_MAX, _phash_batch,
+        _phash_image_assets_from,
+    )
+
     inc_pred = inc_shard_col("doc_id")
     shard_docs = spark.read.parquet(dstage).where(inc_pred).count()
-    idx_sigs = (
-        _fingerprint_audio_assets_from(
-            spark.read.parquet(dstage).select("doc_id").where(~inc_pred))
-        .mapInPandas(_afp_batch, _PHASH_SCHEMA)
-        .localCheckpoint(eager=False)
-    )
-    al_source = (spark.readStream.schema(dschema)
-                 .option("maxFilesPerTrigger", 1).parquet(dstage))
-    inc_sigs = (_fingerprint_audio_assets_from(al_source.where(inc_pred))
-                .mapInPandas(_afp_batch, _PHASH_SCHEMA))
-    alerts = banded_match_scores(
-        inc_sigs, idx_sigs, FP_BANDS, FP_BAND_BITS, FP_HAM_MAX
-    ).dropDuplicates(["asset_id", "matched_id"])
-    results["fingerprint_alerts"] = {
-        **_drive(alerts, "append", "sb_fp_alerts"),
-        "shard_docs": shard_docs,
-    }
+    for leg, fixture_from, kernel, geom in (
+            ("fingerprint_alerts", _fingerprint_audio_assets_from,
+             _afp_batch, (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX)),
+            # r12: the image/video alert legs, registered as
+            # stream_image_alerts / stream_video_alerts
+            ("image_alerts", _phash_image_assets_from, _phash_batch,
+             (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)),
+            ("video_alerts", _fingerprint_video_assets_from, _vfp_batch,
+             (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX))):
+        idx_sigs = (
+            fixture_from(
+                spark.read.parquet(dstage).select("doc_id").where(~inc_pred))
+            .mapInPandas(kernel, _PHASH_SCHEMA)
+            .localCheckpoint(eager=False)
+        )
+        al_source = (spark.readStream.schema(dschema)
+                     .option("maxFilesPerTrigger", 1).parquet(dstage))
+        inc_sigs = (fixture_from(al_source.where(inc_pred))
+                    .mapInPandas(kernel, _PHASH_SCHEMA))
+        alerts = banded_match_scores(
+            inc_sigs, idx_sigs, *geom
+        ).dropDuplicates(["asset_id", "matched_id"])
+        results[leg] = {
+            **_drive(alerts, "append", f"sb_{leg}"),
+            "shard_docs": shard_docs,
+        }
 
     # quality-at-ingest (r11): per micro-batch WAV build + real
     # decode + integer-DSP screen, append-mode verdict drain

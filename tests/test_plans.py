@@ -577,10 +577,12 @@ def test_round11_quality_shuffle_budgets(spark, sf_dir, name, budget):
 
 
 @pytest.mark.parametrize("name,budget", [
-    ("pipeline_ingest_admission", 16),   # 8 doc_id joins over
-                                         # checkpointed screen legs +
-                                         # the text-gate semi-join and
-                                         # funnel aggregations
+    ("pipeline_ingest_admission", 16),   # 10 doc_id joins over
+                                         # checkpointed screen legs
+                                         # (incl. the r12 semantic +
+                                         # contamination legs, which
+                                         # broadcast) + the text-gate
+                                         # semi-join and funnel aggs
     ("pipeline_ingest_report", 17),      # + the rollup's agg exchange
 ])
 def test_round11_admission_shuffle_budgets(spark, sf_dir, name, budget):

@@ -416,10 +416,11 @@ def test_admission_covers_exactly_the_shard_and_admits_consistently(
              .select("doc_id").where(F.col("doc_id") % 40 < 6).collect()}
     assert {r.doc_id for r in rows} == shard and rows
     for r in rows:
-        assert r.admit == (r.keep_text & r.keep_quality & r.keep_image
-                           & r.keep_audio & r.keep_video)
-    for bit in ("keep_text", "keep_quality", "keep_image", "keep_audio",
-                "keep_video"):
+        assert r.admit == (r.keep_text & r.keep_semantic
+                           & r.keep_quality & r.keep_clean
+                           & r.keep_image & r.keep_audio & r.keep_video)
+    for bit in ("keep_text", "keep_semantic", "keep_quality",
+                "keep_clean", "keep_image", "keep_audio", "keep_video"):
         vals = {getattr(r, bit) for r in rows}
         assert vals == {0, 1}, (bit, vals)
 
