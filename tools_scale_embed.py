@@ -80,6 +80,26 @@ def main():
                       operators.ORACLES[OP], TENX)
     out["oracle"][f"{OP}@10x_rows"] = bool(ok)
     print("oracle", OP, "10x_rows", ok, (msg or "")[:160], flush=True)
+
+    # The superlinear term at fixed geometry is bucket DENSITY (64
+    # buckets/band at 10x the vectors = 10x the candidates per
+    # bucket). The production knob is plane depth — buckets scale
+    # 2^n_planes — so measure the SAME screen body at 10x with two
+    # more planes per band (256 buckets) to show density is a
+    # configuration, not a plan property.
+    from mit_mapreduce_spark.operators.banding import inc_col
+    from mit_mapreduce_spark.operators.similarity import (
+        EMB_SCR_PLANES, embed_screen_frame,
+    )
+
+    deep = EMB_SCR_PLANES + 2
+    out["times"]["deep_planes@10x_rows"] = {
+        "n_planes": deep,
+        "wall": best2(lambda: embed_screen_frame(
+            spark, TENX, inc_col("vec_id"), deep).count()),
+    }
+    print("deep_planes@10x_rows", out["times"]["deep_planes@10x_rows"],
+          flush=True)
     with open("/tmp/scale_embed.json", "w") as f:
         json.dump(out, f, indent=1)
 
