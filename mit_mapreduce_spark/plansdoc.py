@@ -89,6 +89,15 @@ PICKS = [
      "runs as WindowGroupLimit with a PARTIAL pass below the exchange "
      "(at most one candidate row per asset per partition shuffles); "
      "the verdict is one left join back to the shard"),
+    ("embed_neardup_incremental",
+     "semantic shard screen — bucketing runs as a posexplode joined "
+     "against the BROADCAST (band, plane, dim, weight) table with a "
+     "codegen partial SUM (no interpreted lambdas in the hot loop); "
+     "candidates come from the one-sided (band, bucket) equi-join of "
+     "the checkpointed bucket table against itself (shard vs index "
+     "filters), exact-cosine verification touches candidates only, "
+     "and the per-vector best-pick is a WindowGroupLimit; no "
+     "CartesianProduct anywhere"),
     ("quality_audio_screen",
      "media quality screen — a pure map pipeline: ONE exchange in "
      "the whole plan and it is fan_out's deliberate round-robin "

@@ -18,11 +18,24 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return plans.formatted_plan(QUERIES[name](spark, sf_dir))
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash", "ann_lsh_pairs", "dedup_simhash"])
+@pytest.mark.parametrize("name", ["dedup_minhash", "ann_lsh_pairs",
+                                  "dedup_simhash",
+                                  "embed_neardup_incremental"])
 def test_no_cartesian_product(spark, sf_dir, name):
     """LSH/banded candidate generation must be equi-join based."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_embed_screen_plane_table_broadcasts(spark, sf_dir):
+    """The embed screen's bucketing joins the exploded embedding
+    against the (band, plane, dim, weight) table — that side must
+    BROADCAST (1,536 constant rows; shuffling the exploded vector
+    stream on dim would be the wrong plan at any scale)."""
+    plan = plan_of(spark, sf_dir, "embed_neardup_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bruteforce_broadcasts_queries(spark, sf_dir):
