@@ -139,10 +139,10 @@ def test_streaming_drains_reuse_batch_twin_oracles():
     # and all deterministic drains are oracle-bearing (r8 session 2
     # added the sequence-stepper twin, r9 the multimodal ingest
     # audit, r10 the three fingerprint-at-ingest legs + the ingest
-    # alert, r11 the quality-at-ingest leg); only the order-dependent
-    # sketch stays rows-only
+    # alert, r11 the quality-at-ingest leg, r12 the image/video
+    # alert legs); only the order-dependent sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 16
+    assert len(streaming) == 18
     assert "stream_heavy_hitters" not in ORACLES
 
 
