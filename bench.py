@@ -61,6 +61,16 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     def run_once(name: str) -> float:
+        # The admission/manifest frames are memoized per (session,
+        # sf_dir) — a production win (a session's report rollup
+        # reuses the admission's checkpointed legs) but a MEASUREMENT
+        # hazard here: a floor-retime rerun would read the warm frame
+        # for ~1 s and min() would record that, silently deleting the
+        # build cost from the capture. Every timed run is COLD.
+        from mit_mapreduce_spark.operators import mmdedup
+        memo_key = (spark.sparkContext.applicationId, SF_DIR)
+        mmdedup._ADMISSION_MEMO.pop(memo_key, None)
+        mmdedup._MANIFEST_MEMO.pop(memo_key, None)
         t0 = time.monotonic()
         df = operators.QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

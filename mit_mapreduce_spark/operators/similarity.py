@@ -638,6 +638,83 @@ def _screen_planes(
     return out
 
 
+def _screen_bucket_expr(n_planes: int = EMB_SCR_PLANES):
+    """The banded-bucket array as ONE stateless per-row expression
+    (nested higher-order lambdas over literal plane arrays) — the
+    STREAMING ingest leg's form: a micro-batch map needs no join or
+    aggregate (streaming groupBy is stateful), and per-batch volumes
+    are small enough that the interpreted lambdas don't matter. The
+    batch screen uses _screen_buckets' explode+join codegen shape
+    instead (~10x faster at corpus volume); both produce identical
+    integers from the same plane constants and rounding."""
+    planes = _screen_planes(n_planes)
+    plane_cols = F.array(*[
+        F.array(*[F.array(*[F.lit(w) for w in row]) for row in band])
+        for band in planes])
+    sign_bit = lambda plane: F.when(  # noqa: E731
+        F.aggregate(
+            F.zip_with(plane, F.col("embedding"),
+                       lambda w, x: F.round(w * x.cast("double") * SCALE)
+                       .cast("bigint")),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v) >= 0,
+        1).otherwise(0)
+    return F.transform(
+        plane_cols,
+        lambda band: F.aggregate(
+            F.transform(band, sign_bit), F.lit(0),
+            lambda acc, bit: acc * 2 + bit))
+
+
+def embedding_index_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, bucket, nsq) via the stateless expression
+    form — the PERSISTED index's maintenance pipeline, shared by the
+    streaming ingest leg (stream_embedding_index) and the
+    persisted-index round-trip pytest. Row set identical to
+    _screen_buckets (pytest-pinned)."""
+    nsq = _dot_scaled(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.select("vec_id", nsq.alias("nsq"),
+                   _screen_bucket_expr().alias("_bk"))
+        .select("vec_id",
+                F.posexplode("_bk").alias("band_idx", "bucket"), "nsq")
+        .select("vec_id", "band_idx", "bucket", "nsq")
+    )
+
+
+def _sql_embed_index() -> str:
+    """DuckDB twin of the bucket-index TABLE itself (vec_id,
+    band_idx, bucket, nsq) — gates the streaming ingest leg the way
+    sql_sigs_over gates the media signature drains. Every vector
+    appears (zero-norm rows carry nsq = 0; the screens filter later)."""
+    vals = ",\n      ".join(
+        f"({b}, {p}, {d + 1}, {w!r})"
+        for b, band in enumerate(_screen_planes())
+        for p, row in enumerate(band) for d, w in enumerate(row))
+    return f"""
+    WITH eplanes(band_idx, p, d, w) AS (VALUES
+      {vals}),
+    bits AS (
+      SELECT e.vec_id, pl.band_idx, pl.p,
+             CASE WHEN SUM(CAST(ROUND(pl.w * CAST(e.embedding[pl.d] AS DOUBLE)
+                                      * {SCALE}) AS BIGINT)) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, eplanes pl
+      GROUP BY e.vec_id, pl.band_idx, pl.p),
+    buckets AS (
+      SELECT vec_id, band_idx,
+             CAST(SUM(bit * (1 << ({EMB_SCR_PLANES - 1} - p))) AS INT)
+               AS bucket
+      FROM bits GROUP BY vec_id, band_idx),
+    norms AS (
+      SELECT vec_id, {_SQL_DOT.format(a='embedding', b='embedding')} AS nsq
+      FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY vec_id)
+    SELECT b.vec_id, b.band_idx, b.bucket,
+           CAST(n.nsq AS BIGINT) AS nsq
+    FROM buckets b JOIN norms n ON n.vec_id = b.vec_id
+    """
+
+
 def _screen_buckets(emb: DataFrame,
                     n_planes: int = EMB_SCR_PLANES) -> DataFrame:
     """(vec_id, band_idx, bucket, nsq): each vector's bucket in every
@@ -679,18 +756,23 @@ def _screen_buckets(emb: DataFrame,
 
 
 def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
-                       n_planes: int = EMB_SCR_PLANES) -> DataFrame:
+                       n_planes: int = EMB_SCR_PLANES,
+                       bk: DataFrame | None = None) -> DataFrame:
     """embed_neardup_incremental's body over an arbitrary incoming-
     shard predicate Column on vec_id — shared by the registered
     screen, the ingest-admission composition, and the scale
-    certification's bucket-depth variant. Returns one row per
-    incoming vector: (vec_id, matched_id, cosine, is_neardup)."""
+    certification's bucket-depth variant. ``bk`` overrides the
+    bucket table (vec_id, band_idx, bucket, nsq) — the
+    persisted-index round-trip pytest passes the table the streaming
+    ingest leg drained to parquet, proving the screen is a pure
+    function of the maintained index. Returns one row per incoming
+    vector: (vec_id, matched_id, cosine, is_neardup)."""
     from pyspark.sql import Window as W
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    # materialize the bucketed index once: the sign-bit lambdas are
-    # interpreted (24 x 64 terms per row) and both join sides read it
-    bk = _screen_buckets(emb, n_planes).localCheckpoint(eager=False)
+    # materialize the bucketed index once: both join sides read it
+    if bk is None:
+        bk = _screen_buckets(emb, n_planes).localCheckpoint(eager=False)
     ib = bk.where(inc_pred & (F.col("nsq") > 0)).select(
         F.col("vec_id").alias("iid"), "band_idx", "bucket")
     xb = bk.where((~inc_pred) & (F.col("nsq") > 0)).select(

@@ -227,6 +227,21 @@ def main(sf_dir: str) -> dict:
             "shard_docs": shard_docs,
         }
 
+    # semantic-index maintenance (r12): per micro-batch banded
+    # sign-LSH bucketing of the vector stream, append-mode index
+    # drain (stream_embedding_index's pipeline); rows_per_sec =
+    # vectors/sec through the stateless expression form.
+    from mit_mapreduce_spark.operators.similarity import (
+        embedding_index_frame,
+    )
+
+    estage = _staged_table_splits(spark, sf_dir, "embeddings")
+    eschema = spark.read.parquet(estage).schema
+    e_source = (spark.readStream.schema(eschema)
+                .option("maxFilesPerTrigger", 1).parquet(estage))
+    results["embedding_index"] = _drive(
+        embedding_index_frame(e_source), "append", "sb_embed_idx")
+
     # quality-at-ingest (r11): per micro-batch WAV build + real
     # decode + integer-DSP screen, append-mode verdict drain
     # (stream_audio_quality's pipeline); rows_per_sec = docs/sec

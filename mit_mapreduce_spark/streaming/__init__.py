@@ -44,20 +44,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_event_ts(raw)
 
 
-def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the documents parquet — the ingest-manifest
-    stream a multimodal pipeline consumes (r9). Same staging shape as
-    events_stream; documents carry no timestamp column so no
-    normalization applies."""
+def table_stream(spark: SparkSession, sf_dir: str,
+                 table: str) -> DataFrame:
+    """readStream over any timestamp-free fixture table (r12: the
+    docs_stream staging shape generalized — the embedding-index
+    ingest leg streams `embeddings` the same way the media legs
+    stream `documents`)."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    stage = os.path.join(_SCRATCH, f"stream_docs_{tag}")
-    dst = os.path.join(stage, "documents.parquet")
-    src = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(_SCRATCH, f"stream_{table}_{tag}")
+    dst = os.path.join(stage, f"{table}.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         os.makedirs(stage, exist_ok=True)
         shutil.copy2(src, dst)
     schema = spark.read.parquet(stage).schema
     return spark.readStream.schema(schema).parquet(stage)
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet — the ingest-manifest
+    stream a multimodal pipeline consumes (r9). Documents carry no
+    timestamp column so no normalization applies."""
+    return table_stream(spark, sf_dir, "documents")
 
 
 STATE_PARTITIONS = 8

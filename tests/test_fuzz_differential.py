@@ -1023,3 +1023,54 @@ def test_differential_fuzz_r11_quality_screens(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial}/{op}: {msg}"
+
+
+def test_differential_fuzz_r12_embedding_screen(spark, tmp_path):
+    """r12 fuzz class: the embedding incremental screen and the
+    streaming bucket-index leg over hostile VECTOR corpora — random
+    non-contiguous vec_ids (irregular shard splits, empty shard or
+    empty index), all-zero vectors (nsq = 0 must yield a NULL-match
+    verdict, never a division), exact-duplicate vectors (cosine 1.0
+    ties exercise the min-id tiebreak), and sign-boundary components.
+    Both ops must stay hash-green against their chain oracles on
+    every corpus."""
+    import random
+
+    rng = random.Random(1212)
+    ops = ["embed_neardup_incremental", "stream_embedding_index"]
+    id_pools = [
+        list(range(0, 4)),                 # all incoming, EMPTY index
+        list(range(6, 14)),                # all index, EMPTY shard
+        None,
+        None,
+    ]
+    for trial, pool in enumerate(id_pools):
+        td = str(tmp_path / f"r12e{trial}")
+        os.makedirs(td)
+        if pool is None:
+            pool = sorted(rng.sample(range(500), rng.randint(3, 14)))
+        vecs = []
+        for i in pool:
+            kind = rng.random()
+            if kind < 0.15:
+                v = [0.0] * 64                       # zero vector
+            elif kind < 0.3 and vecs:
+                v = list(vecs[-1][1])                # exact duplicate
+            else:
+                v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+            vecs.append((i, v, rng.randint(0, 9)))
+        tab = pa.table({
+            "vec_id": pa.array([r[0] for r in vecs], pa.int64()),
+            "embedding": pa.array([r[1] for r in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in vecs], pa.int32()),
+        })
+        pq.write_table(tab, os.path.join(td, "embeddings.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"

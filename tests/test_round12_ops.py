@@ -135,6 +135,41 @@ def test_alert_legs_consistent_with_incremental_screens(
             assert (r.asset_id, r.matched_id) in pairs
 
 
+# --- semantic persisted-index loop closure ----------------------------------
+
+def test_embedding_index_roundtrip_reproduces_screen(
+        spark, sf_dir, tmp_path):
+    """Close the semantic tier's continuous-ingest loop (the r11
+    media pattern): the STREAMED bucket index drained to a parquet
+    sink must (a) equal the batch screen's bucket table row-for-row —
+    pinning the stateless expression form against the explode+join
+    codegen form, two implementations of one definition — and (b)
+    when the screen re-runs FROM the persisted table, reproduce the
+    registered verdicts exactly."""
+    from mit_mapreduce_spark.catalog import fan_out
+    from mit_mapreduce_spark.operators import similarity as sim
+    from mit_mapreduce_spark.operators.banding import inc_col
+
+    drained = operators.QUERIES["stream_embedding_index"](spark, sf_dir)
+    out = str(tmp_path / "embedding_index")
+    drained.write.mode("overwrite").parquet(out)
+    persisted = spark.read.parquet(out)
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    batch_bk = sim._screen_buckets(emb)
+    key = ["vec_id", "band_idx", "bucket", "nsq"]
+    assert sorted(map(tuple, persisted.select(*key).collect())) \
+        == sorted(map(tuple, batch_bk.select(*key).collect()))
+
+    via_index = sim.embed_screen_frame(
+        spark, sf_dir, inc_col("vec_id"), bk=persisted).collect()
+    registered = operators.QUERIES["embed_neardup_incremental"](
+        spark, sf_dir).collect()
+    as_map = lambda rows: {  # noqa: E731
+        r.vec_id: (r.matched_id, r.cosine, r.is_neardup) for r in rows}
+    assert as_map(via_index) == as_map(registered)
+
+
 # --- admission r12 gates ----------------------------------------------------
 
 def test_admission_semantic_gate_matches_embed_screen(spark, sf_dir):
