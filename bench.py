@@ -261,7 +261,33 @@ def adjudicate_retime(readings: list[float],
 # FACTOR — a rebase measured at one sf must not mask regressions at
 # another (review find: floors are per-sf, so the override must be
 # too).
-FLOOR_REBASE = {0.1: {"bpe_apply_vocab": 2.6}}
+FLOOR_REBASE = {
+    0.1: {
+        "bpe_apply_vocab": 2.6,
+        # r12: the admission pair gained the semantic (embedding
+        # screen) and clean (PII + contamination) gates — the
+        # composition does strictly more work than the r11 floors
+        # measured (cold rebuild measured 9.1-10.0 / 9.3-11.5 s over
+        # two quiet captures), so the pre-change floors would retime
+        # them every round forever.
+        "pipeline_ingest_admission": 9.0,
+        "pipeline_ingest_report": 9.3,
+    },
+}
+
+# Queries whose SEMANTICS changed in the current round (the bench
+# twin of __spark_entry__._CHANGED_IN_ROUND): the delta gate compares
+# against the previous round's capture, which timed DIFFERENT
+# behavior, so a slowdown here is a scope change, not a regression.
+# Entries are recorded under ``semantics_changed`` in the output
+# (never silently dropped) and must be cleared next round once a
+# same-semantics baseline exists.
+SEMANTICS_CHANGED = {
+    "pipeline_ingest_admission":
+        "r12: +keep_semantic (embedding screen) and +keep_clean "
+        "(PII + contamination) gates",
+    "pipeline_ingest_report": "r12: rolls up the two new gates",
+}
 
 
 def bench_floors(sf: float, here: str) -> dict[str, float]:
@@ -324,7 +350,7 @@ def bench_deltas(times: dict[str, float], sf: float,
     if prev_q is None:
         return None
 
-    deltas, regressed = {}, {}
+    deltas, regressed, semantics_changed = {}, {}, {}
     for name, t in times.items():
         p = prev_q.get(name)
         if p is None or p < 0 or t < 0:
@@ -332,9 +358,17 @@ def bench_deltas(times: dict[str, float], sf: float,
         d = round(t - p, 3)
         deltas[name] = d
         if d > 0.5 and t > 1.5 * p:
-            regressed[name] = {"prev": p, "now": t}
+            if name in SEMANTICS_CHANGED:
+                # scope change, not regression — recorded, never
+                # silently dropped (see SEMANTICS_CHANGED)
+                semantics_changed[name] = {
+                    "prev": p, "now": t,
+                    "reason": SEMANTICS_CHANGED[name]}
+            else:
+                regressed[name] = {"prev": p, "now": t}
     return {"prev_file": prev_file, "per_query": deltas,
             "regressed": regressed,
+            "semantics_changed": semantics_changed,
             "n_compared": len(deltas)}
 
 
@@ -350,6 +384,8 @@ def compact_line(times: dict[str, float], total: float,
                     key=lambda kv: (-kv[1], kv[0]))
 
     reg = (sorted(deltas["regressed"]) if deltas else [])
+    sem = (sorted(deltas.get("semantics_changed") or {})
+           if deltas else [])
 
     def render(k: int) -> str:
         head = dict(sorted(ranked[:k]))
@@ -363,6 +399,7 @@ def compact_line(times: dict[str, float], total: float,
             "omitted_sec": round(sum(t for _, t in omitted), 2),
             "failed": failed,
             "regressed_vs_prev": reg,
+            "semantics_changed": sem,
             "retimed": retimed_names or [],
             "floor_retimed": n_floor_retimed,
             "n_queries": len(times),
