@@ -1124,6 +1124,15 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_FP_SQL = "md5(lower(regexp_replace(trim({t}), '\\s+', ' ', 'g')))"
 
+
+def norm_fp_col():
+    """Spark twin of _NORM_FP_SQL over the `text` column — the ONE
+    normalized-fingerprint spelling, shared by the admission's exact
+    text gate and the streaming fingerprint-set maintenance leg
+    (stream_text_fingerprints)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                          r"\s+", " ")))
+
 # r12 gates. PII: the synthetic corpus carries none, so the fixture
 # seeds one email + one IPv4 (curation's pii_redact payload, the ONE
 # spelling) into a deterministic subset of the incoming shard —
@@ -1331,6 +1340,7 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     inc_pred = inc_shard_col("doc_id")
+    norm_fp = norm_fp_col()
     pii_mod, pii_rem = PII_SEED
     # the PII count is a pure projection (regex expressions over the
     # door doc's text, PII seeded into the fixture subset) — computed
@@ -1347,9 +1357,6 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc_docs = docs.where(inc_pred).select(
         "doc_id", "lang", "source", n_pii.alias("_npii"),
         *[am_media_flag(a) for a in AM_MEDIA_FLAGS.values()])
-    norm_fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
-                                             r"\s+", " ")))
-
     def _text_dup_leg():
         corpus_fps = (docs.where(~inc_pred)
                       .where(F.col("text").isNotNull())

@@ -839,6 +839,39 @@ def _alert_drain(spark: SparkSession, sf_dir: str, fixture_from, kernel,
     return spark.table(run_stream_to_table(alerts, "append"))
 
 
+def _sql_text_fps() -> str:
+    from mit_mapreduce_spark.operators.mmdedup import _NORM_FP_SQL
+    return (f"SELECT doc_id, {_NORM_FP_SQL.format(t='text')} AS fingerprint"
+            f" FROM documents WHERE text IS NOT NULL")
+
+
+@query("stream_text_fingerprints", oracle=_sql_text_fps())
+def stream_text_fingerprints(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAMING text-fingerprint maintenance (r12): the documents
+    manifest arrives as a stream; each micro-batch emits every doc's
+    normalized-text md5 (the ONE spelling the admission's exact text
+    gate semi-joins — mmdedup.norm_fp_col), append mode. This is the
+    last of the admission's static sides to gain a continuous
+    maintenance leg: media signatures (r10), embedding buckets (r12),
+    and now the corpus fingerprint set — a daily shard's exact-dup
+    gate probes a table the stream keeps current instead of
+    re-fingerprinting the corpus.
+
+    Oracle = the fingerprint projection itself; stateless per-row
+    map, zero streaming state, ~32 bytes per doc out. A round-trip
+    pytest re-runs the exact text gate against the DRAINED table and
+    reproduces the admission's tdup set."""
+    from mit_mapreduce_spark.operators.mmdedup import norm_fp_col
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    fps = (docs_stream(spark, sf_dir)
+           .where(F.col("text").isNotNull())
+           .select("doc_id", norm_fp_col().alias("fingerprint")))
+    return spark.table(run_stream_to_table(fps, "append"))
+
+
 def _sql_embed_index() -> str:
     from mit_mapreduce_spark.operators.similarity import _sql_embed_index
     return _sql_embed_index()

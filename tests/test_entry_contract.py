@@ -140,10 +140,10 @@ def test_streaming_drains_reuse_batch_twin_oracles():
     # added the sequence-stepper twin, r9 the multimodal ingest
     # audit, r10 the three fingerprint-at-ingest legs + the ingest
     # alert, r11 the quality-at-ingest leg, r12 the image/video
-    # alert legs and the embedding-index leg); only the
-    # order-dependent sketch stays rows-only
+    # alert legs, the embedding-index leg, and the text-fingerprint
+    # leg); only the order-dependent sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 19
+    assert len(streaming) == 20
     assert "stream_heavy_hitters" not in ORACLES
 
 

@@ -170,6 +170,49 @@ def test_embedding_index_roundtrip_reproduces_screen(
     assert as_map(via_index) == as_map(registered)
 
 
+def test_text_fingerprint_roundtrip_reproduces_exact_gate(
+        spark, sf_dir, tmp_path):
+    """The drained text-fingerprint table, persisted and read back,
+    must reproduce the exact text gate's dup set when the gate's
+    semi-join runs against it (the corpus fingerprint set is
+    maintainable at ingest, never re-fingerprinted per shard) — and
+    on a planted fixture where a shard doc's normalized text exists
+    in the retained corpus, the gate fires. The real fixture carries
+    no exact cross-split text dup below sf0.1 (measured 0/0/4 at the
+    three SFs), so the firing branch is pinned on the planted frame,
+    the equality on the real one."""
+    from mit_mapreduce_spark.operators.banding import inc_col
+    from mit_mapreduce_spark.operators.mmdedup import norm_fp_col
+
+    drained = operators.QUERIES["stream_text_fingerprints"](
+        spark, sf_dir)
+    out = str(tmp_path / "text_fps")
+    drained.write.mode("overwrite").parquet(out)
+    persisted = spark.read.parquet(out)
+
+    def dup_set(fps):
+        inc = inc_col("doc_id")
+        corpus = fps.where(~inc).select("fingerprint").distinct()
+        return {r.doc_id for r in fps.where(inc)
+                .join(corpus, "fingerprint", "left_semi")
+                .select("doc_id").collect()}
+
+    batch_fps = (load_table(spark, sf_dir, "documents")
+                 .where(F.col("text").isNotNull())
+                 .select("doc_id", norm_fp_col().alias("fingerprint")))
+    assert dup_set(persisted) == dup_set(batch_fps)
+
+    # planted firing branch: doc 3 (shard) reposts doc 47's (index)
+    # text modulo whitespace/case — the normalized gate must flag
+    # exactly it
+    planted = spark.createDataFrame(
+        [(3, "  The QUICK   brown fox "), (4, "something else"),
+         (47, "the quick brown fox"), (48, "unrelated")],
+        "doc_id long, text string"
+    ).select("doc_id", norm_fp_col().alias("fingerprint"))
+    assert dup_set(planted) == {3}
+
+
 # --- admission r12 gates ----------------------------------------------------
 
 def test_admission_semantic_gate_matches_embed_screen(spark, sf_dir):
