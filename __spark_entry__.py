@@ -91,11 +91,18 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
 # r12: the ingest admission pair gained the semantic (embedding
 # screen) and clean (PII + contamination) gates — two new keep
 # columns and a seven-way admit.
+# r13: the three alert legs read asset ownership from the manifest
+# (ADVICE r12 — no alert for an asset the manifest says the doc does
+# not own), so their pre-r13 green rows certified the unfiltered
+# behavior.
 _CHANGED_IN_ROUND = {
     "pipeline_multimodal_manifest": 11,
     "pipeline_multimodal_ready": 11,
     "pipeline_ingest_admission": 12,
     "pipeline_ingest_report": 12,
+    "stream_fingerprint_alerts": 13,
+    "stream_image_alerts": 13,
+    "stream_video_alerts": 13,
 }
 
 

@@ -275,18 +275,27 @@ FLOOR_REBASE = {
     },
 }
 
-# Queries whose SEMANTICS changed in the current round (the bench
-# twin of __spark_entry__._CHANGED_IN_ROUND): the delta gate compares
-# against the previous round's capture, which timed DIFFERENT
-# behavior, so a slowdown here is a scope change, not a regression.
-# Entries are recorded under ``semantics_changed`` in the output
-# (never silently dropped) and must be cleared next round once a
-# same-semantics baseline exists.
+# Queries whose SEMANTICS changed in a given round (the bench twin
+# of __spark_entry__._CHANGED_IN_ROUND, and round-keyed the same way
+# — ADVICE r12: a name-only set had to be hand-cleared next round,
+# and a forgotten entry would permanently reroute genuine
+# regressions into ``semantics_changed``): name -> (change_round,
+# reason). The delta gate suppresses a regression ONLY when the
+# capture being compared against predates the change round — i.e.
+# it timed the OLD behavior; once a post-change baseline exists the
+# entry is inert and never needs deleting. Suppressions are recorded
+# under ``semantics_changed`` in the output, never silently dropped.
 SEMANTICS_CHANGED = {
-    "pipeline_ingest_admission":
-        "r12: +keep_semantic (embedding screen) and +keep_clean "
-        "(PII + contamination) gates",
-    "pipeline_ingest_report": "r12: rolls up the two new gates",
+    "pipeline_ingest_admission": (
+        12, "r12: +keep_semantic (embedding screen) and +keep_clean "
+            "(PII + contamination) gates"),
+    "pipeline_ingest_report": (12, "r12: rolls up the two new gates"),
+    "stream_fingerprint_alerts": (
+        13, "r13: ownership read from the asset manifest on both sides"),
+    "stream_image_alerts": (
+        13, "r13: ownership read from the asset manifest on both sides"),
+    "stream_video_alerts": (
+        13, "r13: ownership read from the asset manifest on both sides"),
 }
 
 
@@ -330,7 +339,19 @@ def bench_deltas(times: dict[str, float], sf: float,
     """
     import glob
 
+    import re
+
     prev_file, prev_q = None, None
+    rounds = [int(m.group(1))
+              for m in (re.search(r"BENCH_r(\d+)\.json$", p)
+                        for p in glob.glob(
+                            os.path.join(here, "BENCH_r*.json")))
+              if m]
+    # A BENCH_FULL.json capture is made at HEAD during the round
+    # AFTER the latest driver-recorded one — it already timed any
+    # current-round semantics change, so it must NOT be treated as a
+    # pre-change baseline.
+    cur_round = (max(rounds) + 1) if rounds else 1
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                         reverse=True) + [os.path.join(here, "BENCH_FULL.json")]
     for cand in candidates:
@@ -350,6 +371,9 @@ def bench_deltas(times: dict[str, float], sf: float,
     if prev_q is None:
         return None
 
+    m = re.search(r"BENCH_r(\d+)\.json$", prev_file or "")
+    prev_round = int(m.group(1)) if m else cur_round
+
     deltas, regressed, semantics_changed = {}, {}, {}
     for name, t in times.items():
         p = prev_q.get(name)
@@ -358,12 +382,13 @@ def bench_deltas(times: dict[str, float], sf: float,
         d = round(t - p, 3)
         deltas[name] = d
         if d > 0.5 and t > 1.5 * p:
-            if name in SEMANTICS_CHANGED:
-                # scope change, not regression — recorded, never
-                # silently dropped (see SEMANTICS_CHANGED)
+            changed = SEMANTICS_CHANGED.get(name)
+            if changed and prev_round < changed[0]:
+                # the baseline predates the semantics change — scope
+                # change, not regression; recorded, never silently
+                # dropped (see SEMANTICS_CHANGED)
                 semantics_changed[name] = {
-                    "prev": p, "now": t,
-                    "reason": SEMANTICS_CHANGED[name]}
+                    "prev": p, "now": t, "reason": changed[1]}
             else:
                 regressed[name] = {"prev": p, "now": t}
     return {"prev_file": prev_file, "per_query": deltas,

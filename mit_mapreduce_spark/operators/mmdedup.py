@@ -52,6 +52,7 @@ band); the CC loop runs over the pair graph's vertex set only.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -711,6 +712,7 @@ def _sql_manifest() -> str:
 
 
 _MANIFEST_MEMO: dict = {}
+_MANIFEST_LOCK = threading.Lock()
 
 
 def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,12 +720,10 @@ def _manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest query and its per-(lang, source) accounting rollup,
     built once per (session, sf_dir) (r12, the admission-memo
     pattern: the eager legs are checkpointed RDDs valid for the
-    session's lifetime, so the rollup reuses them)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    frame = _MANIFEST_MEMO.get(key)
-    if frame is None:
-        frame = _MANIFEST_MEMO[key] = _manifest_build(spark, sf_dir)
-    return frame
+    session's lifetime, so the rollup reuses them; r13, the
+    lock/eviction discipline — see _admission_frame)."""
+    return _memoized_frame(_MANIFEST_MEMO, _MANIFEST_LOCK,
+                           _manifest_build, spark, sf_dir)
 
 
 def _manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,16 +1516,35 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the key includes the applicationId so a new session never sees
 # a stale frame.
 _ADMISSION_MEMO: dict = {}
+_ADMISSION_LOCK = threading.Lock()
 
 
 def _admission_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The admission table as a frame — shared by the registered
     query and its per-(lang, source) accounting rollup, built once
-    per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    frame = _ADMISSION_MEMO.get(key)
-    if frame is None:
-        frame = _ADMISSION_MEMO[key] = _admission_build(spark, sf_dir)
+    per (session, sf_dir). The build runs under a lock (ADVICE r12:
+    the bare get-then-set let two concurrent callers both
+    double-materialize the ~10 eager legs and leak one set for the
+    session), and entries keyed by dead applicationIds are evicted
+    on the way in so a bounced session can't pin stale checkpointed
+    frames for the process lifetime."""
+    return _memoized_frame(_ADMISSION_MEMO, _ADMISSION_LOCK,
+                           _admission_build, spark, sf_dir)
+
+
+def _memoized_frame(memo: dict, lock, build, spark: SparkSession,
+                    sf_dir: str) -> DataFrame:
+    """Shared memo body for the admission/manifest frames: one
+    build per (applicationId, sf_dir), concurrent callers wait for
+    the builder instead of racing it, stale-session keys evicted."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    with lock:
+        for k in [k for k in memo if k[0] != app_id]:
+            memo.pop(k, None)
+        frame = memo.get(key)
+        if frame is None:
+            frame = memo[key] = build(spark, sf_dir)
     return frame
 
 

@@ -40,12 +40,22 @@ N_PLANES = 6      # 64 LSH buckets
 
 def _dot_scaled(a: Column, b: Column) -> Column:
     """Exact order-independent dot product: per-dim products rounded
-    at 1e-9 and summed as longs (|sum| < 64 * 0.25e9 « 2^63)."""
-    prods = F.zip_with(
-        a, b,
-        lambda x, y: F.round(x.cast("double") * y.cast("double") * SCALE)
-        .cast("bigint"))
-    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    at 1e-9 and summed as longs (|sum| < 64 * 0.25e9 « 2^63).
+
+    SQL-SUM semantics exactly (ADVICE r12): a NULL component's
+    product is ignored rather than propagated, and an all-NULL (or
+    empty) product list yields NULL — the behavior of _SQL_DOT's SUM
+    on both engines, so a hostile vector with NULL dims cannot split
+    the Spark forms from the DuckDB oracles."""
+    prods = F.filter(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.round(x.cast("double") * y.cast("double")
+                                 * SCALE).cast("bigint")),
+        lambda v: v.isNotNull())
+    return F.when(F.size(prods) == 0, F.lit(None)).otherwise(
+        F.aggregate(prods, F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v))
 
 
 _SQL_DOT = ("SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
@@ -651,13 +661,25 @@ def _screen_bucket_expr(n_planes: int = EMB_SCR_PLANES):
     plane_cols = F.array(*[
         F.array(*[F.array(*[F.lit(w) for w in row]) for row in band])
         for band in planes])
-    sign_bit = lambda plane: F.when(  # noqa: E731
-        F.aggregate(
+
+    def _plane_dot(plane):
+        # SUM semantics, exactly (ADVICE r12): a NULL component's
+        # product is IGNORED (not propagated — a naive fold would
+        # NULL the whole dot and flip the sign bit to 0 while
+        # _screen_buckets' codegen SUM and the DuckDB oracle skip
+        # it), and an all-NULL product list yields a NULL dot (bit
+        # 0 via the >= 0 test, same as the batch form's NULL SUM).
+        prods = F.filter(
             F.zip_with(plane, F.col("embedding"),
                        lambda w, x: F.round(w * x.cast("double") * SCALE)
                        .cast("bigint")),
-            F.lit(0).cast("bigint"), lambda acc, v: acc + v) >= 0,
-        1).otherwise(0)
+            lambda v: v.isNotNull())
+        return F.when(F.size(prods) == 0, F.lit(None)).otherwise(
+            F.aggregate(prods, F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v))
+
+    sign_bit = lambda plane: F.when(  # noqa: E731
+        _plane_dot(plane) >= 0, 1).otherwise(0)
     return F.transform(
         plane_cols,
         lambda band: F.aggregate(

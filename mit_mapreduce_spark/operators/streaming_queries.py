@@ -762,7 +762,7 @@ def stream_video_fingerprints(spark: SparkSession,
 
 
 @query("stream_fingerprint_alerts",
-       oracle=f"WITH {_mmdedup_batch._sql_audio_bits()},"
+       oracle=f"WITH {_mmdedup_batch._sql_audio_bits(_mmdedup_batch.AUD_PRESENT_SQL)},"
               f" {_banding.sql_alert_tail(_mmdedup_batch.FP_INC_PRED, _mmdedup_batch.FP_HAM_MAX)}")
 def stream_fingerprint_alerts(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -790,16 +790,23 @@ def stream_fingerprint_alerts(spark: SparkSession,
     never re-decoded, per micro-batch; the join is the same pushable
     two-popcount candidate filter as the batch tier; a production
     deployment adds a watermark TTL on the dedup state if alert keys
-    must expire."""
+    must expire (the bounded-state drain and the expiry demonstration
+    are pytest-pinned — test_round11_ops / test_round13_ops).
+
+    r13 (ADVICE r12): both sides read OWNERSHIP from the asset
+    manifest — alerts only fire for docs whose manifest row claims an
+    audio asset; oracle filtered through the shared presence
+    template."""
     from mit_mapreduce_spark.operators.mmdedup import (
-        _afp_batch, _fingerprint_audio_assets_from,
+        _afp_batch, _fingerprint_audio_assets_from, MM_AUDIO_ABSENT,
     )
 
     return _alert_drain(spark, sf_dir, _fingerprint_audio_assets_from,
-                        _afp_batch)
+                        _afp_batch, MM_AUDIO_ABSENT)
 
 
 def _alert_drain(spark: SparkSession, sf_dir: str, fixture_from, kernel,
+                 absent: tuple[int, int],
                  n_bands: int | None = None, band_bits: int | None = None,
                  ham_max: int | None = None) -> DataFrame:
     """The modality-generic near-dup alert body (r12: factored out of
@@ -809,10 +816,17 @@ def _alert_drain(spark: SparkSession, sf_dir: str, fixture_from, kernel,
     SAME stateless stages, stream-static band equi-join, radius
     filter, per-pair dedup, append drain. Geometry defaults to the
     shared FP_* constants; the image leg passes PH_* (aliases
-    today, free to diverge)."""
-    from mit_mapreduce_spark.catalog import load_table
+    today, free to diverge).
+
+    Presence is DATA (r13, ADVICE r12): both sides are the manifest-
+    flagged OWNER set — the static index holds only retained docs
+    whose manifest row claims the modality, and the incoming stream
+    is semi-joined against the same flagged set (a stream-static
+    left-semi join), so an alert can never fire for an asset the
+    manifest says the doc does not own — the invariant the
+    admission's screen legs already enforce."""
     from mit_mapreduce_spark.operators.mmdedup import (
-        FP_BAND_BITS, FP_BANDS, FP_HAM_MAX, inc_shard_col,
+        _present_docs, FP_BAND_BITS, FP_BANDS, FP_HAM_MAX, inc_shard_col,
     )
     from mit_mapreduce_spark.operators.multimodal import _PHASH_SCHEMA
     from mit_mapreduce_spark.streaming import docs_stream
@@ -822,15 +836,15 @@ def _alert_drain(spark: SparkSession, sf_dir: str, fixture_from, kernel,
     ham_max = FP_HAM_MAX if ham_max is None else ham_max
     tune(spark)
     inc_pred = inc_shard_col("doc_id")
-    idx_docs = load_table(spark, sf_dir, "documents") \
-        .select("doc_id").where(~inc_pred)
+    owners = _present_docs(spark, sf_dir, absent)
     idx_sigs = (
-        fixture_from(idx_docs)
+        fixture_from(owners.where(~inc_pred))
         .mapInPandas(kernel, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
     inc_sigs = (
-        fixture_from(docs_stream(spark, sf_dir).where(inc_pred))
+        fixture_from(docs_stream(spark, sf_dir).where(inc_pred)
+                     .join(owners, "doc_id", "left_semi"))
         .mapInPandas(kernel, _PHASH_SCHEMA)
     )
     alerts = _banding.banded_match_scores(
@@ -910,10 +924,11 @@ def stream_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_image_alerts() -> str:
+    from mit_mapreduce_spark.operators.mmdedup import IMG_PRESENT_SQL
     from mit_mapreduce_spark.operators.multimodal import (
         PH_HAM_MAX, _sql_image_bits,
     )
-    return (f"WITH {_sql_image_bits()},"
+    return (f"WITH {_sql_image_bits(IMG_PRESENT_SQL)},"
             f" {_banding.sql_alert_tail(_banding.INC_PRED, PH_HAM_MAX)}")
 
 
@@ -926,23 +941,27 @@ def stream_image_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged (asset_id, matched_id, hamming) at the door. One call
     into the modality-generic alert body (the r11 pytest that proved
     genericity, promoted to a registered, oracle-gated leg); oracle =
-    the image bits chain + the shared alert tail. Same 100 TB
-    posture as the audio leg: static side re-read never re-decoded,
-    dedup state one row per ALERT."""
+    the image bits chain (presence-filtered, r13) + the shared alert
+    tail. Same 100 TB posture as the audio leg: static side re-read
+    never re-decoded, dedup state one row per ALERT. r13: ownership
+    read from the asset manifest on both sides — no alert for an
+    image the manifest says the doc does not own."""
+    from mit_mapreduce_spark.operators.mmdedup import MM_IMAGE_ABSENT
     from mit_mapreduce_spark.operators.multimodal import (
         PH_BAND_BITS, PH_BANDS, PH_HAM_MAX, _phash_batch,
         _phash_image_assets_from,
     )
 
     return _alert_drain(spark, sf_dir, _phash_image_assets_from,
-                        _phash_batch, PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)
+                        _phash_batch, MM_IMAGE_ABSENT,
+                        PH_BANDS, PH_BAND_BITS, PH_HAM_MAX)
 
 
 def _sql_video_alerts() -> str:
     from mit_mapreduce_spark.operators.mmdedup import (
-        FP_HAM_MAX, _sql_video_bits,
+        FP_HAM_MAX, VID_PRESENT_SQL, _sql_video_bits,
     )
-    return (f"WITH {_sql_video_bits()},"
+    return (f"WITH {_sql_video_bits(VID_PRESENT_SQL)},"
             f" {_banding.sql_alert_tail(_banding.INC_PRED, FP_HAM_MAX)}")
 
 
@@ -952,13 +971,14 @@ def stream_video_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Y4M streams are frame-sequence-fingerprinted per micro-batch and
     band-joined against the static video signature index (see
     stream_image_alerts — one generic body, per-modality fixture +
-    kernel + oracle chain)."""
+    kernel + oracle chain; r13: manifest-ownership filtering on both
+    sides)."""
     from mit_mapreduce_spark.operators.mmdedup import (
-        _fingerprint_video_assets_from, _vfp_batch,
+        _fingerprint_video_assets_from, _vfp_batch, MM_VIDEO_ABSENT,
     )
 
     return _alert_drain(spark, sf_dir, _fingerprint_video_assets_from,
-                        _vfp_batch)
+                        _vfp_batch, MM_VIDEO_ABSENT)
 
 
 @query("stream_audio_quality",

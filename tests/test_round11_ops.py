@@ -188,13 +188,12 @@ def test_incremental_screen_crafted_corner_cases(spark):
 def test_stream_alert_equals_batch(spark, sf_dir):
     """The availableNow drain of stream_fingerprint_alerts must equal
     the batch-side screen pairs exactly (stateless stages + append
-    mode + per-pair dedup)."""
-    from mit_mapreduce_spark.catalog import load_table
-
+    mode + per-pair dedup). r13: both sides restricted to the asset
+    manifest's audio OWNERS — presence is data."""
     drained = {(r.asset_id, r.matched_id, r.hamming) for r in
                operators.QUERIES["stream_fingerprint_alerts"](
                    spark, sf_dir).collect()}
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = mmdedup._present_docs(spark, sf_dir, mmdedup.MM_AUDIO_ABSENT)
     inc_pred = F.col("doc_id") % 40 < 6
     sigs = (mmdedup._fingerprint_audio_assets_from(docs)
             .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
@@ -207,17 +206,47 @@ def test_stream_alert_equals_batch(spark, sf_dir):
              .dropDuplicates(["asset_id", "matched_id"]).collect()}
     assert drained == batch
     assert drained, "fixture must produce alerts"
+    # and the presence filter is REAL on the fixture: some alert of
+    # the unfiltered composition must involve a non-owner doc, else
+    # this test can't distinguish the two semantics
+    all_docs = mmdedup.load_table(spark, sf_dir, "documents") \
+        .select("doc_id")
+    usigs = (mmdedup._fingerprint_audio_assets_from(all_docs)
+             .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+             .localCheckpoint(eager=False))
+    unfiltered = {(r.asset_id, r.matched_id, r.hamming) for r in
+                  banded_match_scores(usigs.where(p), usigs.where(~p),
+                                      mmdedup.FP_BANDS,
+                                      mmdedup.FP_BAND_BITS,
+                                      mmdedup.FP_HAM_MAX)
+                  .dropDuplicates(["asset_id", "matched_id"]).collect()}
+    assert drained < unfiltered, \
+        "fixture must exercise the ownership filter"
 
 
 def test_alert_matches_incremental_verdicts(spark, sf_dir):
-    """Consistency across the two r11 surfaces: the set of alerted
-    incoming assets equals the set the batch screen marks
-    is_neardup, and the screen's best match appears among that
-    asset's alert pairs."""
+    """Consistency across the two surfaces: the set of alerted
+    incoming assets equals the set the OWNER-RESTRICTED batch screen
+    marks is_neardup (r13: the alert leg reads ownership from the
+    asset manifest, so its batch twin is the admission's screen-leg
+    composition — incremental_screen over the manifest-flagged owner
+    set — not the unfiltered registered incremental), and the
+    screen's best match appears among that asset's alert pairs."""
+    from mit_mapreduce_spark.operators.banding import incremental_screen
+
     alerts = operators.QUERIES["stream_fingerprint_alerts"](
         spark, sf_dir).collect()
-    screen = {r.asset_id: r for r in operators.QUERIES[
-        "dedup_audio_incremental"](spark, sf_dir).collect()}
+    owners = mmdedup._present_docs(spark, sf_dir, mmdedup.MM_AUDIO_ABSENT)
+    sigs = (mmdedup._fingerprint_audio_assets_from(owners)
+            .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
+            .localCheckpoint(eager=False))
+    inc = F.col("asset_id") % 40 < 6
+    screen = {r.asset_id: r for r in incremental_screen(
+        owners.select(F.col("doc_id").alias("asset_id"))
+        .where(F.col("asset_id") % 40 < 6),
+        sigs.where(inc), sigs.where(~inc),
+        mmdedup.FP_BANDS, mmdedup.FP_BAND_BITS,
+        mmdedup.FP_HAM_MAX).collect()}
     alerted = {}
     for r in alerts:
         alerted.setdefault(r.asset_id, set()).add((r.matched_id, r.hamming))
@@ -240,16 +269,16 @@ def test_alert_dedup_state_ttl_variant(spark, sf_dir):
 
     tune(spark)
     inc_pred = F.col("doc_id") % 40 < 6
+    owners = mmdedup._present_docs(spark, sf_dir, mmdedup.MM_AUDIO_ABSENT)
     idx_sigs = (
-        mmdedup._fingerprint_audio_assets_from(
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id").where(~inc_pred))
+        mmdedup._fingerprint_audio_assets_from(owners.where(~inc_pred))
         .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
         .localCheckpoint(eager=False)
     )
     inc_sigs = (
         mmdedup._fingerprint_audio_assets_from(
-            docs_stream(spark, sf_dir).where(inc_pred))
+            docs_stream(spark, sf_dir).where(inc_pred)
+            .join(owners, "doc_id", "left_semi"))
         .mapInPandas(mmdedup._afp_batch, _PHASH_SCHEMA)
     )
     ttl = (
