@@ -1497,18 +1497,81 @@ def dedup_minhash_incremental(spark: SparkSession,
         spark, sf_dir, F.col("doc_id") % INC_MOD == 0)
 
 
+def minhash_bands_expr_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) via ONE stateless per-row
+    expression chain — the STREAMING maintenance leg's form
+    (stream_minhash_bands): shingle array, 12 seeded column minima
+    (array_min over a transform instead of the batch groupBy-MIN,
+    which would be a stateful streaming aggregate), band md5s,
+    posexplode. Same integers/strings as _band_hashes(_minhash_sigs(
+    shingles_df(docs))) — pytest-pinned row-for-row. The interpreted
+    higher-order lambdas are the right trade per micro-batch (the
+    embed-index precedent, SCALE.md r12): 12 array passes per doc on
+    small per-batch volumes, while the batch pipeline keeps the
+    explode + codegen-aggregate shape."""
+    k = 3
+    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    # identical short-doc guard as shingles_df — see that docstring
+    arr = F.expr(
+        f"""CASE WHEN size(_toks) < {k} THEN array()
+                 ELSE transform(sequence(1, size(_toks) - {k - 1}),
+                                i -> concat_ws(' ', slice(_toks, i, {k})))
+            END"""
+    )
+    sh = (docs.select("doc_id", toks.alias("_toks"))
+          .select("doc_id", F.array_distinct(arr).alias("_sh"))
+          .where(F.size("_sh") > 0))
+    def _seed_min(seed: int):
+        # NB: closing over the seed via a default arg (lambda x,
+        # s=seed: ...) would make PySpark see a TWO-parameter lambda
+        # and bind s to the element INDEX column instead
+        tag = F.lit(f"#{seed}")
+        return F.array_min(
+            F.transform("_sh", lambda x: hash60(F.concat(x, tag))))
+
+    mins = [_seed_min(seed).alias(f"s{seed}") for seed in range(N_SEEDS)]
+    sigs = sh.select("doc_id", *mins)
+    bands = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"s{b * BAND_ROWS + r}").cast("string")
+            for r in range(BAND_ROWS)
+        ]))
+        for b in range(N_BANDS)
+    ])
+    return sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
+def _sql_minhash_bands() -> str:
+    """DuckDB twin of the MinHash band-index TABLE itself (doc_id,
+    band_idx, band_hash) — gates the streaming maintenance leg the
+    way _sql_embed_index gates the embedding-index drain."""
+    return f"""
+    WITH {_sql_minhash_cte()}
+    SELECT doc_id, band_idx, band_hash FROM bands
+    """
+
+
 def minhash_screen_frame(spark: SparkSession, sf_dir: str,
-                         inc_pred) -> DataFrame:
+                         inc_pred,
+                         bands: DataFrame | None = None) -> DataFrame:
     """dedup_minhash_incremental's body over an arbitrary incoming-
     shard predicate Column — shared by the registered screen and the
     ingest-admission composition (which uses the media screens'
-    doc_id % 40 < 6 split)."""
+    doc_id % 40 < 6 split). ``bands`` overrides the band-hash table
+    (doc_id, band_idx, band_hash) — the persisted-index round-trip
+    pytest passes the table the streaming maintenance leg drained to
+    parquet, proving the candidate generator is a pure function of
+    the maintained index (exact-Jaccard verification still reads the
+    candidates' shingle sets, the corpus-side table a production
+    deployment persists alongside)."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs).localCheckpoint(eager=False)
     sigs = _minhash_sigs(sh).localCheckpoint(eager=False)
-    bands = _band_hashes(sigs)
+    if bands is None:
+        bands = _band_hashes(sigs)
 
     ib = bands.where(inc_pred).select(
         F.col("doc_id").alias("iid"), "band_idx", "band_hash")

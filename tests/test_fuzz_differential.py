@@ -1031,9 +1031,13 @@ def test_differential_fuzz_r12_embedding_screen(spark, tmp_path):
     non-contiguous vec_ids (irregular shard splits, empty shard or
     empty index), all-zero vectors (nsq = 0 must yield a NULL-match
     verdict, never a division), exact-duplicate vectors (cosine 1.0
-    ties exercise the min-id tiebreak), and sign-boundary components.
-    Both ops must stay hash-green against their chain oracles on
-    every corpus."""
+    ties exercise the min-id tiebreak), sign-boundary components, and
+    (r13, ADVICE r12) NULL components — SQL-SUM semantics everywhere:
+    a NULL dim's product is ignored by the oracles' SUM, so the Spark
+    folds must skip it too (the pre-r13 F.aggregate forms propagated
+    it, flipping sign bits / nulling dots), and an all-NULL vector's
+    dot is NULL on both engines. Both ops must stay hash-green
+    against their chain oracles on every corpus."""
     import random
 
     rng = random.Random(1212)
@@ -1056,6 +1060,13 @@ def test_differential_fuzz_r12_embedding_screen(spark, tmp_path):
                 v = [0.0] * 64                       # zero vector
             elif kind < 0.3 and vecs:
                 v = list(vecs[-1][1])                # exact duplicate
+            elif kind < 0.4:
+                # NULL components (r13): a lossy feed dropped dims
+                v = [None if rng.random() < 0.2
+                     else round(rng.uniform(-1, 1), 3)
+                     for _ in range(64)]
+            elif kind < 0.45:
+                v = [None] * 64                      # all-NULL vector
             else:
                 v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
             vecs.append((i, v, rng.randint(0, 9)))

@@ -1,0 +1,141 @@
+"""Round-13 operators: the MinHash band-index maintenance leg (the
+last static gate side to gain one), alert dedup-state TTL expiry in
+code, and the streaming admission twin's supporting invariants."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mit_mapreduce_spark import operators
+from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.operators import dedup
+
+operators.load_all()
+
+
+# --- MinHash band-index maintenance (VERDICT r12 ask #1) --------------------
+
+def test_minhash_bands_expr_form_matches_batch(spark, sf_dir):
+    """The stateless expression form (the streaming leg's shape) must
+    equal the batch groupBy-MIN signature pipeline row-for-row — two
+    implementations of one band-table definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr_rows = {tuple(r) for r in
+                 dedup.minhash_bands_expr_frame(docs).collect()}
+    batch_rows = {tuple(r) for r in dedup._band_hashes(
+        dedup._minhash_sigs(dedup.shingles_df(docs))).collect()}
+    assert expr_rows == batch_rows and expr_rows
+
+
+def test_minhash_band_index_roundtrip_reproduces_screen(
+        spark, sf_dir, tmp_path):
+    """Close the text near-dup tier's continuous-ingest loop (the
+    r11 media / r12 embedding pattern): the STREAMED band index
+    drained to a parquet sink must, when the incremental screen's
+    candidate generator re-runs FROM the persisted table, reproduce
+    the registered dedup_minhash_incremental verdicts exactly — the
+    gate is a pure function of the maintained index, and a
+    production deployment never re-shingles the corpus to find
+    candidates."""
+    drained = operators.QUERIES["stream_minhash_bands"](spark, sf_dir)
+    out = str(tmp_path / "minhash_bands")
+    drained.write.mode("overwrite").parquet(out)
+    persisted = spark.read.parquet(out)
+
+    via_index = dedup.minhash_screen_frame(
+        spark, sf_dir, F.col("doc_id") % dedup.INC_MOD == 0,
+        bands=persisted).collect()
+    registered = operators.QUERIES["dedup_minhash_incremental"](
+        spark, sf_dir).collect()
+    as_map = lambda rows: {  # noqa: E731
+        r.doc_id: (r.matched_id, r.jaccard, r.is_neardup) for r in rows}
+    assert as_map(via_index) == as_map(registered)
+    # both verdicts present on the fixture
+    verdicts = {r.is_neardup for r in registered}
+    assert verdicts == {True, False}
+
+
+# --- alert dedup-state TTL: expiry demonstrated, not documented -------------
+
+def test_alert_ttl_state_expires(spark, tmp_path):
+    """VERDICT r12 ask #3: the alert legs' docstring promises 'a
+    production deployment adds a watermark TTL on the dedup state if
+    alert keys must expire' — demonstrate the EXPIRY itself, in code.
+    Four micro-batches of alert pair rows (maxFilesPerTrigger=1,
+    event-time ingest_ts) flow through the TTL'd dedup tail
+    (withWatermark + dropDuplicatesWithinWatermark — the exact shape
+    test_round11_ops pins for same-drain equivalence):
+
+      batch 1: pair P at t0            -> emitted, state holds P
+      batch 2: pair P again at t0+5m   -> inside the TTL, deduped
+      batch 3: pair Q at t0+3h         -> emitted; the watermark
+               advances to t0+2h, past P's ~t0+1h expiry
+      batch 4: pair P again at t0+3h   -> STILL deduped: the state
+               lookup precedes the eviction pass, which removes P's
+               expired row at this batch's commit (numRowsRemoved=1
+               in the progress metrics — the eviction made visible)
+      batch 5: pair P again at t0+3h   -> state EXPIRED -> emitted
+               AGAIN
+
+    The duplicate re-emission after the horizon is the observable
+    proof the state row was dropped (unbounded dropDuplicates would
+    have suppressed it forever), and the final state-store row count
+    is 2 (the fresh P + Q) — bounded by live keys inside the TTL
+    window, not by alert history."""
+    import os
+
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+
+    tune(spark)
+    stage = str(tmp_path / "alerts_in")
+    os.makedirs(stage)
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("asset_id BIGINT, matched_id BIGINT, hamming INT, "
+              "ingest_ts TIMESTAMP")
+
+    def write_batch(seq: int, pair: tuple, ts: str):
+        name = f"b{seq}"
+        spark.createDataFrame(
+            [pair], "asset_id BIGINT, matched_id BIGINT, hamming INT"
+        ).withColumn("ingest_ts", F.lit(ts).cast("timestamp")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"stage_{name}"))
+        src = [f for f in os.listdir(str(tmp_path / f"stage_{name}"))
+               if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"{name}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"stage_{name}"), src), dst)
+        # the file source orders by modification time — pin it so
+        # "one file per trigger" replays the scenario's batch order
+        os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+    P, Q = (7, 13, 2), (8, 21, 3)
+    write_batch(1, P, "2026-01-01 00:00:00")
+    write_batch(2, P, "2026-01-01 00:05:00")
+    write_batch(3, Q, "2026-01-01 03:00:00")
+    write_batch(4, P, "2026-01-01 03:00:00")
+    write_batch(5, P, "2026-01-01 03:00:00")
+
+    ttl = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["asset_id", "matched_id"])
+        .select("asset_id", "matched_id", "hamming", "ingest_ts")
+    )
+    q = (ttl.writeStream.format("memory").queryName("ttl_expiry")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state_rows, n_evicted = None, 0
+    for p in q.recentProgress:
+        if p["stateOperators"]:
+            state_rows = p["stateOperators"][0]["numRowsTotal"]
+            n_evicted += p["stateOperators"][0]["numRowsRemoved"]
+    rows = sorted((r.asset_id, r.matched_id, str(r.ingest_ts))
+                  for r in spark.table("ttl_expiry").collect())
+    # P at t0 (fresh), Q, and P again at t0+3h (state expired);
+    # the t0+5m and first-t0+3h repeats were deduped
+    assert rows == [(7, 13, "2026-01-01 00:00:00"),
+                    (7, 13, "2026-01-01 03:00:00"),
+                    (8, 21, "2026-01-01 03:00:00")], rows
+    assert n_evicted == 1, "P's expired state row must be removed"
+    assert state_rows == 2, "live keys only: the fresh P + Q"
