@@ -94,12 +94,15 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
 # r13: the three alert legs read asset ownership from the manifest
 # (ADVICE r12 — no alert for an asset the manifest says the doc does
 # not own), so their pre-r13 green rows certified the unfiltered
-# behavior.
+# behavior; and the PII battery broadened to phone + ID classes
+# (VERDICT r12 ask #4), re-semanticizing pii_redact and the
+# admission pair's keep_clean gate.
 _CHANGED_IN_ROUND = {
     "pipeline_multimodal_manifest": 11,
     "pipeline_multimodal_ready": 11,
-    "pipeline_ingest_admission": 12,
-    "pipeline_ingest_report": 12,
+    "pipeline_ingest_admission": 13,
+    "pipeline_ingest_report": 13,
+    "pii_redact": 13,
     "stream_fingerprint_alerts": 13,
     "stream_image_alerts": 13,
     "stream_video_alerts": 13,

@@ -287,9 +287,11 @@ FLOOR_REBASE = {
 # under ``semantics_changed`` in the output, never silently dropped.
 SEMANTICS_CHANGED = {
     "pipeline_ingest_admission": (
-        12, "r12: +keep_semantic (embedding screen) and +keep_clean "
-            "(PII + contamination) gates"),
-    "pipeline_ingest_report": (12, "r12: rolls up the two new gates"),
+        13, "r12: +keep_semantic/+keep_clean gates; r13: PII battery "
+            "broadened to phone + ID classes"),
+    "pipeline_ingest_report": (13, "rolls up the admission's gates"),
+    "pii_redact": (13, "r13: +phone/+ID patterns, counts and "
+                       "redaction"),
     "stream_fingerprint_alerts": (
         13, "r13: ownership read from the asset manifest on both sides"),
     "stream_image_alerts": (

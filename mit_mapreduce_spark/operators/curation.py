@@ -18,7 +18,8 @@ regexp / higher-order array functions riding whole-stage codegen:
   training pipeline runs. The eval side is tiny by construction
   (benchmarks are), so it is broadcast; the probe is an equi-join on
   the n-gram string followed by one per-doc aggregation.
-- ``pii_redact``: regex scrubbing (emails, IPv4s) with match counts.
+- ``pii_redact``: regex scrubbing (emails, IPv4s, phones, ID
+  numbers — r13) with match counts.
   The synthetic corpus carries no PII, so the query seeds
   deterministic PII derived from doc_id before scrubbing — proving
   the redaction really fires, with a DuckDB oracle agreeing on every
@@ -259,26 +260,44 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- PII redaction --------------------------------------------------------
 
 # ASCII-explicit patterns: identical semantics under Java regex (Spark)
-# and RE2 (DuckDB).
+# and RE2 (DuckDB). r13 (VERDICT r12 ask #4): the battery real ingest
+# gates carry — phone and ID-number classes beside email + IPv4. The
+# four patterns are mutually non-overlapping by construction (the ID
+# shape's 3-2-4 digit groups cannot embed in the phone's 1-3-3-4 run,
+# and only the phone carries the leading '+'), so count and redaction
+# order cannot perturb each other.
 EMAIL_RE = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
 IP_RE = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+ID_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
 # The synthetic corpus has no PII, so seed deterministic PII from
-# doc_id; the scrubber then provably fires on every row. Both
+# doc_id; the scrubber then provably fires on every row (the fixture
+# text itself carries no digits — measured 0 docs at all three SFs —
+# so only the seeded payload can match the numeric classes). Both
 # spellings (SQL text and Spark Column) live here — the ingest
 # admission's clean gate (mmdedup) reuses them on its seeded subset.
 _SQL_PAYLOAD = ("text || ' contact user' || doc_id || "
                 "'@mail.example from 10.' || (doc_id % 200) || '.0.' || "
-                "(doc_id % 250 + 1)")
+                "(doc_id % 250 + 1) || ' call +1-' || "
+                "(doc_id % 900 + 100) || '-555-' || "
+                "(doc_id % 9000 + 1000) || ' ref ' || "
+                "(doc_id % 900 + 100) || '-' || (doc_id % 90 + 10) || "
+                "'-' || (doc_id % 9000 + 1000)")
 
 
 def pii_payload_col() -> Column:
     """Spark twin of _SQL_PAYLOAD: the document text with one seeded
-    email + one seeded IPv4 appended."""
+    email + IPv4 + phone + ID number appended."""
     return F.concat(
         F.col("text"), F.lit(" contact user"), F.col("doc_id"),
         F.lit("@mail.example from 10."), (F.col("doc_id") % 200),
-        F.lit(".0."), (F.col("doc_id") % 250 + 1))
+        F.lit(".0."), (F.col("doc_id") % 250 + 1),
+        F.lit(" call +1-"), (F.col("doc_id") % 900 + 100),
+        F.lit("-555-"), (F.col("doc_id") % 9000 + 1000),
+        F.lit(" ref "), (F.col("doc_id") % 900 + 100),
+        F.lit("-"), (F.col("doc_id") % 90 + 10),
+        F.lit("-"), (F.col("doc_id") % 9000 + 1000))
 
 
 @query(
@@ -288,15 +307,22 @@ def pii_payload_col() -> Column:
       SELECT doc_id, {_SQL_PAYLOAD} AS payload FROM documents),
     red AS (
       SELECT doc_id, payload,
-             regexp_replace(regexp_replace(payload,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 payload,
                  '{EMAIL_RE}', '<EMAIL>', 'g'),
-                 '{IP_RE}', '<IP>', 'g') AS redacted
+                 '{IP_RE}', '<IP>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g'),
+                 '{ID_RE}', '<ID>', 'g') AS redacted
       FROM seeded)
     SELECT doc_id,
            CAST(len(regexp_extract_all(payload, '{EMAIL_RE}')) AS BIGINT)
              AS n_emails,
            CAST(len(regexp_extract_all(payload, '{IP_RE}')) AS BIGINT)
              AS n_ips,
+           CAST(len(regexp_extract_all(payload, '{PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(payload, '{ID_RE}')) AS BIGINT)
+             AS n_ids,
            CAST(length(payload) - length(redacted) AS BIGINT)
              AS n_chars_removed,
            md5(redacted) AS redacted_md5
@@ -304,21 +330,30 @@ def pii_payload_col() -> Column:
     """,
 )
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing: count and redact email addresses and IPv4s
-    (regexp_replace → '<EMAIL>'/'<IP>' placeholders). Pure regex
+    """PII scrubbing: count and redact email addresses, IPv4s,
+    phone numbers, and ID-class numbers (r13 — the four-pattern
+    battery real ingest gates carry; regexp_replace →
+    '<EMAIL>'/'<IP>'/'<PHONE>'/'<ID>' placeholders). Pure regex
     expressions in one projection — codegen'd, zero shuffles; the md5
     of the redacted text keeps the checked output compact while still
     pinning every redacted byte against the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     seeded = docs.select("doc_id", pii_payload_col().alias("payload"))
-    redacted = F.regexp_replace(
-        F.regexp_replace("payload", EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>")
+    redacted = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace("payload", EMAIL_RE, "<EMAIL>"),
+        IP_RE, "<IP>"), PHONE_RE, "<PHONE>"), ID_RE, "<ID>")
+
+    def n_of(pat: str, name: str):
+        return (F.size(F.regexp_extract_all("payload", F.lit(pat),
+                                            F.lit(0)))
+                .cast("bigint").alias(name))
+
     return seeded.select(
         "doc_id",
-        F.size(F.regexp_extract_all("payload", F.lit(EMAIL_RE), F.lit(0)))
-        .cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all("payload", F.lit(IP_RE), F.lit(0)))
-        .cast("bigint").alias("n_ips"),
+        n_of(EMAIL_RE, "n_emails"),
+        n_of(IP_RE, "n_ips"),
+        n_of(PHONE_RE, "n_phones"),
+        n_of(ID_RE, "n_ids"),
         (F.length("payload") - F.length(redacted))
         .cast("bigint").alias("n_chars_removed"),
         F.md5(redacted).alias("redacted_md5"),

@@ -1157,7 +1157,7 @@ def _sql_admission() -> str:
     CTEs (r12, the curation builders' spellings)."""
     from mit_mapreduce_spark.operators.curation import (
         _LTR_TOKS_SQL, _SQL_PAYLOAD, _sql_funnel_verdicts, _sql_ngram_arr,
-        CONTAM_NGRAM, EMAIL_RE, EVAL_MOD, IP_RE,
+        CONTAM_NGRAM, EMAIL_RE, EVAL_MOD, ID_RE, IP_RE, PHONE_RE,
     )
     from mit_mapreduce_spark.operators.dedup import _sql_minhash_incremental
     from mit_mapreduce_spark.operators.mmquality import (
@@ -1228,7 +1228,9 @@ def _sql_admission() -> str:
     cpii AS (
       SELECT doc_id,
              CAST(COALESCE(len(regexp_extract_all(payload, '{EMAIL_RE}'))
-                  + len(regexp_extract_all(payload, '{IP_RE}')), 0)
+                  + len(regexp_extract_all(payload, '{IP_RE}'))
+                  + len(regexp_extract_all(payload, '{PHONE_RE}'))
+                  + len(regexp_extract_all(payload, '{ID_RE}')), 0)
                   AS BIGINT) AS n_pii
       FROM cpay),
     ctok AS (SELECT doc_id, {_LTR_TOKS_SQL} AS _toks FROM documents),
@@ -1326,8 +1328,8 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) via _admission_frame's memo."""
     from mit_mapreduce_spark.operators.curation import (
         _letter_tokens, _ngram_arr, CONTAM_NGRAM, EMAIL_RE, EVAL_MOD,
-        FUNNEL_MAX_NOVELTY, gopher_quality_rules, IP_RE,
-        pii_payload_col, quality_repetition,
+        FUNNEL_MAX_NOVELTY, gopher_quality_rules, ID_RE, IP_RE,
+        PHONE_RE, pii_payload_col, quality_repetition,
     )
     from mit_mapreduce_spark.operators.mmquality import (
         _audio_screen_from, _image_screen_from, _video_screen_from,
@@ -1346,12 +1348,16 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # door doc's text, PII seeded into the fixture subset) — computed
     # inline on the shard frame, no leg, no join; a NULL text carries
     # no PII (COALESCE on BOTH engines — without it Spark's CAST
-    # keeps the NULL while DuckDB's CASE folds it to 0, a fuzz find)
+    # keeps the NULL while DuckDB's CASE folds it to 0, a fuzz find).
+    # r13: the four-pattern battery (email, IPv4, phone, ID class).
     payload = F.when(F.col("doc_id") % pii_mod == pii_rem,
                      pii_payload_col()).otherwise(F.col("text"))
     n_pii = F.coalesce(
         (F.size(F.regexp_extract_all(payload, F.lit(EMAIL_RE), F.lit(0)))
          + F.size(F.regexp_extract_all(payload, F.lit(IP_RE), F.lit(0)))
+         + F.size(F.regexp_extract_all(payload, F.lit(PHONE_RE),
+                                       F.lit(0)))
+         + F.size(F.regexp_extract_all(payload, F.lit(ID_RE), F.lit(0)))
          ).cast("bigint"),
         F.lit(0).cast("bigint"))
     inc_docs = docs.where(inc_pred).select(

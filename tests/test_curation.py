@@ -80,12 +80,15 @@ def test_contamination_excludes_eval_docs_and_counts_hits(spark):
 
 def test_pii_redact_seeds_and_scrubs(spark):
     docs = spark.createDataFrame(
-        [(7, "reach me at alice.smith@corp.example or 192.168.0.1 ok")],
+        [(7, "reach me at alice.smith@corp.example or 192.168.0.1 "
+             "or +1-415-555-0134 or 078-05-1120 ok")],
         "doc_id long, text string")
     row = _run_on(spark, docs, "pii_redact").collect()[0]
-    # 1 organic + 1 seeded of each kind
+    # 1 organic + 1 seeded of each kind (r13: four-pattern battery)
     assert row.n_emails == 2
     assert row.n_ips == 2
+    assert row.n_phones == 2
+    assert row.n_ids == 2
     assert row.n_chars_removed > 0
 
 
@@ -96,3 +99,18 @@ def test_pii_patterns_do_not_cross_match():
     assert re.fullmatch(curation.IP_RE, "10.0.0.1")
     assert not re.fullmatch(curation.IP_RE, "1.2.3")
     assert not re.search(curation.EMAIL_RE, "no at sign here")
+    # r13 classes, and their mutual disjointness: the ID shape must
+    # not fire inside a phone's digit runs (3-3-4 vs 3-2-4), the
+    # phone needs its '+', and neither matches the dotted IP
+    assert re.fullmatch(curation.PHONE_RE, "+1-415-555-0134")
+    assert re.fullmatch(curation.ID_RE, "078-05-1120")
+    assert not re.search(curation.ID_RE, "+1-415-555-0134")
+    assert not re.search(curation.PHONE_RE, "078-05-1120")
+    assert not re.search(curation.PHONE_RE, "10.0.0.1")
+    assert not re.search(curation.ID_RE, "10.0.0.1")
+    # and the full seeded payload carries exactly one of each
+    payload = ("lorem ipsum contact user247@mail.example from 10.47.0.248"
+               " call +1-347-555-1247 ref 347-57-1247")
+    for pat in (curation.EMAIL_RE, curation.IP_RE, curation.PHONE_RE,
+                curation.ID_RE):
+        assert len(re.findall(pat, payload)) == 1, pat
