@@ -71,6 +71,7 @@ def main() -> None:
         memo_key = (spark.sparkContext.applicationId, SF_DIR)
         mmdedup._ADMISSION_MEMO.pop(memo_key, None)
         mmdedup._MANIFEST_MEMO.pop(memo_key, None)
+        mmdedup._ADMISSION_CTX_MEMO.pop(memo_key, None)
         t0 = time.monotonic()
         df = operators.QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

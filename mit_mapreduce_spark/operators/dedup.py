@@ -1611,3 +1611,58 @@ def minhash_screen_frame(spark: SparkSession, sf_dir: str,
                 "jaccard",
                 F.col("cid").isNotNull().alias("is_neardup"))
     )
+
+
+def minhash_screen_over(inc_docs: DataFrame, corpus_sh: DataFrame,
+                        corpus_sizes: DataFrame,
+                        corpus_bands: DataFrame) -> DataFrame:
+    """The incremental MinHash screen with EXPLICIT sides (r13): the
+    incoming docs frame (doc_id, text — e.g. one streaming admission
+    micro-batch) is shingled/signed/banded on the spot; candidates
+    come from its band hashes equi-joined against the PERSISTED
+    corpus band index; exact-Jaccard verification reads the incoming
+    shingles and the corpus shingle table (both maintainable at
+    ingest — the corpus text is never re-shingled). Returns one row
+    per incoming doc (doc_id, matched_id, jaccard, is_neardup) —
+    minhash_screen_frame's verdict contract, pytest-pinned equal on
+    matching splits."""
+    from pyspark.sql import Window as W
+
+    sh_i = shingles_df(inc_docs).localCheckpoint(eager=False)
+    sigs_i = _minhash_sigs(sh_i).localCheckpoint(eager=False)
+    ib = _band_hashes(sigs_i).select(
+        F.col("doc_id").alias("iid"), "band_idx", "band_hash")
+    xb = corpus_bands.select(
+        F.col("doc_id").alias("cid"), "band_idx", "band_hash")
+    cand = (ib.join(xb, ["band_idx", "band_hash"])
+            .select("iid", "cid").distinct())
+    sa = sh_i.alias("sa")
+    sb = corpus_sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("iid"))
+        .join(sb, (F.col("sb.doc_id") == F.col("cid"))
+              & (F.col("sb.shingle") == F.col("sa.shingle")))
+        .groupBy("iid", "cid")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sigs_i.select("doc_id", "n").alias("za")
+    zb = corpus_sizes.alias("zb")
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("za.n") + F.col("zb.n") - F.col("n_inter")))
+    inrad = (
+        inter.join(za, F.col("za.doc_id") == F.col("iid"))
+        .join(zb, F.col("zb.doc_id") == F.col("cid"))
+        .select("iid", "cid", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_MIN)
+    )
+    w = W.partitionBy("iid").orderBy(F.col("jaccard").desc(), "cid")
+    best = (inrad.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+    return (
+        inc_docs.select("doc_id")
+        .join(best, F.col("iid") == F.col("doc_id"), "left")
+        .select("doc_id",
+                F.col("cid").cast("bigint").alias("matched_id"),
+                "jaccard",
+                F.col("cid").isNotNull().alias("is_neardup"))
+    )

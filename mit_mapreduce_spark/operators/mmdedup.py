@@ -1328,7 +1328,7 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) via _admission_frame's memo."""
     from mit_mapreduce_spark.operators.curation import (
         _letter_tokens, _ngram_arr, CONTAM_NGRAM, EMAIL_RE, EVAL_MOD,
-        FUNNEL_MAX_NOVELTY, gopher_quality_rules, ID_RE, IP_RE,
+        gopher_quality_rules, ID_RE, IP_RE,
         PHONE_RE, pii_payload_col, quality_repetition,
     )
     from mit_mapreduce_spark.operators.mmquality import (
@@ -1477,6 +1477,17 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(g, "doc_id").join(r, "doc_id").join(lm, "doc_id", "left"))
     for leg in legs:
         m = m.join(leg, "doc_id", "left")
+    return _admission_verdicts(m)
+
+
+def _admission_verdicts(m: DataFrame) -> DataFrame:
+    """The seven keep bits + admit over the joined leg frame — ONE
+    spelling shared by the batch composition and the streaming
+    twin's per-micro-batch frames (r13), so the gate semantics
+    cannot drift between the two surfaces."""
+    from mit_mapreduce_spark.operators.curation import (
+        EVAL_MOD, FUNNEL_MAX_NOVELTY,
+    )
 
     keep_text = (~F.coalesce(F.col("_tdup"), F.lit(False))
                  & ~F.coalesce(F.col("_mhnd"), F.lit(False)))
@@ -1552,6 +1563,237 @@ def _memoized_frame(memo: dict, lock, build, spark: SparkSession,
         if frame is None:
             frame = memo[key] = build(spark, sf_dir)
     return frame
+
+
+# --- streaming admission twin (r13, VERDICT r12 ask #2) --------------------
+
+_ADMISSION_CTX_MEMO: dict = {}
+_ADMISSION_CTX_LOCK = threading.Lock()
+
+
+def admission_static_ctx(spark: SparkSession, sf_dir: str) -> dict:
+    """The admission gates' STATIC sides, built once per (session,
+    sf_dir) and shared across every streaming micro-batch: the corpus
+    fingerprint set, the corpus MinHash band index + shingle table +
+    set sizes, the embedding bucket index, the three media signature
+    indexes, the per-doc text-quality verdict tables (corpus-wide
+    statistics by definition — the bigram LM is trained on the whole
+    table), the eval-set gram table, and the asset manifest. Every
+    entry is the SAME construction the batch admission composes; in
+    production each is a persisted table a streaming maintenance leg
+    keeps current (stream_text_fingerprints, stream_minhash_bands,
+    stream_embedding_index, stream_*_fingerprints)."""
+    return _memoized_frame(_ADMISSION_CTX_MEMO, _ADMISSION_CTX_LOCK,
+                           _admission_ctx_build, spark, sf_dir)
+
+
+def _admission_ctx_build(spark: SparkSession, sf_dir: str) -> dict:
+    from mit_mapreduce_spark.operators.curation import (
+        _letter_tokens, _ngram_arr, CONTAM_NGRAM, EVAL_MOD,
+        gopher_quality_rules, quality_repetition,
+    )
+    from mit_mapreduce_spark.operators.dedup import (
+        _band_hashes, _minhash_sigs, shingles_df,
+    )
+    from mit_mapreduce_spark.operators.mmquality import (
+        _audio_screen_from, _image_screen_from, _video_screen_from,
+    )
+    from mit_mapreduce_spark.operators.multimodal import (
+        _phash_batch, _phash_image_assets_from,
+    )
+    from mit_mapreduce_spark.operators.similarity import _screen_buckets
+    from mit_mapreduce_spark.operators.textstats import quality_lm_bigram
+
+    def lazy(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc_pred = inc_shard_col("doc_id")
+    corpus = docs.where(~inc_pred)
+    corpus_sh = lazy(shingles_df(corpus))
+    corpus_sigs = lazy(_minhash_sigs(corpus_sh))
+    grams_src = docs.where(F.col("doc_id") % EVAL_MOD == 0)
+    ctx = {
+        "corpus_fps": lazy(
+            corpus.where(F.col("text").isNotNull())
+            .select(norm_fp_col().alias("_fp")).distinct()),
+        "corpus_sh": corpus_sh,
+        "corpus_sizes": corpus_sigs.select("doc_id", "n"),
+        "corpus_bands": lazy(_band_hashes(corpus_sigs)),
+        "emb_bk": lazy(_screen_buckets(
+            fan_out(load_table(spark, sf_dir, "embeddings")))),
+        "eval_grams": lazy(
+            grams_src.select("doc_id", _letter_tokens().alias("_toks"))
+            .select(F.explode(F.array_distinct(
+                _ngram_arr(CONTAM_NGRAM))).alias("gram"))
+            .distinct()),
+        "g": lazy(gopher_quality_rules(spark, sf_dir)
+                  .select("doc_id", F.col("passes").alias("_g"))),
+        "r": lazy(quality_repetition(spark, sf_dir)
+                  .select("doc_id", F.col("passes").alias("_r"))),
+        "lm": lazy(quality_lm_bigram(spark, sf_dir)
+                   .select("doc_id", "novelty")),
+        "manifest": lazy(asset_manifest_media(spark, sf_dir)),
+        # per-modality: (nd col, q col, manifest flag, fixture
+        # builder, fingerprint kernel, geometry, quality screen,
+        # corpus signature index)
+        "media": [],
+    }
+    for nd, qp, absent, fixture_from, kernel, geom, screen_from in (
+            ("_ind", "_iqp", MM_IMAGE_ABSENT, _phash_image_assets_from,
+             _phash_batch, (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX),
+             _image_screen_from),
+            ("_and", "_aqp", MM_AUDIO_ABSENT,
+             _fingerprint_audio_assets_from, _afp_batch,
+             (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX), _audio_screen_from),
+            ("_vnd", "_vqp", MM_VIDEO_ABSENT,
+             _fingerprint_video_assets_from, _vfp_batch,
+             (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX), _video_screen_from)):
+        flag = _ABSENT_TO_FLAG[absent]
+        idx_sigs = lazy(
+            fixture_from(_present_docs(spark, sf_dir, absent)
+                         .where(~inc_pred))
+            .mapInPandas(kernel, _PHASH_SCHEMA))
+        ctx["media"].append(
+            (nd, qp, flag, fixture_from, kernel, geom, screen_from,
+             idx_sigs))
+    return ctx
+
+
+def admission_batch_frame(spark: SparkSession, sf_dir: str,
+                          batch_docs: DataFrame, ctx: dict) -> DataFrame:
+    """ONE micro-batch's admission verdicts (r13): the arriving docs
+    frame (doc_id, text, lang, source — the stream's own rows) is
+    fingerprinted / shingled / bucketed / decoded ON THE SPOT and
+    joined against the persisted static sides in ``ctx`` — per-batch
+    cost scales with the batch, the corpus is never re-read beyond
+    the checkpointed index tables. The verdict tail is
+    _admission_verdicts, the identical spelling the batch admission
+    composes, and every leg mirrors _admission_build's with the
+    shard side swapped for the batch:
+
+    - keep_text: batch fps left-semi the corpus fingerprint set +
+      minhash_screen_over (batch shingles vs the corpus band index)
+    - keep_semantic: embed_screen_frame over the shared bucket index,
+      incoming side restricted to the batch's vec_ids
+    - keep_quality: the corpus-wide verdict tables joined by doc_id
+      (per-doc rules are pure projections; the LM novelty is a
+      corpus statistic, read from the maintained table)
+    - keep_clean: PII regexes on the batch's own text + batch grams
+      vs the broadcast eval gram table
+    - keep_{image,audio,video}: the batch's owned assets decoded and
+      screened against the persisted signature indexes + per-asset
+      quality screens, ownership read from the manifest columns."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mit_mapreduce_spark.operators.curation import (
+        EMAIL_RE, EVAL_MOD, ID_RE, IP_RE, PHONE_RE, pii_payload_col,
+    )
+    from mit_mapreduce_spark.operators.curation import (
+        _letter_tokens, _ngram_arr, CONTAM_NGRAM,
+    )
+    from mit_mapreduce_spark.operators.dedup import minhash_screen_over
+    from mit_mapreduce_spark.operators.similarity import embed_screen_frame
+
+    batch_docs = batch_docs.localCheckpoint(eager=True)
+    ids = batch_docs.select("doc_id")
+    pii_mod, pii_rem = PII_SEED
+    payload = F.when(F.col("doc_id") % pii_mod == pii_rem,
+                     pii_payload_col()).otherwise(F.col("text"))
+    n_pii = F.coalesce(
+        (F.size(F.regexp_extract_all(payload, F.lit(EMAIL_RE), F.lit(0)))
+         + F.size(F.regexp_extract_all(payload, F.lit(IP_RE), F.lit(0)))
+         + F.size(F.regexp_extract_all(payload, F.lit(PHONE_RE),
+                                       F.lit(0)))
+         + F.size(F.regexp_extract_all(payload, F.lit(ID_RE), F.lit(0)))
+         ).cast("bigint"),
+        F.lit(0).cast("bigint"))
+    inc_docs = (batch_docs
+                .select("doc_id", "lang", "source",
+                        n_pii.alias("_npii"))
+                .join(ctx["manifest"], "doc_id"))
+
+    def _td():
+        return (batch_docs.where(F.col("text").isNotNull())
+                .select("doc_id", norm_fp_col().alias("_fp"))
+                .join(ctx["corpus_fps"], "_fp", "left_semi")
+                .select("doc_id", F.lit(True).alias("_tdup"))
+                .localCheckpoint(eager=True))
+
+    def _mh():
+        return minhash_screen_over(
+            batch_docs, ctx["corpus_sh"], ctx["corpus_sizes"],
+            ctx["corpus_bands"]) \
+            .select("doc_id", F.col("is_neardup").alias("_mhnd")) \
+            .localCheckpoint(eager=True)
+
+    def _sem():
+        return embed_screen_frame(
+            spark, sf_dir, inc_col("vec_id"), bk=ctx["emb_bk"],
+            inc_ids=ids.select(F.col("doc_id").alias("vec_id"))) \
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.col("is_neardup").alias("_snd")) \
+            .localCheckpoint(eager=True)
+
+    def _ct():
+        grams = (batch_docs
+                 .where(F.col("doc_id") % EVAL_MOD != 0)
+                 .select("doc_id", _letter_tokens().alias("_toks"))
+                 .select("doc_id", F.explode(F.array_distinct(
+                     _ngram_arr(CONTAM_NGRAM))).alias("gram")))
+        return (grams.join(F.broadcast(ctx["eval_grams"]), "gram")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("gram").alias("_nsh"))
+                .localCheckpoint(eager=True))
+
+    def _owned(flag: str):
+        return (batch_docs.select("doc_id")
+                .join(ctx["manifest"].where(F.col(flag))
+                      .select("doc_id"), "doc_id", "left_semi"))
+
+    def _scr(nd, flag, fixture_from, kernel, geom, idx_sigs):
+        owned = _owned(flag)
+        inc_sigs = fixture_from(owned).mapInPandas(kernel, _PHASH_SCHEMA)
+        return incremental_screen(
+            owned.select(F.col("doc_id").alias("asset_id")),
+            inc_sigs, idx_sigs, *geom) \
+            .select(F.col("asset_id").alias("doc_id"),
+                    F.col("is_neardup").alias(nd)) \
+            .localCheckpoint(eager=True)
+
+    def _q(qp, flag, screen_from):
+        return screen_from(_owned(flag)) \
+            .select(F.col("asset_id").alias("doc_id"),
+                    F.col("passes").alias(qp)) \
+            .localCheckpoint(eager=True)
+
+    # the batch admission's proven structure: overlap the eager legs
+    # on a thread pool — each leg is its own Spark job, so the three
+    # decodes, the two band screens, and the text gates run
+    # concurrently instead of as one serial mega-DAG per micro-batch
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        td_f = pool.submit(_td)
+        mh_f = pool.submit(_mh)
+        sem_f = pool.submit(_sem)
+        ct_f = pool.submit(_ct)
+        media_f = [
+            (pool.submit(_scr, nd, flag, fixture_from, kernel, geom,
+                         idx_sigs),
+             pool.submit(_q, qp, flag, screen_from))
+            for nd, qp, flag, fixture_from, kernel, geom, screen_from,
+            idx_sigs in ctx["media"]
+        ]
+        td, mh, sem, ct = (td_f.result(), mh_f.result(), sem_f.result(),
+                           ct_f.result())
+        media = [(s.result(), q.result()) for s, q in media_f]
+
+    m = (inc_docs.join(td, "doc_id", "left").join(mh, "doc_id", "left")
+         .join(sem, "doc_id", "left").join(ct, "doc_id", "left")
+         .join(ctx["g"], "doc_id").join(ctx["r"], "doc_id")
+         .join(ctx["lm"], "doc_id", "left"))
+    for scr, q in media:
+        m = m.join(scr, "doc_id", "left").join(q, "doc_id", "left")
+    return _admission_verdicts(m)
 
 
 @query(

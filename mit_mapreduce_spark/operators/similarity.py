@@ -779,7 +779,8 @@ def _screen_buckets(emb: DataFrame,
 
 def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
                        n_planes: int = EMB_SCR_PLANES,
-                       bk: DataFrame | None = None) -> DataFrame:
+                       bk: DataFrame | None = None,
+                       inc_ids: DataFrame | None = None) -> DataFrame:
     """embed_neardup_incremental's body over an arbitrary incoming-
     shard predicate Column on vec_id — shared by the registered
     screen, the ingest-admission composition, and the scale
@@ -787,8 +788,12 @@ def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
     bucket table (vec_id, band_idx, bucket, nsq) — the
     persisted-index round-trip pytest passes the table the streaming
     ingest leg drained to parquet, proving the screen is a pure
-    function of the maintained index. Returns one row per incoming
-    vector: (vec_id, matched_id, cosine, is_neardup)."""
+    function of the maintained index. ``inc_ids`` (r13, a one-column
+    vec_id frame) further restricts the INCOMING side — the
+    streaming admission passes each micro-batch's doc ids, so the
+    per-batch screen touches only that batch's vectors while the
+    corpus side stays the full ~inc_pred index. Returns one row per
+    incoming vector: (vec_id, matched_id, cosine, is_neardup)."""
     from pyspark.sql import Window as W
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -797,6 +802,9 @@ def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
         bk = _screen_buckets(emb, n_planes).localCheckpoint(eager=False)
     ib = bk.where(inc_pred & (F.col("nsq") > 0)).select(
         F.col("vec_id").alias("iid"), "band_idx", "bucket")
+    if inc_ids is not None:
+        ib = ib.join(inc_ids.select(F.col("vec_id").alias("iid")),
+                     "iid", "left_semi")
     xb = bk.where((~inc_pred) & (F.col("nsq") > 0)).select(
         F.col("vec_id").alias("cid"), "band_idx", "bucket")
     cand = (ib.join(xb, ["band_idx", "bucket"])
@@ -835,8 +843,11 @@ def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
     w = W.partitionBy("iid").orderBy(F.col("cosine").desc(), "cid")
     best = (inrad.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1).drop("rn"))
+    base = emb.select("vec_id").where(inc_pred)
+    if inc_ids is not None:
+        base = base.join(inc_ids.select("vec_id"), "vec_id", "left_semi")
     return (
-        emb.select("vec_id").where(inc_pred)
+        base
         .join(best, F.col("iid") == F.col("vec_id"), "left")
         .select("vec_id",
                 F.col("cid").cast("bigint").alias("matched_id"),

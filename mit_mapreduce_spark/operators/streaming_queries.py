@@ -26,6 +26,8 @@ is asserted in pytest instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -884,6 +886,79 @@ def stream_text_fingerprints(spark: SparkSession,
            .where(F.col("text").isNotNull())
            .select("doc_id", norm_fp_col().alias("fingerprint")))
     return spark.table(run_stream_to_table(fps, "append"))
+
+
+def _sql_stream_admission() -> str:
+    from mit_mapreduce_spark.operators.mmdedup import _sql_admission
+    return _sql_admission()
+
+
+@query("stream_ingest_admission", oracle=_sql_stream_admission())
+def stream_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ADMISSION TWIN (r13, VERDICT r12 ask #2 — the
+    continuous-ingest capstone): the incoming shard arrives as a
+    document stream and every micro-batch receives the full seven-way
+    admit verdict AT THE DOOR — the batch's own rows are
+    fingerprinted (exact gate), shingled/banded (MinHash gate),
+    LSH-bucketed (semantic gate), PII/contamination-scanned (clean
+    gate), quality-ruled, and their owned media assets decoded,
+    fingerprinted and quality-screened — all joined against the
+    PERSISTED static sides (corpus fingerprint set, MinHash band
+    index, embedding bucket index, media signature indexes, quality
+    verdict tables, eval gram table, asset manifest; each one a
+    table the streaming maintenance legs keep current), then the
+    shared verdict tail emits (doc_id, lang, source, keep_*, admit)
+    in append mode via foreachBatch — Spark's sanctioned shape for a
+    composed per-batch gate whose legs need batch-only operators
+    (the exact-Jaccard and screen aggregations).
+
+    Every gate is a pure per-doc function of (the doc's own payload,
+    the static tables) — no verdict reads another shard doc — so the
+    drain equals the batch admission table row-for-row REGARDLESS of
+    micro-batch boundaries (batch-parity pytest splits the shard
+    into multiple files and drains one file per trigger to prove
+    it); oracle = the batch admission SQL verbatim. 100 TB posture:
+    per-batch cost scales with the batch (its fingerprints, its
+    shingles, its decoded assets), the static sides are checkpointed
+    once per session and re-read never re-decoded/re-shingled, and
+    every join is the screen-shaped bounded-key equi-join of the
+    batch tier."""
+    from mit_mapreduce_spark.operators.mmdedup import (
+        admission_batch_frame, admission_static_ctx, inc_shard_col,
+    )
+    from mit_mapreduce_spark.streaming import _SCRATCH, docs_stream
+
+    tune(spark)
+    ctx = admission_static_ctx(spark, sf_dir)
+    inc = docs_stream(spark, sf_dir).where(inc_shard_col("doc_id"))
+    # fixed per-SF sink, overwritten per invocation (no scratch
+    # accumulation across bench/selfcheck runs); seeding it with the
+    # (empty) verdict schema also makes a zero-row shard drain to a
+    # readable table
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_SCRATCH, f"admit_{tag}")
+    spark.createDataFrame(
+        [], "doc_id bigint, lang string, source string, keep_text int,"
+            " keep_semantic int, keep_quality int, keep_clean int,"
+            " keep_image int, keep_audio int, keep_video int, admit int"
+    ).write.mode("overwrite").parquet(out)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        admission_batch_frame(spark, sf_dir, batch_df, ctx) \
+            .write.mode("append").parquet(out)
+
+    # batch volumes are small next to the session's batch tier —
+    # right-size the per-batch shuffles like run_stream_to_table
+    # sizes the state stores
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (inc.writeStream.foreachBatch(_admit)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.read.parquet(out)
 
 
 def _sql_minhash_bands() -> str:

@@ -253,6 +253,61 @@ def main(sf_dir: str) -> dict:
     results["audio_quality"] = _drive(
         _audio_screen_from(q_source), "append", "sb_audio_q")
 
+    # streaming admission twin (r13): the composed seven-way gate per
+    # micro-batch via foreachBatch — the number the capstone's 100 TB
+    # posture rests on is PER-BATCH cost against warm static sides,
+    # so the ctx (the persisted index tables a production deployment
+    # maintains continuously) is materialized OUTSIDE the timed
+    # window; NOTE numInputRows counts every staged manifest doc read
+    # (the shard filter runs after the file source), so the record
+    # carries shard_docs like the alert legs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mit_mapreduce_spark.operators.mmdedup import (
+        admission_batch_frame, admission_static_ctx, inc_shard_col,
+    )
+
+    from pyspark.sql import DataFrame as _DF
+
+    ctx = admission_static_ctx(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        frames = [v for v in ctx.values() if isinstance(v, _DF)]
+        frames += [m[-1] for m in ctx["media"]]
+        list(pool.map(lambda f: f.count(), frames))
+    a_source = (spark.readStream.schema(dschema)
+                .option("maxFilesPerTrigger", 1).parquet(dstage)
+                .where(inc_shard_col("doc_id")))
+    out = os.path.join(_SCRATCH, "sb_admit")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def _admit(batch_df, batch_id):
+        admission_batch_frame(spark, sf_dir, batch_df, ctx) \
+            .write.mode("append").parquet(out)
+
+    shard_docs = spark.read.parquet(dstage) \
+        .where(inc_shard_col("doc_id")).count()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    t0 = time.monotonic()
+    try:
+        q = (a_source.writeStream.foreachBatch(_admit)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    data = [p for p in progress if p.get("numInputRows", 0) > 0]
+    results["ingest_admission"] = {
+        "rows": sum(p["numInputRows"] for p in data),
+        "micro_batches": len(data),
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(sum(p["numInputRows"] for p in data) / wall),
+        "batches_per_sec": round(len(data) / wall, 2),
+        "out_rows": spark.read.parquet(out).count(),
+        "shard_docs": shard_docs,
+    }
+
     for name, fig in results.items():
         print(json.dumps({"query": name, "sf_dir": sf_dir, **fig}))
     return results

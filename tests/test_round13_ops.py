@@ -139,3 +139,69 @@ def test_alert_ttl_state_expires(spark, tmp_path):
                     (8, 21, "2026-01-01 03:00:00")], rows
     assert n_evicted == 1, "P's expired state row must be removed"
     assert state_rows == 2, "live keys only: the fresh P + Q"
+
+
+# --- streaming admission twin (VERDICT r12 ask #2) ---------------------------
+
+def test_stream_admission_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The capstone invariant: the streaming admission drain equals
+    the BATCH admission table row-for-row REGARDLESS of micro-batch
+    boundaries — every gate is a pure per-doc function of (the doc's
+    payload, the persisted static sides), so slicing the shard into
+    three files drained one per trigger cannot change any verdict.
+    This is the multi-batch leg the registered query's single
+    availableNow batch doesn't exercise."""
+    import os
+
+    from mit_mapreduce_spark.operators import mmdedup
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.where(mmdedup.inc_shard_col("doc_id"))
+    stage = str(tmp_path / "shard_in")
+    os.makedirs(stage)
+    # three files of interleaved doc_ids -> three micro-batches
+    for i in range(3):
+        inc.where(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        src = [f for f in os.listdir(str(tmp_path / f"s{i}"))
+               if f.endswith(".parquet")][0]
+        dst = os.path.join(stage, f"b{i}.parquet")
+        os.rename(os.path.join(str(tmp_path / f"s{i}"), src), dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+
+    ctx = mmdedup.admission_static_ctx(spark, sf_dir)
+    out = str(tmp_path / "admitted")
+    schema = spark.read.parquet(stage).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    n_batches = []
+
+    def _admit(batch_df, batch_id):
+        n_batches.append(batch_df.count())
+        mmdedup.admission_batch_frame(spark, sf_dir, batch_df, ctx) \
+            .write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(_admit)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(n_batches) == 3 and all(n > 0 for n in n_batches)
+
+    as_map = lambda rows: {r.doc_id: tuple(r)[1:] for r in rows}  # noqa: E731
+    drained = as_map(spark.read.parquet(out).collect())
+    registered = as_map(operators.QUERIES["pipeline_ingest_admission"](
+        spark, sf_dir).collect())
+    assert drained == registered and drained
+
+
+def test_stream_admission_drain_equals_batch_table(spark, sf_dir):
+    """The registered streaming twin's drain (whatever staging gives)
+    equals the batch admission table — the two surfaces of one
+    decision."""
+    as_map = lambda rows: {r.doc_id: tuple(r)[1:] for r in rows}  # noqa: E731
+    drained = as_map(operators.QUERIES["stream_ingest_admission"](
+        spark, sf_dir).collect())
+    registered = as_map(operators.QUERIES["pipeline_ingest_admission"](
+        spark, sf_dir).collect())
+    assert drained == registered and drained
