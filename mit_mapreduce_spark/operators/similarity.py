@@ -43,19 +43,20 @@ def _dot_scaled(a: Column, b: Column) -> Column:
     at 1e-9 and summed as longs (|sum| < 64 * 0.25e9 « 2^63).
 
     SQL-SUM semantics exactly (ADVICE r12): a NULL component's
-    product is ignored rather than propagated, and an all-NULL (or
-    empty) product list yields NULL — the behavior of _SQL_DOT's SUM
-    on both engines, so a hostile vector with NULL dims cannot split
+    product is ignored rather than propagated (coalesce inside the
+    fold — one pass), and an all-NULL (or empty) product list yields
+    NULL (the exists() guard) — the behavior of _SQL_DOT's SUM on
+    both engines, so a hostile vector with NULL dims cannot split
     the Spark forms from the DuckDB oracles."""
-    prods = F.filter(
-        F.zip_with(
-            a, b,
-            lambda x, y: F.round(x.cast("double") * y.cast("double")
-                                 * SCALE).cast("bigint")),
-        lambda v: v.isNotNull())
-    return F.when(F.size(prods) == 0, F.lit(None)).otherwise(
-        F.aggregate(prods, F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v))
+    zero = F.lit(0).cast("bigint")
+    prods = F.zip_with(
+        a, b,
+        lambda x, y: F.round(x.cast("double") * y.cast("double")
+                             * SCALE).cast("bigint"))
+    return F.when(
+        F.exists(prods, lambda v: v.isNotNull()),
+        F.aggregate(prods, zero,
+                    lambda acc, v: acc + F.coalesce(v, zero)))
 
 
 _SQL_DOT = ("SUM(CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
@@ -661,30 +662,32 @@ def _screen_bucket_expr(n_planes: int = EMB_SCR_PLANES):
     plane_cols = F.array(*[
         F.array(*[F.array(*[F.lit(w) for w in row]) for row in band])
         for band in planes])
-
-    def _plane_dot(plane):
-        # SUM semantics, exactly (ADVICE r12): a NULL component's
-        # product is IGNORED (not propagated — a naive fold would
-        # NULL the whole dot and flip the sign bit to 0 while
-        # _screen_buckets' codegen SUM and the DuckDB oracle skip
-        # it), and an all-NULL product list yields a NULL dot (bit
-        # 0 via the >= 0 test, same as the batch form's NULL SUM).
-        prods = F.filter(
+    # SUM semantics, exactly (ADVICE r12), in ONE pass per plane: a
+    # NULL component's product is IGNORED via coalesce inside the
+    # fold (a naive fold would NULL the whole dot and flip the sign
+    # bit to 0 while _screen_buckets' codegen SUM and the DuckDB
+    # oracle skip it); the all-NULL case (SUM -> NULL -> every bit 0
+    # -> every bucket 0) is handled by ONE per-row exists() guard
+    # instead of a per-plane filter/size pair — the r13 first-cut
+    # filter form cost ~2x the r12 leg's wall (bench retime), and
+    # plane weights are never NULL so a product is NULL iff its
+    # embedding dim is.
+    zero = F.lit(0).cast("bigint")
+    sign_bit = lambda plane: F.when(  # noqa: E731
+        F.aggregate(
             F.zip_with(plane, F.col("embedding"),
                        lambda w, x: F.round(w * x.cast("double") * SCALE)
                        .cast("bigint")),
-            lambda v: v.isNotNull())
-        return F.when(F.size(prods) == 0, F.lit(None)).otherwise(
-            F.aggregate(prods, F.lit(0).cast("bigint"),
-                        lambda acc, v: acc + v))
-
-    sign_bit = lambda plane: F.when(  # noqa: E731
-        _plane_dot(plane) >= 0, 1).otherwise(0)
-    return F.transform(
+            zero, lambda acc, v: acc + F.coalesce(v, zero)) >= 0,
+        1).otherwise(0)
+    buckets = F.transform(
         plane_cols,
         lambda band: F.aggregate(
             F.transform(band, sign_bit), F.lit(0),
             lambda acc, bit: acc * 2 + bit))
+    return F.when(
+        F.exists("embedding", lambda x: x.isNotNull()), buckets
+    ).otherwise(F.array(*[F.lit(0) for _ in range(EMB_SCR_BANDS)]))
 
 
 def embedding_index_frame(emb: DataFrame) -> DataFrame:
