@@ -205,3 +205,70 @@ def test_stream_admission_drain_equals_batch_table(spark, sf_dir):
     registered = as_map(operators.QUERIES["pipeline_ingest_admission"](
         spark, sf_dir).collect())
     assert drained == registered and drained
+
+
+def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
+    """The capstone's full loop closure: build the admission's static
+    sides ENTIRELY from the tables the streaming maintenance legs
+    drain — the text fingerprint set (stream_text_fingerprints), the
+    MinHash band index (stream_minhash_bands), the embedding bucket
+    index (stream_embedding_index), and the three media signature
+    tables (stream_*_fingerprints) — persisted to parquet and read
+    back; run the per-batch admission over the whole shard against
+    THOSE tables; reproduce the registered verdicts exactly. This is
+    the production deployment made material: the gate never
+    re-fingerprints, re-shingles-for-candidates, re-buckets, or
+    re-decodes the corpus. (The corpus shingle/size tables are the
+    exact-Jaccard verification payload side — persisted at ingest
+    alongside the text, not an index — and the quality verdict
+    tables are corpus-wide statistics; both stay as the registered
+    query builds them.)"""
+    import os
+
+    from mit_mapreduce_spark.operators import mmdedup
+    from mit_mapreduce_spark.operators.banding import inc_col
+    from mit_mapreduce_spark.operators.streaming_queries import tune
+
+    tune(spark)
+
+    def persist(name):
+        df = operators.QUERIES[name](spark, sf_dir)
+        out = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+
+    fps = persist("stream_text_fingerprints")
+    bands = persist("stream_minhash_bands")
+    ebk = persist("stream_embedding_index")
+    media_sigs = {
+        "has_audio": persist("stream_audio_fingerprints"),
+        "has_image": persist("stream_image_fingerprints"),
+        "has_video": persist("stream_video_fingerprints"),
+    }
+
+    inc_pred = mmdedup.inc_shard_col("doc_id")
+    ctx = dict(mmdedup.admission_static_ctx(spark, sf_dir))
+    ctx["corpus_fps"] = (fps.where(~inc_pred)
+                         .select(F.col("fingerprint").alias("_fp"))
+                         .distinct())
+    ctx["corpus_bands"] = bands.where(~inc_pred)
+    ctx["emb_bk"] = ebk
+    owners = {
+        flag: mmdedup.asset_manifest_media(spark, sf_dir)
+        .where(F.col(flag)).select(F.col("doc_id").alias("asset_id"))
+        for flag in media_sigs
+    }
+    ctx["media"] = [
+        (nd, qp, flag, fixture_from, kernel, geom, screen_from,
+         media_sigs[flag].where(~inc_col("asset_id"))
+         .join(owners[flag], "asset_id", "left_semi"))
+        for nd, qp, flag, fixture_from, kernel, geom, screen_from, _
+        in ctx["media"]
+    ]
+
+    shard = load_table(spark, sf_dir, "documents").where(inc_pred)
+    via_tables = mmdedup.admission_batch_frame(spark, sf_dir, shard, ctx)
+    as_map = lambda rows: {r.doc_id: tuple(r)[1:] for r in rows}  # noqa: E731
+    assert as_map(via_tables.collect()) == as_map(
+        operators.QUERIES["pipeline_ingest_admission"](
+            spark, sf_dir).collect())
