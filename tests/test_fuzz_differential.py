@@ -1085,3 +1085,54 @@ def test_differential_fuzz_r12_embedding_screen(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial}/{op}: {msg}"
+
+
+def test_differential_fuzz_r13_stream_admission_and_bands(spark, tmp_path):
+    """r13 fuzz class: the streaming admission twin and the MinHash
+    band-index maintenance leg over hostile corpora — NULL/empty
+    texts (no shingles, no fingerprint), random non-contiguous
+    doc_ids (irregular shard splits, partial variant groups), and
+    the degenerate all-index pool where the incoming shard is EMPTY
+    (the foreachBatch drain must still produce a readable zero-row
+    verdict table). Both ops must stay hash-green against their
+    chain oracles on every corpus; embeddings ride the sf0.001
+    symlink, so the semantic gate sees vectors whose doc rows may
+    not exist — presence stays data-driven."""
+    import random
+
+    rng = random.Random(1313)
+    ops = ["stream_minhash_bands", "stream_ingest_admission"]
+    id_pools = [
+        list(range(6, 14)),                # all index, EMPTY shard
+        None,                              # random non-contiguous
+    ]
+    for trial, pool in enumerate(id_pools):
+        td = str(tmp_path / f"r13t{trial}")
+        os.makedirs(td)
+        if pool is None:
+            pool = sorted(rng.sample(range(500), rng.randint(4, 12)))
+        rows = []
+        for i in pool:
+            kind = rng.random()
+            text = (None if kind < 0.2 else "" if kind < 0.3
+                    else " ".join(rng.choice(_ALPH)
+                                  for _ in range(rng.randint(1, 40))))
+            rows.append((i, text, rng.choice(["s1", "s2"]),
+                         rng.choice(["en", "de", None])))
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows],
+                                pa.int64()),
+        })
+        pq.write_table(tab, os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"
