@@ -614,3 +614,38 @@ def test_round11_admission_shuffle_budgets(spark, sf_dir, name, budget):
     n = plans.shuffle_count(df)
     assert n <= budget, f"{name}: {n} exchanges (budget {budget})"
     assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+def test_minhash_bands_expr_frame_is_shuffle_free(spark, sf_dir):
+    """The streaming band-index leg's expression form (r13) is a pure
+    per-row map — zero exchanges (the point of the form: a streaming
+    append drain needs no aggregate), no cartesian."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.dedup import minhash_bands_expr_frame
+
+    df = minhash_bands_expr_frame(
+        load_table(spark, sf_dir, "documents"))
+    n = plans.shuffle_count(df)
+    assert n == 0, plans.formatted_plan(df)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
+def test_minhash_screen_over_no_cartesian(spark, sf_dir):
+    """The per-micro-batch MinHash screen (r13, the streaming
+    admission's text near-dup leg): candidates come from a
+    (band_idx, band_hash) equi-join against the persisted corpus
+    band index — never an all-pairs product, whatever frames are
+    passed for the two sides."""
+    from mit_mapreduce_spark.catalog import load_table
+    from mit_mapreduce_spark.operators.dedup import (
+        _band_hashes, _minhash_sigs, minhash_screen_over, shingles_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 40 < 6)
+    corpus = docs.where(~(F.col("doc_id") % 40 < 6))
+    sh_c = shingles_df(corpus)
+    sigs_c = _minhash_sigs(sh_c)
+    df = minhash_screen_over(inc, sh_c, sigs_c.select("doc_id", "n"),
+                             _band_hashes(sigs_c))
+    assert "CartesianProduct" not in plans.formatted_plan(df)
