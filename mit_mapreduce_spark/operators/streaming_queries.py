@@ -1003,6 +1003,41 @@ def stream_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_bands_expr_frame(docs_stream(spark, sf_dir)), "append"))
 
 
+def _sql_doc_shingles() -> str:
+    from mit_mapreduce_spark.operators.dedup import _SQL_SHINGLES
+    return _SQL_SHINGLES
+
+
+@query("stream_doc_shingles", oracle=_sql_doc_shingles())
+def stream_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING shingle-table maintenance (r13, the companion of
+    stream_minhash_bands): each arriving doc's distinct 3-word
+    shingles drain in append mode — the VERIFICATION side of the
+    text near-dup gate. The band index (stream_minhash_bands) finds
+    candidates; exact-Jaccard verification then reads the
+    candidates' shingle sets, and with this leg that table is
+    maintained at ingest too — the corpus text is never re-shingled
+    for EITHER half of the gate (the full-loop pytest runs the
+    screen with both sides read from drained parquet tables and
+    reproduces the registered verdicts; per-doc set sizes are one
+    count over this table).
+
+    Oracle = the shared shingle SQL (_SQL_SHINGLES — the exact CTE
+    every MinHash oracle composes); stateless per-row split →
+    window → distinct-within-row → explode, zero streaming state, so
+    the drain equals the batch shingle table regardless of
+    micro-batch boundaries. 100 TB posture: pure per-row map, output
+    ~|doc tokens| rows of (doc_id, shingle) — the payload-derived
+    side table a production pipeline co-partitions with the corpus;
+    a bulk rebuild uses the identical batch stages (shingles_df)."""
+    from mit_mapreduce_spark.operators.dedup import shingles_df
+    from mit_mapreduce_spark.streaming import docs_stream
+
+    tune(spark)
+    return spark.table(run_stream_to_table(
+        shingles_df(docs_stream(spark, sf_dir)), "append"))
+
+
 def _sql_embed_index() -> str:
     from mit_mapreduce_spark.operators.similarity import _sql_embed_index
     return _sql_embed_index()

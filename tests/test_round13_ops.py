@@ -215,14 +215,13 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     index (stream_embedding_index), and the three media signature
     tables (stream_*_fingerprints) — persisted to parquet and read
     back; run the per-batch admission over the whole shard against
-    THOSE tables; reproduce the registered verdicts exactly. This is
-    the production deployment made material: the gate never
-    re-fingerprints, re-shingles-for-candidates, re-buckets, or
-    re-decodes the corpus. (The corpus shingle/size tables are the
-    exact-Jaccard verification payload side — persisted at ingest
-    alongside the text, not an index — and the quality verdict
-    tables are corpus-wide statistics; both stay as the registered
-    query builds them.)"""
+    THOSE tables — including the shingle table
+    (stream_doc_shingles), whose per-doc counts supply the exact-
+    Jaccard set sizes; reproduce the registered verdicts exactly.
+    This is the production deployment made material: the gate never
+    re-fingerprints, re-shingles, re-buckets, or re-decodes the
+    corpus. (The quality verdict tables are corpus-wide statistics;
+    they stay as the registered query builds them.)"""
     import os
 
     from mit_mapreduce_spark.operators import mmdedup
@@ -239,6 +238,7 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
 
     fps = persist("stream_text_fingerprints")
     bands = persist("stream_minhash_bands")
+    shingles = persist("stream_doc_shingles")
     ebk = persist("stream_embedding_index")
     media_sigs = {
         "has_audio": persist("stream_audio_fingerprints"),
@@ -252,6 +252,10 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
                          .select(F.col("fingerprint").alias("_fp"))
                          .distinct())
     ctx["corpus_bands"] = bands.where(~inc_pred)
+    ctx["corpus_sh"] = shingles.where(~inc_pred)
+    ctx["corpus_sizes"] = (shingles.where(~inc_pred)
+                           .groupBy("doc_id")
+                           .agg(F.count("*").alias("n")))
     ctx["emb_bk"] = ebk
     owners = {
         flag: mmdedup.asset_manifest_media(spark, sf_dir)
