@@ -192,6 +192,11 @@ def main() -> None:
         "retimed": retimed,
         "floor_retimed": floor_retimed,
         "floor_rebased": FLOOR_REBASE.get(sf, {}),
+        # which round's semantics this capture timed (ADVICE r13):
+        # bench_deltas reads this instead of inferring from the
+        # BENCH_r* file set, so a stale BENCH_FULL baseline can't
+        # misreport a pure scope change as a regression.
+        "capture_round": _current_round(here),
         "sf": sf,
     }
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
@@ -331,6 +336,22 @@ def bench_floors(sf: float, here: str) -> dict[str, float]:
     return floors
 
 
+def _current_round(here: str) -> int:
+    """The round whose semantics the CURRENT capture times: one past
+    the newest driver-recorded BENCH_r{N}.json (the driver snapshots
+    at round end, so any capture made between snapshots belongs to
+    the following round)."""
+    import glob
+    import re
+
+    rounds = [int(m.group(1))
+              for m in (re.search(r"BENCH_r(\d+)\.json$", p)
+                        for p in glob.glob(
+                            os.path.join(here, "BENCH_r*.json")))
+              if m]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def bench_deltas(times: dict[str, float], sf: float,
                  here: str) -> dict | None:
     """Per-query deltas vs the newest committed BENCH_r{N}.json at the
@@ -344,17 +365,8 @@ def bench_deltas(times: dict[str, float], sf: float,
 
     import re
 
-    prev_file, prev_q = None, None
-    rounds = [int(m.group(1))
-              for m in (re.search(r"BENCH_r(\d+)\.json$", p)
-                        for p in glob.glob(
-                            os.path.join(here, "BENCH_r*.json")))
-              if m]
-    # A BENCH_FULL.json capture is made at HEAD during the round
-    # AFTER the latest driver-recorded one — it already timed any
-    # current-round semantics change, so it must NOT be treated as a
-    # pre-change baseline.
-    cur_round = (max(rounds) + 1) if rounds else 1
+    prev_file, prev_q, prev_payload = None, None, None
+    cur_round = _current_round(here)
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                         reverse=True) + [os.path.join(here, "BENCH_FULL.json")]
     for cand in candidates:
@@ -368,14 +380,20 @@ def bench_deltas(times: dict[str, float], sf: float,
             if payload.get("sf") == sf and payload.get("queries"):
                 prev_file = os.path.basename(cand)
                 prev_q = payload["queries"]
+                prev_payload = payload
                 break
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
     if prev_q is None:
         return None
 
+    # Which round the baseline capture timed: the BENCH_r{N} name, or
+    # a BENCH_FULL's recorded capture_round (ADVICE r13 — checked, not
+    # assumed); only a legacy unstamped BENCH_FULL falls back to the
+    # "made during the current round" assumption.
     m = re.search(r"BENCH_r(\d+)\.json$", prev_file or "")
-    prev_round = int(m.group(1)) if m else cur_round
+    prev_round = (int(m.group(1)) if m
+                  else int(prev_payload.get("capture_round", cur_round)))
 
     deltas, regressed, semantics_changed = {}, {}, {}
     for name, t in times.items():

@@ -1549,19 +1549,39 @@ def _admission_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                            _admission_build, spark, sf_dir)
 
 
+# Per-(memo, key) build locks (ADVICE r13): the global lock used to
+# be held for the ENTIRE build, so a concurrent caller for a
+# DIFFERENT sf_dir (selfcheck at sf0.01 while sf0.1 materializes its
+# ~10 eager legs) blocked for the whole build. The global lock now
+# only guards the dicts; the build itself runs under its key's lock.
+_MEMO_KEY_LOCKS: dict = {}
+
+
 def _memoized_frame(memo: dict, lock, build, spark: SparkSession,
-                    sf_dir: str) -> DataFrame:
-    """Shared memo body for the admission/manifest frames: one
-    build per (applicationId, sf_dir), concurrent callers wait for
-    the builder instead of racing it, stale-session keys evicted."""
+                    sf_dir: str):
+    """Shared memo body for the admission/manifest frames and the
+    streaming ctx (returns a DataFrame or a dict of sides — whatever
+    ``build`` produces): one build per (applicationId, sf_dir),
+    concurrent callers for the SAME key wait for its builder,
+    callers for a different key proceed, stale-session keys
+    evicted."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     with lock:
         for k in [k for k in memo if k[0] != app_id]:
             memo.pop(k, None)
-        frame = memo.get(key)
+            _MEMO_KEY_LOCKS.pop((id(memo), k), None)
+        if key in memo:
+            return memo[key]
+        klock = _MEMO_KEY_LOCKS.setdefault((id(memo), key),
+                                           threading.Lock())
+    with klock:
+        with lock:
+            frame = memo.get(key)
         if frame is None:
-            frame = memo[key] = build(spark, sf_dir)
+            frame = build(spark, sf_dir)
+            with lock:
+                memo[key] = frame
     return frame
 
 

@@ -931,12 +931,16 @@ def stream_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ctx = admission_static_ctx(spark, sf_dir)
     inc = docs_stream(spark, sf_dir).where(inc_shard_col("doc_id"))
-    # fixed per-SF sink, overwritten per invocation (no scratch
-    # accumulation across bench/selfcheck runs); seeding it with the
-    # (empty) verdict schema also makes a zero-row shard drain to a
-    # readable table
+    # per-(session, SF) sink, overwritten per invocation — the
+    # applicationId in the path (ADVICE r13) keeps two sessions on
+    # one checkout, or two corpora sharing a basename, from
+    # interleaving the overwrite/append/read cycle; serial reruns in
+    # one session still reuse (and so bound) the scratch dir.
+    # Seeding it with the (empty) verdict schema also makes a
+    # zero-row shard drain to a readable table.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(_SCRATCH, f"admit_{tag}")
+    out = os.path.join(
+        _SCRATCH, f"admit_{tag}_{spark.sparkContext.applicationId}")
     spark.createDataFrame(
         [], "doc_id bigint, lang string, source string, keep_text int,"
             " keep_semantic int, keep_quality int, keep_clean int,"

@@ -222,9 +222,15 @@ def main(sf_dir: str) -> dict:
         alerts = banded_match_scores(
             inc_sigs, idx_sigs, *geom
         ).dropDuplicates(["asset_id", "matched_id"])
+        fig = _drive(alerts, "append", f"sb_{leg}")
         results[leg] = {
-            **_drive(alerts, "append", f"sb_{leg}"),
+            **fig,
             "shard_docs": shard_docs,
+            # un-inflated rate (ADVICE r13): rows_per_sec counts every
+            # staged manifest doc the file source READ; this is the
+            # per-gated-doc rate.
+            "shard_rows_per_sec": round(shard_docs / fig["wall_sec"])
+            if fig["wall_sec"] else None,
         }
 
     # semantic-index maintenance (r12): per micro-batch banded
@@ -306,6 +312,10 @@ def main(sf_dir: str) -> dict:
         "batches_per_sec": round(len(data) / wall, 2),
         "out_rows": spark.read.parquet(out).count(),
         "shard_docs": shard_docs,
+        # un-inflated headline (ADVICE r13): numInputRows counts every
+        # staged manifest doc BEFORE the shard filter (~6.7x the rows
+        # actually gated); this is the per-admitted-row rate.
+        "shard_rows_per_sec": round(shard_docs / wall) if wall else None,
     }
 
     for name, fig in results.items():
