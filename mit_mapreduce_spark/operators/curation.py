@@ -118,7 +118,15 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mit_mapreduce_spark.catalog import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    staged = fan_out(docs).select(
+    return quality_repetition_from(fan_out(docs))
+
+
+def quality_repetition_from(docs: DataFrame) -> DataFrame:
+    """The repetition battery over any (doc_id, text) frame — batch
+    (above) or a document stream (stream_repetition_rules, r14): a
+    stateless projection, so the identical column expressions run
+    per micro-batch with zero streaming state."""
+    staged = docs.select(
         "doc_id", _letter_tokens().alias("_toks")
     ).select(
         "doc_id",
@@ -868,7 +876,14 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-token array of a single scan — zero shuffles, zero
     explodes, so the full battery costs one pass over the corpus at
     any scale and the filter it feeds is embarrassingly parallel."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules_from(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_quality_rules_from(docs: DataFrame) -> DataFrame:
+    """The Gopher battery over any (doc_id, text) frame — batch
+    (above) or a document stream (stream_gopher_rules, r14): a
+    stateless projection, so the identical column expressions run
+    per micro-batch with zero streaming state."""
     staged = docs.select("doc_id", "text", _ws_tokens().alias("w"))
     n_words = F.size("w")
     wlen_sum = F.aggregate(

@@ -570,8 +570,29 @@ def asset_manifest_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     the asset manifest, one projection over documents (no join, so
     presence filters collapse to scan-level predicates exactly like
     the old arithmetic forms: plan-neutral by construction)."""
-    return load_table(spark, sf_dir, "documents").select(
+    return asset_manifest_media_from(
+        load_table(spark, sf_dir, "documents"))
+
+
+def asset_manifest_media_from(docs: DataFrame) -> DataFrame:
+    """The media-flag projection over any (doc_id, ...) frame — batch
+    (above) or a document stream (stream_asset_manifest, r14)."""
+    return docs.select(
         "doc_id", *[am_media_flag(a) for a in AM_MEDIA_FLAGS.values()])
+
+
+def asset_manifest_from(media: DataFrame, emb: DataFrame) -> DataFrame:
+    """The full manifest tail shared by the batch query and its
+    streaming maintenance leg: media flags left-joined with the
+    distinct vector-id projection; a doc owns an embedding iff the
+    embeddings table carries its vec_id."""
+    return (
+        media
+        .join(emb.select(F.col("vec_id").alias("doc_id")).distinct()
+              .withColumn("_e", F.lit(True)), "doc_id", "left")
+        .select("doc_id", "has_image", "has_audio", "has_video",
+                F.coalesce("_e", F.lit(False)).alias("has_embedding"))
+    )
 
 
 @query(
@@ -600,15 +621,8 @@ def asset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the (distinct) vector-id projection — the manifest is a
     metadata table, a few bytes per doc, the natural broadcast/bucket
     dimension for every presence filter downstream."""
-    emb = (load_table(spark, sf_dir, "embeddings")
-           .select(F.col("vec_id").alias("doc_id")).distinct()
-           .withColumn("_e", F.lit(True)))
-    return (
-        asset_manifest_media(spark, sf_dir)
-        .join(emb, "doc_id", "left")
-        .select("doc_id", "has_image", "has_audio", "has_video",
-                F.coalesce("_e", F.lit(False)).alias("has_embedding"))
-    )
+    return asset_manifest_from(asset_manifest_media(spark, sf_dir),
+                               load_table(spark, sf_dir, "embeddings"))
 
 
 def _present_docs(spark: SparkSession, sf_dir: str,

@@ -212,16 +212,19 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     sides ENTIRELY from the tables the streaming maintenance legs
     drain — the text fingerprint set (stream_text_fingerprints), the
     MinHash band index (stream_minhash_bands), the embedding bucket
-    index (stream_embedding_index), and the three media signature
-    tables (stream_*_fingerprints) — persisted to parquet and read
-    back; run the per-batch admission over the whole shard against
-    THOSE tables — including the shingle table
+    index (stream_embedding_index), the three media signature
+    tables (stream_*_fingerprints), and — r14 — the per-doc quality
+    verdict tables (stream_gopher_rules / stream_repetition_rules)
+    and the asset manifest (stream_asset_manifest) — persisted to
+    parquet and read back; run the per-batch admission over the
+    whole shard against THOSE tables — including the shingle table
     (stream_doc_shingles), whose per-doc counts supply the exact-
     Jaccard set sizes; reproduce the registered verdicts exactly.
     This is the production deployment made material: the gate never
-    re-fingerprints, re-shingles, re-buckets, or re-decodes the
-    corpus. (The quality verdict tables are corpus-wide statistics;
-    they stay as the registered query builds them.)"""
+    re-fingerprints, re-shingles, re-buckets, re-decodes, or
+    re-quality-scans the corpus. (The LM novelty table is the one
+    remaining corpus-wide statistic; its mergeable-count
+    maintenance path is pinned in test_round14_ops.)"""
     import os
 
     from mit_mapreduce_spark.operators import mmdedup
@@ -240,6 +243,9 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     bands = persist("stream_minhash_bands")
     shingles = persist("stream_doc_shingles")
     ebk = persist("stream_embedding_index")
+    gq = persist("stream_gopher_rules")
+    rq = persist("stream_repetition_rules")
+    manifest = persist("stream_asset_manifest")
     media_sigs = {
         "has_audio": persist("stream_audio_fingerprints"),
         "has_image": persist("stream_image_fingerprints"),
@@ -257,8 +263,12 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
                            .groupBy("doc_id")
                            .agg(F.count("*").alias("n")))
     ctx["emb_bk"] = ebk
+    ctx["g"] = gq.select("doc_id", F.col("passes").alias("_g"))
+    ctx["r"] = rq.select("doc_id", F.col("passes").alias("_r"))
+    ctx["manifest"] = manifest.select(
+        "doc_id", "has_image", "has_audio", "has_video")
     owners = {
-        flag: mmdedup.asset_manifest_media(spark, sf_dir)
+        flag: manifest
         .where(F.col(flag)).select(F.col("doc_id").alias("asset_id"))
         for flag in media_sigs
     }
