@@ -1252,3 +1252,74 @@ def stream_asset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         asset_manifest_media_from(docs_stream(spark, sf_dir)),
         load_table(spark, sf_dir, "embeddings"))
     return spark.table(run_stream_to_table(manifest, "append"))
+
+
+def _sql_lm_counts() -> str:
+    from mit_mapreduce_spark.operators.textstats import _SQL_LM_COUNTS
+    return _SQL_LM_COUNTS
+
+
+def lm_bigram_counts_drain(spark: SparkSession, stream_docs: DataFrame,
+                           out: str) -> DataFrame:
+    """Drain a document stream's PER-BATCH bigram partial counts to
+    ``out`` and return the drained (bg, cnt) partials: each
+    micro-batch maps its own docs to distinct-per-doc bigrams and
+    appends one (bg, cnt) row per bigram it saw — a MERGEABLE
+    statistic (counts of disjoint doc sets add), so the corpus df
+    table is SUM(cnt) over the drained partials regardless of how
+    ingest sliced the corpus. foreachBatch because the per-batch
+    count is a batch-only aggregation (the composed-gate shape
+    stream_ingest_admission pins)."""
+    from mit_mapreduce_spark.operators.textstats import doc_bigrams_from
+
+    spark.createDataFrame([], "bg string, cnt bigint") \
+        .write.mode("overwrite").parquet(out)
+
+    def _counts(batch_df: DataFrame, batch_id: int) -> None:
+        (doc_bigrams_from(batch_df)
+         .groupBy("bg").agg(F.count("*").cast("bigint").alias("cnt"))
+         .write.mode("append").parquet(out))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (stream_docs.writeStream.foreachBatch(_counts)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.read.parquet(out)
+
+
+@query("stream_lm_bigram_counts", oracle=_sql_lm_counts())
+def stream_lm_bigram_counts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """STREAMING LM-statistic maintenance via MERGEABLE COUNTS (r14,
+    VERDICT r13 ask #3 — the last admission static side to gain a
+    maintenance path): the bigram LM's corpus df table needs
+    corpus-WIDE counts, so unlike the per-doc drains it cannot be a
+    stateless projection — instead each micro-batch appends its
+    (bigram, count) PARTIALS and the df table is rebuilt by summing
+    the partial table: the standard mergeable-sketch move
+    (sketch_hll_mergeable demonstrates it for distinct counts)
+    applied to the one corpus-wide gate statistic. The registered
+    result is the summed df table; a pytest rebuilds the full LM
+    novelty scores from it (textstats.lm_from_counts) and matches
+    the registered quality_lm_bigram row-for-row, and a multi-batch
+    pytest proves the partials merge across batch boundaries.
+
+    Oracle = the shared bigram CTEs (the exact construction the LM
+    oracle composes) + COUNT(*) — valid regardless of boundaries
+    because counts over disjoint doc sets add. 100 TB posture:
+    per-batch cost is one map-side-combined count over the batch's
+    own bigrams; the partial table grows ~|new vocabulary| per batch
+    (Heaps-sublinear) and compacts by re-summing; no corpus rescan
+    ever."""
+    from mit_mapreduce_spark.streaming import _SCRATCH, docs_stream
+
+    tune(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        _SCRATCH, f"lmcnt_{tag}_{spark.sparkContext.applicationId}")
+    parts = lm_bigram_counts_drain(spark, docs_stream(spark, sf_dir), out)
+    return parts.groupBy("bg").agg(F.sum("cnt").cast("bigint").alias("df"))

@@ -704,10 +704,11 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- bigram-LM quality proxy (CCNet-style, log-free) ----------------------
 
-@query(
-    "quality_lm_bigram",
-    oracle=r"""
-    WITH toks AS (
+# The per-doc distinct-bigram CTEs, factored (r14) so the mergeable
+# count drain's oracle (streaming_queries.stream_lm_bigram_counts)
+# composes the IDENTICAL bigram definition instead of a hand-synced
+# copy.
+_SQL_LM_BG_CTES = r"""toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
                          x -> x <> '') AS arr
@@ -715,7 +716,16 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg AS (
       SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] AS bg
       FROM (SELECT doc_id, generate_subscripts(arr, 1) AS i, arr FROM toks)
-      WHERE i + 1 <= length(arr)),
+      WHERE i + 1 <= length(arr))"""
+
+_SQL_LM_COUNTS = ("WITH " + _SQL_LM_BG_CTES + """
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS df FROM bg GROUP BY bg
+    """)
+
+
+@query(
+    "quality_lm_bigram",
+    oracle="WITH " + _SQL_LM_BG_CTES + """,
     dfreq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg)
     SELECT b.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -748,21 +758,44 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), one final doc_id agg. Docs with < 2 tokens have no
     bigrams and are absent, matching the SQL inner join."""
     docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        doc_bigrams_from(fan_out(docs.select("doc_id", "text")))
+        # consumed by the df aggregation AND the scoring join —
+        # checkpoint so tokenization runs once, not twice.
+        .localCheckpoint(eager=False)
+    )
+    dfreq = bg.groupBy("bg").agg(F.count("*").alias("df"))
+    return lm_from_counts(bg, dfreq)
+
+
+def doc_bigrams_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg) — each doc's DISTINCT word bigrams, a stateless
+    per-row map + explode over any (doc_id, text) frame: the batch
+    LM's first stage (above) and the per-micro-batch side of the
+    mergeable count drain (streaming_queries.stream_lm_bigram_counts,
+    r14)."""
     toks = _spark_tokens()
     arr = F.expr(
         """CASE WHEN size(_toks) < 2 THEN array()
                 ELSE transform(sequence(1, size(_toks) - 1),
                                i -> concat_ws(' ', slice(_toks, i, 2)))
            END""")
-    bg = (
-        fan_out(docs.select("doc_id", "text"))
+    return (
+        docs.select("doc_id", "text")
         .select("doc_id", toks.alias("_toks"))
         .select("doc_id", F.explode(F.array_distinct(arr)).alias("bg"))
-        # consumed by the df aggregation AND the scoring join —
-        # checkpoint so tokenization runs once, not twice.
-        .localCheckpoint(eager=False)
     )
-    dfreq = bg.groupBy("bg").agg(F.count("*").alias("df"))
+
+
+def lm_from_counts(bg: DataFrame, dfreq: DataFrame) -> DataFrame:
+    """The LM scoring tail over a per-doc bigram frame and a (bg, df)
+    corpus count table — shared by the batch query (which computes
+    dfreq inline) and the REBUILD path from the stream-maintained
+    mergeable count table (summed per-batch partial counts, r14):
+    the one corpus-wide statistic in the admission's quality gate
+    becomes maintainable without a corpus rescan — the HLL-style
+    mergeable-sketch move (sketch_hll_mergeable) applied to the
+    bigram LM."""
     singleton = (F.col("df") == 1).cast("long")
     return (
         bg.join(dfreq, "bg")

@@ -219,12 +219,14 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     parquet and read back; run the per-batch admission over the
     whole shard against THOSE tables — including the shingle table
     (stream_doc_shingles), whose per-doc counts supply the exact-
-    Jaccard set sizes; reproduce the registered verdicts exactly.
+    Jaccard set sizes, and (r14) the LM novelty table REBUILT from
+    the mergeable count drain (stream_lm_bigram_counts +
+    lm_from_counts); reproduce the registered verdicts exactly.
     This is the production deployment made material: the gate never
     re-fingerprints, re-shingles, re-buckets, re-decodes, or
-    re-quality-scans the corpus. (The LM novelty table is the one
-    remaining corpus-wide statistic; its mergeable-count
-    maintenance path is pinned in test_round14_ops.)"""
+    re-quality-scans the corpus — EVERY static side now comes from
+    a stream-maintained table (the count-merge invariant itself is
+    pinned in test_round14_ops)."""
     import os
 
     from mit_mapreduce_spark.operators import mmdedup
@@ -267,6 +269,14 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     ctx["r"] = rq.select("doc_id", F.col("passes").alias("_r"))
     ctx["manifest"] = manifest.select(
         "doc_id", "has_image", "has_audio", "has_video")
+    from mit_mapreduce_spark.operators.textstats import (
+        doc_bigrams_from, lm_from_counts,
+    )
+
+    lm_counts = persist("stream_lm_bigram_counts")
+    ctx["lm"] = lm_from_counts(
+        doc_bigrams_from(load_table(spark, sf_dir, "documents")),
+        lm_counts).select("doc_id", "novelty")
     owners = {
         flag: manifest
         .where(F.col(flag)).select(F.col("doc_id").alias("asset_id"))
