@@ -1509,8 +1509,19 @@ def minhash_bands_expr_frame(docs: DataFrame) -> DataFrame:
     embed-index precedent, SCALE.md r12): 12 array passes per doc on
     small per-batch volumes, while the batch pipeline keeps the
     explode + codegen-aggregate shape."""
+    sigs = _expr_shingle_frame(docs).select(
+        "doc_id", *_expr_seed_mins())
+    return sigs.select(
+        "doc_id", F.posexplode(_expr_band_array())
+        .alias("band_idx", "band_hash"))
+
+
+def _expr_shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, _sh) — each doc's DISTINCT shingle ARRAY as one
+    stateless select (the expression family's shared first stage):
+    per-row, no explode, no shuffle."""
     k = 3
-    toks = F.filter(F.split("text", r"[^\p{L}]+"), lambda x: x != "")
+    toks = _expr_kit()["toks"]
     # identical short-doc guard as shingles_df — see that docstring
     arr = F.expr(
         f"""CASE WHEN size(_toks) < {k} THEN array()
@@ -1518,28 +1529,64 @@ def minhash_bands_expr_frame(docs: DataFrame) -> DataFrame:
                                 i -> concat_ws(' ', slice(_toks, i, {k})))
             END"""
     )
-    sh = (docs.select("doc_id", toks.alias("_toks"))
-          .select("doc_id", F.array_distinct(arr).alias("_sh"))
-          .where(F.size("_sh") > 0))
-    def _seed_min(seed: int):
-        # NB: closing over the seed via a default arg (lambda x,
-        # s=seed: ...) would make PySpark see a TWO-parameter lambda
-        # and bind s to the element INDEX column instead
-        tag = F.lit(f"#{seed}")
-        return F.array_min(
-            F.transform("_sh", lambda x: hash60(F.concat(x, tag))))
+    return (docs.select("doc_id", toks.alias("_toks"))
+            .select("doc_id", F.array_distinct(arr).alias("_sh"))
+            .where(F.size("_sh") > 0))
 
-    mins = [_seed_min(seed).alias(f"s{seed}") for seed in range(N_SEEDS)]
-    sigs = sh.select("doc_id", *mins)
-    bands = F.array(*[
-        F.md5(F.concat_ws(",", *[
-            F.col(f"s{b * BAND_ROWS + r}").cast("string")
-            for r in range(BAND_ROWS)
-        ]))
-        for b in range(N_BANDS)
-    ])
-    return sigs.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+
+# Column-kit cache (r14 cadence surgery): the seeded-min transforms
+# are LAMBDA columns — each lambda-to-Catalyst conversion costs
+# ~20-70 ms of py4j/driver work, so rebuilding the 12-seed kit per
+# micro-batch burned ~0.5 s/batch. Columns are immutable expression
+# trees, reusable across any number of plans; the cache is keyed by
+# applicationId so a bounced session rebuilds against its own JVM.
+_EXPR_KIT_CACHE: dict = {}
+
+
+def _expr_kit() -> dict:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = sc.applicationId if sc is not None else None
+    kit = _EXPR_KIT_CACHE.get(key)
+    if kit is None:
+        for k in [k for k in _EXPR_KIT_CACHE if k != key]:
+            _EXPR_KIT_CACHE.pop(k, None)
+
+        def _seed_min(seed: int):
+            # NB: closing over the seed via a default arg (lambda x,
+            # s=seed: ...) would make PySpark see a TWO-parameter
+            # lambda and bind s to the element INDEX column instead
+            tag = F.lit(f"#{seed}")
+            return F.array_min(
+                F.transform("_sh", lambda x: hash60(F.concat(x, tag))))
+
+        kit = _EXPR_KIT_CACHE[key] = {
+            "mins": [_seed_min(seed).alias(f"s{seed}")
+                     for seed in range(N_SEEDS)],
+            "bands": F.array(*[
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"s{b * BAND_ROWS + r}").cast("string")
+                    for r in range(BAND_ROWS)
+                ]))
+                for b in range(N_BANDS)
+            ]),
+            "toks": F.filter(F.split("text", r"[^\p{L}]+"),
+                             lambda x: x != ""),
+        }
+    return kit
+
+
+def _expr_seed_mins() -> list:
+    """The 12 seeded per-row signature minima over ``_sh`` (columns
+    s0..s11) — ONE spelling shared by the maintenance leg and the
+    per-batch screen (cached per session, see _expr_kit)."""
+    return _expr_kit()["mins"]
+
+
+def _expr_band_array():
+    """The 4 band md5s over the s0..s11 signature columns."""
+    return _expr_kit()["bands"]
 
 
 def _sql_minhash_bands() -> str:
@@ -1626,12 +1673,49 @@ def minhash_screen_over(inc_docs: DataFrame, corpus_sh: DataFrame,
     per incoming doc (doc_id, matched_id, jaccard, is_neardup) —
     minhash_screen_frame's verdict contract, pytest-pinned equal on
     matching splits."""
-    from pyspark.sql import Window as W
-
     sh_i = shingles_df(inc_docs).localCheckpoint(eager=False)
     sigs_i = _minhash_sigs(sh_i).localCheckpoint(eager=False)
     ib = _band_hashes(sigs_i).select(
         F.col("doc_id").alias("iid"), "band_idx", "band_hash")
+    return _screen_verdict_tail(
+        inc_docs, ib, sh_i, sigs_i.select("doc_id", "n"),
+        corpus_sh, corpus_sizes, corpus_bands)
+
+
+def minhash_screen_expr_over(inc_docs: DataFrame, corpus_sh: DataFrame,
+                             corpus_sizes: DataFrame,
+                             corpus_bands: DataFrame) -> DataFrame:
+    """minhash_screen_over with the incoming side computed by the
+    stateless EXPRESSION family (r14): the batch's shingle sets,
+    set sizes, and band hashes all come from ONE per-row select
+    (_expr_shingle_frame + the shared seed-min/band builders — the
+    exact spellings stream_minhash_bands drains), so a micro-batch
+    pays zero shuffles and a fraction of the plan-construction cost
+    before the candidate equi-join. Same verdict tail, pinned equal
+    to minhash_screen_over by the admission oracle and the expr/batch
+    band-parity pytest."""
+    staged = (_expr_shingle_frame(inc_docs)
+              .select("doc_id", "_sh", *_expr_seed_mins())
+              .localCheckpoint(eager=False))
+    ib = staged.select(
+        F.col("doc_id").alias("iid"),
+        F.posexplode(_expr_band_array()).alias("band_idx", "band_hash"))
+    sh_i = staged.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes_i = staged.select(
+        "doc_id", F.size("_sh").cast("bigint").alias("n"))
+    return _screen_verdict_tail(inc_docs, ib, sh_i, sizes_i,
+                                corpus_sh, corpus_sizes, corpus_bands)
+
+
+def _screen_verdict_tail(inc_docs: DataFrame, ib: DataFrame,
+                         sh_i: DataFrame, sizes_i: DataFrame,
+                         corpus_sh: DataFrame, corpus_sizes: DataFrame,
+                         corpus_bands: DataFrame) -> DataFrame:
+    """Shared verdict tail of the explicit-sides MinHash screens:
+    band-hash candidate equi-join, exact-Jaccard verification over
+    the two shingle tables, best-match window, left-join verdict."""
+    from pyspark.sql import Window as W
+
     xb = corpus_bands.select(
         F.col("doc_id").alias("cid"), "band_idx", "band_hash")
     cand = (ib.join(xb, ["band_idx", "band_hash"])
@@ -1645,7 +1729,7 @@ def minhash_screen_over(inc_docs: DataFrame, corpus_sh: DataFrame,
         .groupBy("iid", "cid")
         .agg(F.count("*").alias("n_inter"))
     )
-    za = sigs_i.select("doc_id", "n").alias("za")
+    za = sizes_i.alias("za")
     zb = corpus_sizes.alias("zb")
     jac = (F.col("n_inter").cast("double")
            / (F.col("za.n") + F.col("zb.n") - F.col("n_inter")))

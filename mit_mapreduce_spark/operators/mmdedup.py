@@ -1647,6 +1647,8 @@ def _admission_ctx_build(spark: SparkSession, sf_dir: str) -> dict:
     corpus_sh = lazy(shingles_df(corpus))
     corpus_sigs = lazy(_minhash_sigs(corpus_sh))
     grams_src = docs.where(F.col("doc_id") % EVAL_MOD == 0)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    emb_bk = lazy(_screen_buckets(emb))
     ctx = {
         "corpus_fps": lazy(
             corpus.where(F.col("text").isNotNull())
@@ -1654,8 +1656,13 @@ def _admission_ctx_build(spark: SparkSession, sf_dir: str) -> dict:
         "corpus_sh": corpus_sh,
         "corpus_sizes": corpus_sigs.select("doc_id", "n"),
         "corpus_bands": lazy(_band_hashes(corpus_sigs)),
-        "emb_bk": lazy(_screen_buckets(
-            fan_out(load_table(spark, sf_dir, "embeddings")))),
+        "emb_bk": emb_bk,
+        # the exact-cosine verification table, checkpointed once per
+        # session (r14): per-batch candidate verification reads
+        # persisted blocks instead of re-joining embeddings x norms
+        "emb_sides": lazy(
+            emb.select("vec_id", "embedding")
+            .join(emb_bk.select("vec_id", "nsq").distinct(), "vec_id")),
         "eval_grams": lazy(
             grams_src.select("doc_id", _letter_tokens().alias("_toks"))
             .select(F.explode(F.array_distinct(
@@ -1717,7 +1724,31 @@ def admission_batch_frame(spark: SparkSession, sf_dir: str,
       vs the broadcast eval gram table
     - keep_{image,audio,video}: the batch's owned assets decoded and
       screened against the persisted signature indexes + per-asset
-      quality screens, ownership read from the manifest columns."""
+      quality screens, ownership read from the manifest columns.
+
+    Per-batch cost surgery (r14, VERDICT r13 ask #2). Measured
+    decomposition of the old ~8.6 s/batch fixture-volume floor
+    (SCALE.md r14 addendum): ~5 s was PLAN CONSTRUCTION — PySpark
+    analyzes eagerly on every transformation, so a ~100-op per-batch
+    plan pays O(ops x tree) analyzer work plus a py4j round-trip per
+    op — and only ~4 s was execution; job-submission overhead (the
+    r13 hypothesis) was noise. Three changes attack the real costs:
+
+    - legs end in localCheckpoint(eager=False): the returned frame is
+      a LEAF (LogicalRDD), so the verdict tail's joins analyze flat
+      trees and the single write action executes shallow adaptive
+      plans (~4.3 s -> ~1.7 s execution, measured);
+    - the leg builds (analysis + the toRdd physical planning the lazy
+      checkpoint forces) run on the thread pool, overlapping py4j
+      round-trips and JVM analyzer work across legs;
+    - the incoming MinHash side uses the stateless expression family
+      (minhash_screen_expr_over): shingle sets, sizes, and band
+      hashes in ONE per-row select — no explode+groupBy-MIN shuffle
+      and a fraction of the plan ops.
+
+    The batch tier's _admission_build keeps eager checkpoints: its
+    legs materialize corpus-sized intermediates the session reuses —
+    a trade that only pays when the inputs are corpus-sized."""
     from concurrent.futures import ThreadPoolExecutor
 
     from mit_mapreduce_spark.operators.curation import (
@@ -1726,10 +1757,13 @@ def admission_batch_frame(spark: SparkSession, sf_dir: str,
     from mit_mapreduce_spark.operators.curation import (
         _letter_tokens, _ngram_arr, CONTAM_NGRAM,
     )
-    from mit_mapreduce_spark.operators.dedup import minhash_screen_over
+    from mit_mapreduce_spark.operators.dedup import minhash_screen_expr_over
     from mit_mapreduce_spark.operators.similarity import embed_screen_frame
 
-    batch_docs = batch_docs.localCheckpoint(eager=True)
+    # lazy pin (r14): the batch scan materializes once, inside the
+    # verdict write action itself — an eager pin would cost one extra
+    # job submission per micro-batch
+    batch_docs = batch_docs.localCheckpoint(eager=False)
     ids = batch_docs.select("doc_id")
     pii_mod, pii_rem = PII_SEED
     payload = F.when(F.col("doc_id") % pii_mod == pii_rem,
@@ -1747,27 +1781,33 @@ def admission_batch_frame(spark: SparkSession, sf_dir: str,
                         n_pii.alias("_npii"))
                 .join(ctx["manifest"], "doc_id"))
 
+    def leaf(df: DataFrame) -> DataFrame:
+        # lazy checkpoint = leaf plan; nothing executes until the
+        # verdict write, but downstream analysis sees a flat tree.
+        # Only the HEAVY legs (band screens, the semantic screen)
+        # earn one: a leaf costs a toRdd physical planning at build,
+        # which the cheap projection legs don't amortize.
+        return df.localCheckpoint(eager=False)
+
     def _td():
         return (batch_docs.where(F.col("text").isNotNull())
                 .select("doc_id", norm_fp_col().alias("_fp"))
                 .join(ctx["corpus_fps"], "_fp", "left_semi")
-                .select("doc_id", F.lit(True).alias("_tdup"))
-                .localCheckpoint(eager=True))
+                .select("doc_id", F.lit(True).alias("_tdup")))
 
     def _mh():
-        return minhash_screen_over(
+        return leaf(minhash_screen_expr_over(
             batch_docs, ctx["corpus_sh"], ctx["corpus_sizes"],
-            ctx["corpus_bands"]) \
-            .select("doc_id", F.col("is_neardup").alias("_mhnd")) \
-            .localCheckpoint(eager=True)
+            ctx["corpus_bands"])
+            .select("doc_id", F.col("is_neardup").alias("_mhnd")))
 
     def _sem():
-        return embed_screen_frame(
+        return leaf(embed_screen_frame(
             spark, sf_dir, inc_col("vec_id"), bk=ctx["emb_bk"],
-            inc_ids=ids.select(F.col("doc_id").alias("vec_id"))) \
+            inc_ids=ids.select(F.col("doc_id").alias("vec_id")),
+            sides=ctx.get("emb_sides"))
             .select(F.col("vec_id").alias("doc_id"),
-                    F.col("is_neardup").alias("_snd")) \
-            .localCheckpoint(eager=True)
+                    F.col("is_neardup").alias("_snd")))
 
     def _ct():
         grams = (batch_docs
@@ -1777,8 +1817,7 @@ def admission_batch_frame(spark: SparkSession, sf_dir: str,
                      _ngram_arr(CONTAM_NGRAM))).alias("gram")))
         return (grams.join(F.broadcast(ctx["eval_grams"]), "gram")
                 .groupBy("doc_id")
-                .agg(F.countDistinct("gram").alias("_nsh"))
-                .localCheckpoint(eager=True))
+                .agg(F.countDistinct("gram").alias("_nsh")))
 
     def _owned(flag: str):
         return (batch_docs.select("doc_id")
@@ -1788,23 +1827,17 @@ def admission_batch_frame(spark: SparkSession, sf_dir: str,
     def _scr(nd, flag, fixture_from, kernel, geom, idx_sigs):
         owned = _owned(flag)
         inc_sigs = fixture_from(owned).mapInPandas(kernel, _PHASH_SCHEMA)
-        return incremental_screen(
+        return leaf(incremental_screen(
             owned.select(F.col("doc_id").alias("asset_id")),
-            inc_sigs, idx_sigs, *geom) \
+            inc_sigs, idx_sigs, *geom)
             .select(F.col("asset_id").alias("doc_id"),
-                    F.col("is_neardup").alias(nd)) \
-            .localCheckpoint(eager=True)
+                    F.col("is_neardup").alias(nd)))
 
     def _q(qp, flag, screen_from):
-        return screen_from(_owned(flag)) \
-            .select(F.col("asset_id").alias("doc_id"),
-                    F.col("passes").alias(qp)) \
-            .localCheckpoint(eager=True)
+        return (screen_from(_owned(flag))
+                .select(F.col("asset_id").alias("doc_id"),
+                        F.col("passes").alias(qp)))
 
-    # the batch admission's proven structure: overlap the eager legs
-    # on a thread pool — each leg is its own Spark job, so the three
-    # decodes, the two band screens, and the text gates run
-    # concurrently instead of as one serial mega-DAG per micro-batch
     with ThreadPoolExecutor(max_workers=10) as pool:
         td_f = pool.submit(_td)
         mh_f = pool.submit(_mh)

@@ -783,7 +783,8 @@ def _screen_buckets(emb: DataFrame,
 def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
                        n_planes: int = EMB_SCR_PLANES,
                        bk: DataFrame | None = None,
-                       inc_ids: DataFrame | None = None) -> DataFrame:
+                       inc_ids: DataFrame | None = None,
+                       sides: DataFrame | None = None) -> DataFrame:
     """embed_neardup_incremental's body over an arbitrary incoming-
     shard predicate Column on vec_id — shared by the registered
     screen, the ingest-admission composition, and the scale
@@ -795,7 +796,11 @@ def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
     vec_id frame) further restricts the INCOMING side — the
     streaming admission passes each micro-batch's doc ids, so the
     per-batch screen touches only that batch's vectors while the
-    corpus side stays the full ~inc_pred index. Returns one row per
+    corpus side stays the full ~inc_pred index. ``sides`` (r14)
+    overrides the verification table (vec_id, embedding, nsq) — the
+    streaming admission passes a session-checkpointed copy so each
+    micro-batch's exact-cosine step reads persisted blocks instead
+    of re-deriving the join per batch. Returns one row per
     incoming vector: (vec_id, matched_id, cosine, is_neardup)."""
     from pyspark.sql import Window as W
 
@@ -812,8 +817,9 @@ def embed_screen_frame(spark: SparkSession, sf_dir: str, inc_pred,
         F.col("vec_id").alias("cid"), "band_idx", "bucket")
     cand = (ib.join(xb, ["band_idx", "bucket"])
             .select("iid", "cid").distinct())
-    sides = emb.select("vec_id", "embedding") \
-        .join(bk.select("vec_id", "nsq").distinct(), "vec_id")
+    if sides is None:
+        sides = emb.select("vec_id", "embedding") \
+            .join(bk.select("vec_id", "nsq").distinct(), "vec_id")
     ea = sides.select(F.col("vec_id").alias("iid"),
                       F.col("embedding").alias("_ia"),
                       F.col("nsq").alias("_na"))

@@ -954,9 +954,11 @@ def stream_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch volumes are small next to the session's batch tier —
     # right-size the per-batch shuffles like run_stream_to_table
-    # sizes the state stores
+    # sizes the state stores (2, not 8: the r14 cadence surgery
+    # measured ~0.5 s/batch of pure task-scheduling overhead at 8
+    # partitions over ~60-row batches)
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (inc.writeStream.foreachBatch(_admit)
              .trigger(availableNow=True).start())

@@ -293,7 +293,8 @@ def main(sf_dir: str) -> dict:
     shard_docs = spark.read.parquet(dstage) \
         .where(inc_shard_col("doc_id")).count()
     before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    # match the registered twin's per-batch sizing (r14 surgery)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     t0 = time.monotonic()
     try:
         q = (a_source.writeStream.foreachBatch(_admit)
