@@ -142,10 +142,11 @@ def test_streaming_drains_reuse_batch_twin_oracles():
     # alert, r11 the quality-at-ingest leg, r12 the image/video
     # alert legs, the embedding-index leg, and the text-fingerprint
     # leg, r13 the MinHash band-index leg, the shingle-table leg,
-    # and the streaming admission twin); only the order-dependent
-    # sketch stays rows-only
+    # and the streaming admission twin, r14 the quality-verdict pair,
+    # the asset-manifest leg, the LM count drain, and the eval-gram
+    # leg); only the order-dependent sketch stays rows-only
     streaming = [n for n in ORACLES if n.startswith("stream_")]
-    assert len(streaming) == 23
+    assert len(streaming) == 28
     assert "stream_heavy_hitters" not in ORACLES
     # the streaming admission twin's oracle is the batch admission
     # SQL verbatim — the capstone's one-decision invariant

@@ -219,9 +219,10 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     parquet and read back; run the per-batch admission over the
     whole shard against THOSE tables — including the shingle table
     (stream_doc_shingles), whose per-doc counts supply the exact-
-    Jaccard set sizes, and (r14) the LM novelty table REBUILT from
+    Jaccard set sizes, (r14) the LM novelty table REBUILT from
     the mergeable count drain (stream_lm_bigram_counts +
-    lm_from_counts); reproduce the registered verdicts exactly.
+    lm_from_counts), and (r14) the eval gram table
+    (stream_eval_grams); reproduce the registered verdicts exactly.
     This is the production deployment made material: the gate never
     re-fingerprints, re-shingles, re-buckets, re-decodes, or
     re-quality-scans the corpus — EVERY static side now comes from
@@ -277,6 +278,8 @@ def test_admission_runs_from_drained_index_tables(spark, sf_dir, tmp_path):
     ctx["lm"] = lm_from_counts(
         doc_bigrams_from(load_table(spark, sf_dir, "documents")),
         lm_counts).select("doc_id", "novelty")
+    ctx["eval_grams"] = (persist("stream_eval_grams")
+                         .select("gram").distinct())
     owners = {
         flag: manifest
         .where(F.col(flag)).select(F.col("doc_id").alias("asset_id"))
