@@ -87,8 +87,15 @@ MIN_TTR = 0.2               # use top-2/3/4-gram + dup-5..10-gram
       SELECT doc_id,
              CAST(len(_toks) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(_toks)) AS BIGINT) AS n_distinct,
-             {_sql_ngram_arr(2)} AS bi,
-             {_sql_ngram_arr(3)} AS tri
+             -- NULL-text guard (r14 fuzz find): DuckDB's greatest()
+             -- SKIPS NULL args, so the unguarded range built an
+             -- EMPTY list (dup fracs 0.0) where Spark's CASE
+             -- propagates NULL — NULL text must yield NULL signals
+             -- on both engines
+             CASE WHEN _toks IS NULL THEN NULL
+                  ELSE {_sql_ngram_arr(2)} END AS bi,
+             CASE WHEN _toks IS NULL THEN NULL
+                  ELSE {_sql_ngram_arr(3)} END AS tri
       FROM t)
     SELECT doc_id, n_tokens, n_distinct,
            CAST(CASE WHEN n_tokens = 0 THEN 0.0

@@ -1136,3 +1136,58 @@ def test_differential_fuzz_r13_stream_admission_and_bands(spark, tmp_path):
             df = operators.QUERIES[op](spark, td)
             ok, msg = compare(df, operators.ORACLES[op], td)
             assert ok, f"trial {trial}/{op}: {msg}"
+
+
+def test_differential_fuzz_r14_maintenance_drains(spark, tmp_path):
+    """r14 fuzz class: the five new maintenance drains — the quality
+    verdict pair, the asset manifest, the mergeable LM count table,
+    and the eval-gram feed — over hostile corpora: NULL/empty/
+    single-token texts (no bigrams, no grams, NULL token arrays on
+    both engines), random non-contiguous doc_ids (irregular eval-set
+    membership and modality ownership), and an all-eval pool
+    (doc_id % 97 == 0 rows only — the eval-gram drain's whole input,
+    the LM table's densest df). Every drain must stay hash-green
+    against its chain oracle on every corpus; embeddings ride the
+    sf0.001 symlink, so has_embedding stays data-driven over vec_ids
+    that may not match any doc."""
+    import random
+
+    rng = random.Random(1414)
+    ops = ["stream_gopher_rules", "stream_repetition_rules",
+           "stream_asset_manifest", "stream_lm_bigram_counts",
+           "stream_eval_grams"]
+    id_pools = [
+        [0, 97, 194, 291],                 # all-eval pool
+        None,                              # random non-contiguous
+    ]
+    for trial, pool in enumerate(id_pools):
+        td = str(tmp_path / f"r14t{trial}")
+        os.makedirs(td)
+        if pool is None:
+            pool = sorted(rng.sample(range(500), rng.randint(4, 12)))
+        rows = []
+        for i in pool:
+            kind = rng.random()
+            text = (None if kind < 0.2 else "" if kind < 0.3
+                    else rng.choice(_ALPH) if kind < 0.4
+                    else " ".join(rng.choice(_ALPH)
+                                  for _ in range(rng.randint(1, 40))))
+            rows.append((i, text, rng.choice(["s1", "s2"]),
+                         rng.choice(["en", "de", None])))
+        tab = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows],
+                                pa.int64()),
+        })
+        pq.write_table(tab, os.path.join(td, "documents.parquet"))
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       os.path.join(td, f"{t}.parquet"))
+        for op in ops:
+            df = operators.QUERIES[op](spark, td)
+            ok, msg = compare(df, operators.ORACLES[op], td)
+            assert ok, f"trial {trial}/{op}: {msg}"
