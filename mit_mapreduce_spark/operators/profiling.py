@@ -561,3 +561,81 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- corpus snapshot diff (r14) --------------------------------------------
+#
+# Dataset versioning: a production corpus is re-snapshotted per ingest
+# day, and downstream training jobs need the DELTA — which documents
+# appeared, vanished, or changed — without diffing payloads. The diff
+# compares the normalized-text FINGERPRINT (mmdedup's one spelling),
+# so the shuffle carries 32 bytes per doc, never the text. Fixture
+# snapshots are derived deterministically from the documents table:
+# yesterday (A) lacks today's incoming shard (the established
+# doc_id % 40 < 6 split) and carries a draft suffix on docs that were
+# since revised; today (B) dropped the docs deleted overnight.
+
+SNAP_REV_MOD = 11    # doc_id % 11 == 0  -> text revised since A
+SNAP_DEL_MOD = 13    # doc_id % 13 == 5  -> removed from B
+_SNAP_FP = "md5(lower(regexp_replace(trim({t}), '\\s+', ' ', 'g')))"
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             {_SNAP_FP.format(t=f"CASE WHEN doc_id % {SNAP_REV_MOD} = 0"
+                                f" THEN text || ' draft'"
+                                f" ELSE text END")} AS a_fp
+      FROM documents WHERE doc_id % 40 >= 6),
+    b AS (
+      SELECT doc_id, {_SNAP_FP.format(t='text')} AS b_fp
+      FROM documents WHERE doc_id % {SNAP_DEL_MOD} <> 5)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.a_fp IS NOT DISTINCT FROM b.b_fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document delta between two corpus snapshots — added /
+    removed / changed / unchanged — by comparing each snapshot's
+    normalized-text fingerprint under a doc_id full outer join. The
+    NULL-safe fingerprint comparison (eqNullSafe / IS NOT DISTINCT
+    FROM) keeps NULL-text docs 'unchanged' when both snapshots agree
+    they are NULL.
+
+    100 TB posture: each side reduces to (doc_id, 32-byte md5)
+    before the join — payload text never shuffles — and the full
+    outer join is a doc_id equi-join two daily snapshots co-partition
+    naturally (same writer, same bucketing); the downstream
+    incremental jobs then touch only the added+changed slice, which
+    is the whole point of snapshotting."""
+    from mit_mapreduce_spark.operators.mmdedup import norm_fp_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    a_text = F.when(F.col("doc_id") % SNAP_REV_MOD == 0,
+                    F.concat(F.col("text"), F.lit(" draft"))) \
+        .otherwise(F.col("text"))
+    a = (docs.where(F.col("doc_id") % 40 >= 6)
+         .select("doc_id", a_text.alias("text"))
+         .select(F.col("doc_id").alias("a_id"),
+                 norm_fp_col().alias("a_fp")))
+    b = (docs.where(F.col("doc_id") % SNAP_DEL_MOD != 5)
+         .select(F.col("doc_id").alias("b_id"),
+                 norm_fp_col().alias("b_fp")))
+    status = (
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_fp").eqNullSafe(F.col("b_fp")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        a.join(b, F.col("a_id") == F.col("b_id"), "full_outer")
+        .select(F.coalesce("a_id", "b_id").alias("doc_id"),
+                status.alias("status"))
+    )
