@@ -992,22 +992,33 @@ def stream_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = the band-index table SQL (the shared signature/band CTE
     builder — the screens' oracles compose the IDENTICAL
     construction, so the maintained index and the gate cannot
-    drift); every stage is stateless and append mode emits each
-    doc's four band rows exactly once, so the drain equals the batch
-    band table row-for-row regardless of micro-batch boundaries. A
-    round-trip pytest drains this leg to parquet and re-runs the
-    SCREEN's candidate generator from the persisted table,
-    reproducing the registered dedup_minhash_incremental verdicts.
-    100 TB posture: zero streaming state, 4 md5s (~128 B) per doc
-    out; throughput scales with executors."""
+    drift); every stage is a pure per-doc function of that doc's one
+    source row and append mode emits each doc's four band rows
+    exactly once, so the drain equals the batch band table
+    row-for-row regardless of micro-batch boundaries. A round-trip
+    pytest drains this leg to parquet and re-runs the SCREEN's
+    candidate generator from the persisted table, reproducing the
+    registered dedup_minhash_incremental verdicts. 100 TB posture:
+    zero streaming state, 4 md5s (~128 B) per doc out; throughput
+    scales with executors.
+
+    r14 (guide §1.2/§4.1): drained via foreachBatch with the BATCH
+    codegen shape (explode + groupBy-MIN — pytest-pinned
+    row-identical to the expression form, which remains the
+    per-batch screens' form) instead of mapping the stream with the
+    interpreted expression form into a memory sink: the micro-batch
+    is a plain batch frame inside foreachBatch, so fan_out and
+    whole-stage codegen apply (measured 6.3→~1.3 s; see
+    drain_via_batch's docstring for the full decomposition)."""
     from mit_mapreduce_spark.operators.dedup import (
-        minhash_bands_expr_frame,
+        _band_hashes, _minhash_sigs, shingles_df,
     )
-    from mit_mapreduce_spark.streaming import docs_stream
+    from mit_mapreduce_spark.streaming import docs_stream, drain_via_batch
 
     tune(spark)
-    return spark.table(run_stream_to_table(
-        minhash_bands_expr_frame(docs_stream(spark, sf_dir)), "append"))
+    return drain_via_batch(
+        docs_stream(spark, sf_dir),
+        lambda b: _band_hashes(_minhash_sigs(shingles_df(b))))
 
 
 def _sql_doc_shingles() -> str:
@@ -1036,13 +1047,18 @@ def stream_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch boundaries. 100 TB posture: pure per-row map, output
     ~|doc tokens| rows of (doc_id, shingle) — the payload-derived
     side table a production pipeline co-partitions with the corpus;
-    a bulk rebuild uses the identical batch stages (shingles_df)."""
+    a bulk rebuild uses the identical batch stages (shingles_df).
+
+    r14 (guide §1.2/§4.1): drained via foreachBatch running
+    shingles_df — the IDENTICAL batch stages — on each micro-batch
+    (a plain batch frame there, so fan_out spreads the tokenize/
+    shingle work across cores) instead of the single-task memory-sink
+    map (measured 1.7→~1.0 s; see drain_via_batch)."""
     from mit_mapreduce_spark.operators.dedup import shingles_df
-    from mit_mapreduce_spark.streaming import docs_stream
+    from mit_mapreduce_spark.streaming import docs_stream, drain_via_batch
 
     tune(spark)
-    return spark.table(run_stream_to_table(
-        shingles_df(docs_stream(spark, sf_dir)), "append"))
+    return drain_via_batch(docs_stream(spark, sf_dir), shingles_df)
 
 
 def _sql_embed_index() -> str:
@@ -1062,24 +1078,35 @@ def stream_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic gate screen against, maintained continuously like the
     media signature indexes (stream_audio_fingerprints et al.).
 
-    Oracle = the bucket-index table SQL: every stage is stateless and
-    append mode emits each vector's four band rows exactly once, so
-    the drain equals the batch bucket table row-for-row regardless of
+    Oracle = the bucket-index table SQL: every stage is a pure
+    per-vector function of that vector's one source row and append
+    mode emits each vector's four band rows exactly once, so the
+    drain equals the batch bucket table row-for-row regardless of
     micro-batch boundaries — and a round-trip pytest drains this leg
     to parquet and re-runs the SCREEN from the persisted table,
     reproducing the registered verdicts (the r11 media
     persisted-index loop closure, semantic edition). 100 TB posture:
     zero streaming state, 4 small ints per vector out; throughput
-    scales with executors."""
-    from mit_mapreduce_spark.operators.similarity import (
-        embedding_index_frame,
-    )
-    from mit_mapreduce_spark.streaming import table_stream
+    scales with executors.
+
+    r14 (guide §1.2/§4.1): drained via foreachBatch with the BATCH
+    codegen shape (_screen_buckets' explode + broadcast-plane join +
+    partial SUM — pytest-pinned row-identical to the expression
+    form, which remains the admission's per-batch form) instead of
+    the single-task interpreted memory-sink map (measured 4.8→2.5 s;
+    see drain_via_batch). fan_out spreads the micro-batch before the
+    64-dim explode (one task otherwise — measured 10 s vs 2.5 s);
+    column order re-projected to the registered schema."""
+    from mit_mapreduce_spark.catalog import fan_out
+    from mit_mapreduce_spark.operators.similarity import _screen_buckets
+    from mit_mapreduce_spark.streaming import drain_via_batch, table_stream
 
     tune(spark)
     vecs = table_stream(spark, sf_dir, "embeddings")
-    return spark.table(run_stream_to_table(
-        embedding_index_frame(vecs), "append"))
+    return drain_via_batch(
+        vecs,
+        lambda b: _screen_buckets(fan_out(b)).select(
+            "vec_id", "band_idx", "bucket", "nsq"))
 
 
 def _sql_image_alerts() -> str:
