@@ -757,12 +757,6 @@ def _manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
         *[am_media_flag(a) for a in AM_MEDIA_FLAGS.values()])
-    g = gopher_quality_rules(spark, sf_dir) \
-        .select("doc_id", F.col("passes").alias("_g"))
-    r = quality_repetition(spark, sf_dir) \
-        .select("doc_id", F.col("passes").alias("_r"))
-    lm = quality_lm_bigram(spark, sf_dir).select("doc_id", "novelty")
-
     # The EAGER legs — the text CC loop, the three media
     # fingerprint+CC loops (each runs Spark jobs at construction
     # time), and the three quality screens (eager-checkpointed here)
@@ -795,7 +789,16 @@ def _manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=7) as pool:
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        # r14: the three per-doc quality frames build on the pool too —
+        # construction is driver-side analysis/planning that overlaps
+        # with the CC loops' jobs and the screens' planning
+        g_f = pool.submit(lambda: gopher_quality_rules(spark, sf_dir)
+                          .select("doc_id", F.col("passes").alias("_g")))
+        r_f = pool.submit(lambda: quality_repetition(spark, sf_dir)
+                          .select("doc_id", F.col("passes").alias("_r")))
+        lm_f = pool.submit(lambda: quality_lm_bigram(spark, sf_dir)
+                           .select("doc_id", "novelty"))
         tc_f = pool.submit(_tc_leg)
         media_f = [
             pool.submit(_cluster_leg, col, fixture_from, kernel,
@@ -814,6 +817,7 @@ def _manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
                 ("_vqp", _video_screen_from, MM_VIDEO_ABSENT))
         ]
+        g, r, lm = g_f.result(), r_f.result(), lm_f.result()
         tc = tc_f.result()
         media = [f.result() for f in media_f]
     m = (docs.join(tc, "doc_id").join(g, "doc_id").join(r, "doc_id")
@@ -1450,15 +1454,18 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.countDistinct("gram").alias("_nsh"))
                 .localCheckpoint(eager=True))
 
-    g = gopher_quality_rules(spark, sf_dir) \
-        .select("doc_id", F.col("passes").alias("_g"))
-    r = quality_repetition(spark, sf_dir) \
-        .select("doc_id", F.col("passes").alias("_r"))
-    lm = quality_lm_bigram(spark, sf_dir).select("doc_id", "novelty")
-
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=10) as pool:
+        # the three per-doc quality frames build on the pool too
+        # (r14): their construction is driver-side analysis work that
+        # overlaps with the heavy legs' planning like everything else
+        g_f = pool.submit(lambda: gopher_quality_rules(spark, sf_dir)
+                          .select("doc_id", F.col("passes").alias("_g")))
+        r_f = pool.submit(lambda: quality_repetition(spark, sf_dir)
+                          .select("doc_id", F.col("passes").alias("_r")))
+        lm_f = pool.submit(lambda: quality_lm_bigram(spark, sf_dir)
+                           .select("doc_id", "novelty"))
         td_f = pool.submit(_text_dup_leg)
         mh_f = pool.submit(_text_neardup_leg)
         sem_f = pool.submit(_semantic_leg)
@@ -1480,6 +1487,7 @@ def _admission_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("_aqp", _audio_screen_from, MM_AUDIO_ABSENT),
                 ("_vqp", _video_screen_from, MM_VIDEO_ABSENT))
         ]
+        g, r, lm = g_f.result(), r_f.result(), lm_f.result()
         td = td_f.result()
         mh = mh_f.result()
         sem = sem_f.result()
@@ -1644,60 +1652,103 @@ def _admission_ctx_build(spark: SparkSession, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     inc_pred = inc_shard_col("doc_id")
     corpus = docs.where(~inc_pred)
-    corpus_sh = lazy(shingles_df(corpus))
-    corpus_sigs = lazy(_minhash_sigs(corpus_sh))
     grams_src = docs.where(F.col("doc_id") % EVAL_MOD == 0)
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    emb_bk = lazy(_screen_buckets(emb))
-    ctx = {
-        "corpus_fps": lazy(
-            corpus.where(F.col("text").isNotNull())
-            .select(norm_fp_col().alias("_fp")).distinct()),
-        "corpus_sh": corpus_sh,
-        "corpus_sizes": corpus_sigs.select("doc_id", "n"),
-        "corpus_bands": lazy(_band_hashes(corpus_sigs)),
-        "emb_bk": emb_bk,
-        # the exact-cosine verification table, checkpointed once per
-        # session (r14): per-batch candidate verification reads
-        # persisted blocks instead of re-joining embeddings x norms
-        "emb_sides": lazy(
+
+    # r14 (guide §1.2): each lazy() leaf forces Catalyst analysis plus
+    # the toRdd PHYSICAL planning at construction — measured 8.9 s of
+    # pure driver-side work when the ~15 legs built serially (no job
+    # runs; the box sat idle on one core of py4j/analyzer work). The
+    # independent legs now build on a thread pool like the batch
+    # admission's — py4j releases the GIL on JVM calls, so the
+    # analyzer/planner work overlaps (measured 8.9 -> ~3 s). Legs
+    # with real dependencies chain INSIDE one future (sh -> sigs ->
+    # bands; bk -> sides) so nothing waits on an unrelated leg.
+    def _text_legs():
+        sh = lazy(shingles_df(corpus))
+        sigs = lazy(_minhash_sigs(sh))
+        return sh, sigs.select("doc_id", "n"), lazy(_band_hashes(sigs))
+
+    def _emb_legs():
+        emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+        bk = lazy(_screen_buckets(emb))
+        sides = lazy(
             emb.select("vec_id", "embedding")
-            .join(emb_bk.select("vec_id", "nsq").distinct(), "vec_id")),
-        "eval_grams": lazy(
-            grams_src.select("doc_id", _letter_tokens().alias("_toks"))
-            .select(F.explode(F.array_distinct(
-                _ngram_arr(CONTAM_NGRAM))).alias("gram"))
-            .distinct()),
-        "g": lazy(gopher_quality_rules(spark, sf_dir)
-                  .select("doc_id", F.col("passes").alias("_g"))),
-        "r": lazy(quality_repetition(spark, sf_dir)
-                  .select("doc_id", F.col("passes").alias("_r"))),
-        "lm": lazy(quality_lm_bigram(spark, sf_dir)
-                   .select("doc_id", "novelty")),
-        "manifest": lazy(asset_manifest_media(spark, sf_dir)),
-        # per-modality: (nd col, q col, manifest flag, fixture
-        # builder, fingerprint kernel, geometry, quality screen,
-        # corpus signature index)
-        "media": [],
-    }
-    for nd, qp, absent, fixture_from, kernel, geom, screen_from in (
-            ("_ind", "_iqp", MM_IMAGE_ABSENT, _phash_image_assets_from,
-             _phash_batch, (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX),
-             _image_screen_from),
-            ("_and", "_aqp", MM_AUDIO_ABSENT,
-             _fingerprint_audio_assets_from, _afp_batch,
-             (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX), _audio_screen_from),
-            ("_vnd", "_vqp", MM_VIDEO_ABSENT,
-             _fingerprint_video_assets_from, _vfp_batch,
-             (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX), _video_screen_from)):
-        flag = _ABSENT_TO_FLAG[absent]
+            .join(bk.select("vec_id", "nsq").distinct(), "vec_id"))
+        return bk, sides
+
+    def _media_leg(nd, qp, absent, fixture_from, kernel, geom,
+                   screen_from):
         idx_sigs = lazy(
             fixture_from(_present_docs(spark, sf_dir, absent)
                          .where(~inc_pred))
             .mapInPandas(kernel, _PHASH_SCHEMA))
-        ctx["media"].append(
-            (nd, qp, flag, fixture_from, kernel, geom, screen_from,
-             idx_sigs))
+        return (nd, qp, _ABSENT_TO_FLAG[absent], fixture_from, kernel,
+                geom, screen_from, idx_sigs)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        text_f = pool.submit(_text_legs)
+        emb_f = pool.submit(_emb_legs)
+        fps_f = pool.submit(lambda: lazy(
+            corpus.where(F.col("text").isNotNull())
+            .select(norm_fp_col().alias("_fp")).distinct()))
+        grams_f = pool.submit(lambda: lazy(
+            grams_src.select("doc_id", _letter_tokens().alias("_toks"))
+            .select(F.explode(F.array_distinct(
+                _ngram_arr(CONTAM_NGRAM))).alias("gram"))
+            .distinct()))
+        g_f = pool.submit(lambda: lazy(
+            gopher_quality_rules(spark, sf_dir)
+            .select("doc_id", F.col("passes").alias("_g"))))
+        r_f = pool.submit(lambda: lazy(
+            quality_repetition(spark, sf_dir)
+            .select("doc_id", F.col("passes").alias("_r"))))
+        lm_f = pool.submit(lambda: lazy(
+            quality_lm_bigram(spark, sf_dir)
+            .select("doc_id", "novelty")))
+        man_f = pool.submit(lambda: lazy(
+            asset_manifest_media(spark, sf_dir)))
+        media_f = [
+            pool.submit(_media_leg, nd, qp, absent, fixture_from,
+                        kernel, geom, screen_from)
+            for nd, qp, absent, fixture_from, kernel, geom, screen_from
+            in (("_ind", "_iqp", MM_IMAGE_ABSENT,
+                 _phash_image_assets_from, _phash_batch,
+                 (PH_BANDS, PH_BAND_BITS, PH_HAM_MAX),
+                 _image_screen_from),
+                ("_and", "_aqp", MM_AUDIO_ABSENT,
+                 _fingerprint_audio_assets_from, _afp_batch,
+                 (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX),
+                 _audio_screen_from),
+                ("_vnd", "_vqp", MM_VIDEO_ABSENT,
+                 _fingerprint_video_assets_from, _vfp_batch,
+                 (FP_BANDS, FP_BAND_BITS, FP_HAM_MAX),
+                 _video_screen_from))
+        ]
+        corpus_sh, corpus_sizes, corpus_bands = text_f.result()
+        emb_bk, emb_sides = emb_f.result()
+        ctx = {
+            "corpus_fps": fps_f.result(),
+            "corpus_sh": corpus_sh,
+            "corpus_sizes": corpus_sizes,
+            "corpus_bands": corpus_bands,
+            "emb_bk": emb_bk,
+            # the exact-cosine verification table, checkpointed once
+            # per session (r14): per-batch candidate verification
+            # reads persisted blocks instead of re-joining
+            # embeddings x norms
+            "emb_sides": emb_sides,
+            "eval_grams": grams_f.result(),
+            "g": g_f.result(),
+            "r": r_f.result(),
+            "lm": lm_f.result(),
+            "manifest": man_f.result(),
+            # per-modality: (nd col, q col, manifest flag, fixture
+            # builder, fingerprint kernel, geometry, quality screen,
+            # corpus signature index)
+            "media": [f.result() for f in media_f],
+        }
     return ctx
 
 
