@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_mapreduce_spark.catalog import load_table
+from mit_mapreduce_spark.catalog import fan_out, load_table
 from mit_mapreduce_spark.functions.numeric import dsum, sql_dsum
 from mit_mapreduce_spark.operators.dedup import hash60, _sql_hash60
 from mit_mapreduce_spark.operators.registry import query
@@ -71,8 +71,14 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exploded driver-free into per-column rows. The count-distincts
     make Catalyst plan an expand (one shuffle per distinct domain) —
     the price of exactness; swap in approx_count_distinct when ±2%
-    suffices (see agg_approx_distinct)."""
-    orders = load_table(spark, sf_dir, "orders")
+    suffices (see agg_approx_distinct).
+
+    r14 (guide §2.5 input skew): fan_out before the aggregate — the
+    single-row-group fixture scan pinned the 6-way Expand + partial
+    distinct aggregation to ONE task (measured 2.5 s vs 1.0 s with the
+    spread); the gate removes the repartition on any real multi-file
+    table."""
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
 
     aggs, fields = [], []
     for c, kind in _ORDERS_COLS:

@@ -208,9 +208,17 @@ def agg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation matrix: SUM/AVG/MIN/MAX/COUNT/
     COUNT-DISTINCT in one grouped pass. Catalyst plans partial (map-
     side) aggregation for everything except the distinct, which
-    becomes a two-phase expand — one extra shuffle, no row explosion."""
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+    becomes a two-phase expand — one extra shuffle, no row explosion.
+
+    r14 (guide §2.5 input skew): fan_out before the aggregate — the
+    single-row-group fixture scan pinned the partial aggregation +
+    distinct expand to ONE task (measured ~2.4 s vs ~1.6 s with the
+    spread); the gate removes the repartition on any multi-file
+    table."""
+    from mit_mapreduce_spark.catalog import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(

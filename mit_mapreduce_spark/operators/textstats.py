@@ -1811,13 +1811,23 @@ def _bm25_topk_impl(spark: SparkSession, sf_dir: str, posting_top: int,
         * ((F.col("tf") * (BM25_K1 + 1.0))
            / (F.col("tf") + BM25_K1 * ((1.0 - BM25_B)
               + BM25_B * (F.col("dl") / F.col("avgdl")))))).cast("bigint")
-    scored = (
-        postings.join(F.broadcast(q), "w")
-        .where(F.col("doc_id") != F.col("qid"))
-        .join(dl, "doc_id")
-        .join(idf, "w")
-        .select("qid", F.col("doc_id").alias("did"),
+    # r14 (guide §2.3 "shuffle fewer bytes" / §1.2 per-task work):
+    # term_score depends only on (w, doc) — never on the query — so it
+    # is computed ONCE PER POSTING (|postings| rows) before the query
+    # join instead of once per (posting, query) candidate (measured
+    # 4.5M candidate rows vs 245k postings at sf0.1, i.e. ~18x less
+    # rounding/division work, and the candidate rows that do flow into
+    # the aggregation carry one bigint instead of tf+dl+avgdl+idf).
+    # Identical integers: the per-(w, doc) rounding sees the same
+    # inputs, and the integer sum is order-independent.
+    postings_scored = (
+        postings.join(dl, "doc_id").join(idf, "w")
+        .select("w", F.col("doc_id").alias("did"),
                 term_score.alias("term_score"))
+    )
+    scored = (
+        postings_scored.join(F.broadcast(q), "w")
+        .where(F.col("did") != F.col("qid"))
         .groupBy("qid", "did")
         .agg(F.sum("term_score").cast("bigint").alias("score_micro"))
     )

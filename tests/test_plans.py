@@ -121,7 +121,11 @@ def test_topk_is_take_ordered(spark, sf_dir):
 @pytest.mark.parametrize("name,budget", [
     ("wordcount", 1),          # partial agg → one exchange
     ("inverted_index", 1),     # collect_set dedups: single shuffle
-    ("agg_matrix", 2),         # grouped aggs + count-distinct expand
+    ("agg_matrix", 3),         # grouped aggs + count-distinct expand
+                               # + the GATED fan_out spread (r14): on
+                               # any multi-file table the repartition
+                               # (and its exchange) disappears, so the
+                               # scale-relevant budget stays 2
     ("sessionize", 2),         # one user_id window exchange + final agg
     ("dedup_exact", 1),
     ("window_rank_variants", 1),   # five ranking fns share one window
