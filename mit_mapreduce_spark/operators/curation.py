@@ -1692,13 +1692,30 @@ def retrieval_pruning_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("idcg_micro").cast("double"))
         )
 
-    tf = _doc_tf(spark, sf_dir)
-    bm = overlap(_bm25_topk_impl(spark, sf_dir, 0, tf=tf),
-                 _bm25_topk_impl(spark, sf_dir, BM25_POSTING_TOP, tf=tf),
-                 ["did"], "bm25")
-    corpus = _rag_corpus(spark, sf_dir)
-    rag = overlap(_rag_topk_impl(spark, sf_dir, 0, 0, corpus=corpus),
-                  _rag_topk_impl(spark, sf_dir, RAG_POSTING_TOP,
-                                 RAG_Q_TOP_DIMS, corpus=corpus),
-                  ["cdoc", "chunk_id"], "rag")
+    # r14 (guide §1.2): the two legs' CONSTRUCTION (each builds two
+    # retrieval variants with lazy-checkpointed staging — Catalyst
+    # analysis + physical planning + codegen compilation) ran
+    # serially on one driver core; build them on two threads like
+    # the admission pools. Same frames, same single final action.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bm_leg():
+        tf = _doc_tf(spark, sf_dir)
+        return overlap(
+            _bm25_topk_impl(spark, sf_dir, 0, tf=tf),
+            _bm25_topk_impl(spark, sf_dir, BM25_POSTING_TOP, tf=tf),
+            ["did"], "bm25")
+
+    def _rag_leg():
+        corpus = _rag_corpus(spark, sf_dir)
+        return overlap(
+            _rag_topk_impl(spark, sf_dir, 0, 0, corpus=corpus),
+            _rag_topk_impl(spark, sf_dir, RAG_POSTING_TOP,
+                           RAG_Q_TOP_DIMS, corpus=corpus),
+            ["cdoc", "chunk_id"], "rag")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bm_f = pool.submit(_bm_leg)
+        rag_f = pool.submit(_rag_leg)
+        bm, rag = bm_f.result(), rag_f.result()
     return bm.unionByName(rag)

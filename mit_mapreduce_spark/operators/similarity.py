@@ -1604,11 +1604,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k rows. At 100 TB the exact leg runs over a sampled query set
     (it already is: the bounded broadcast query set), so recall is
     estimated exactly the way production ANN evals do it."""
-    exact = ann_bruteforce_topk(spark, sf_dir).select("qid", "cid")
-    legs = [
-        ("ivf", ann_ivf_topk(spark, sf_dir).select("qid", "cid")),
-        ("pq_adc", pq_adc_topk(spark, sf_dir).select("qid", "cid")),
-    ]
+    # r14 (guide §1.2): the three component searches' construction
+    # (analysis + planning) overlaps on a thread pool — same frames,
+    # same single fused action.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        exact_f = pool.submit(
+            lambda: ann_bruteforce_topk(spark, sf_dir).select("qid", "cid"))
+        ivf_f = pool.submit(
+            lambda: ann_ivf_topk(spark, sf_dir).select("qid", "cid"))
+        pq_f = pool.submit(
+            lambda: pq_adc_topk(spark, sf_dir).select("qid", "cid"))
+        exact = exact_f.result()
+        legs = [("ivf", ivf_f.result()), ("pq_adc", pq_f.result())]
     outs = []
     for name, cand in legs:
         outs.append(

@@ -1893,12 +1893,22 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is tokenized once per audit run, not once per leg."""
     from pyspark.sql import Window as W
 
+    # r14 (guide §1.2): the two legs' construction (analysis +
+    # lazy-checkpoint planning) overlaps on two threads — same
+    # frames, same single fused action (see retrieval_pruning_recall).
+    from concurrent.futures import ThreadPoolExecutor
+
     tf = _doc_tf(spark, sf_dir)
     rrf = lambda rnk: F.expr(f"{RRF_GRID} div ({RRF_K} + {rnk})")  # noqa: E731
-    bm = (_bm25_topk_impl(spark, sf_dir, 0, tf=tf)
-          .select("qid", "did", rrf("rnk").alias("rrf")))
-    kn = (_hashed_knn_impl(spark, sf_dir, tf=tf)
-          .select("qid", F.col("cid").alias("did"), rrf("rnk").alias("rrf")))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bm_f = pool.submit(
+            lambda: _bm25_topk_impl(spark, sf_dir, 0, tf=tf)
+            .select("qid", "did", rrf("rnk").alias("rrf")))
+        kn_f = pool.submit(
+            lambda: _hashed_knn_impl(spark, sf_dir, tf=tf)
+            .select("qid", F.col("cid").alias("did"),
+                    rrf("rnk").alias("rrf")))
+        bm, kn = bm_f.result(), kn_f.result()
     fused = (
         bm.unionByName(kn)
         .groupBy("qid", "did")
