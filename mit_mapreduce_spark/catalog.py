@@ -22,6 +22,33 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Parquet footer schema cache (r15, guide §1.2/§5 "the driver should
+# do almost no data work"): ``spark.read.parquet(path)`` re-infers the
+# schema from the file footer on EVERY call — measured 85 ms/call vs
+# 14 ms with an explicit schema, x385 load_table calls per full bench
+# pass = ~27 s of pure driver-side overhead. The schema is FILE
+# METADATA, not a query result: it is keyed on (path, mtime, size) so
+# any rewritten fixture re-infers, and the scan itself still reads
+# the parquet fresh on every query — nothing about query evaluation
+# is cached. Keyed per-file only (not per-session): the inferred
+# schema depends on session confs that ``tune`` pins identically on
+# every session this repo touches (nanosAsLong, inferTimestampNTZ).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    """StructType of a parquet file, inferred once per (path, mtime,
+    size)."""
+    tune(spark)  # idempotent; inference depends on the pinned confs
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table, with runtime tuning applied
     (UTC session tz, AQE, Arrow) so every operator built on a loaded
@@ -29,7 +56,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     tune(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
     if name == "events":
         df = _normalize_event_ts(df)
     return df

@@ -433,6 +433,34 @@ def min_label_components(pairs: DataFrame, a: str, b: str,
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .localCheckpoint(eager=False)
     )
+    # r15 (guide §2.2 "fewer, larger reduce partitions"): right-size
+    # the LOOP's shuffles to the edge volume. Each round shuffles only
+    # (vertex, label) rows — bytes-proportional work with no per-row
+    # amplification — but under the session's shuffle partitioning +
+    # the 64 KB AQE floor a few-MB label table fans to ~32 tiny tasks
+    # per stage, x4 stages x diameter rounds of pure scheduling
+    # overhead (measured: the media cluster family ran FASTER at 8
+    # cores than 32). Size-adaptive, never a local constant: ~4 MB of
+    # edges per task (64 B/edge estimate), capped at the session's
+    # own shuffle.partitions so a big graph keeps full parallelism —
+    # at production volumes the cap always wins and nothing changes.
+    # The count materializes the checkpoint the first round needs
+    # anyway. Conf is set/restored around the (construction-time)
+    # loop only; callers run it serially.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    n_loop = min(int(before),
+                 max(1, -(-n_edges * 64 // (4 * 1024 * 1024))))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_loop))
+    try:
+        return _min_label_loop(edges, max_iters)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _min_label_loop(edges: DataFrame, max_iters: int) -> DataFrame:
+    """The propagation loop proper (see min_label_components)."""
     # symmetrized edges ⇒ every component member appears as src
     labels = (
         edges.select(F.col("src").alias("vertex")).distinct()

@@ -28,7 +28,16 @@ def tune(spark: SparkSession) -> SparkSession:
     Used both by :func:`get_spark` and on driver-provided sessions we
     don't construct ourselves (the correctness harness hands us one).
     Only runtime-mutable confs belong here.
+
+    Idempotent per session object (r15): ``load_table`` calls this on
+    every table scan, so the ~10 conf.set py4j round-trips (~2 ms)
+    ran hundreds of times per bench pass for no effect. The flag
+    lives on the Python session object — a new/restarted session
+    never carries it, and the test-suite conf mutations all restore
+    their originals in ``finally`` blocks.
     """
+    if getattr(spark, "_mit_tuned", False):
+        return spark
     conf = spark.conf
     # Deterministic, oracle-comparable timestamps.
     conf.set("spark.sql.session.timeZone", "UTC")
@@ -62,6 +71,7 @@ def tune(spark: SparkSession) -> SparkSession:
     # out across all cores; on a real cluster the same bound keeps
     # scan tasks uniform and AQE coalesces any excess afterwards.
     conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+    spark._mit_tuned = True
     return spark
 
 
