@@ -1018,7 +1018,8 @@ def stream_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return drain_via_batch(
         docs_stream(spark, sf_dir),
-        lambda b: _band_hashes(_minhash_sigs(shingles_df(b))))
+        lambda b: _band_hashes(_minhash_sigs(shingles_df(b))),
+        name="bands", tag=os.path.basename(sf_dir.rstrip("/")))
 
 
 def _sql_doc_shingles() -> str:
@@ -1058,7 +1059,9 @@ def stream_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mit_mapreduce_spark.streaming import docs_stream, drain_via_batch
 
     tune(spark)
-    return drain_via_batch(docs_stream(spark, sf_dir), shingles_df)
+    return drain_via_batch(docs_stream(spark, sf_dir), shingles_df,
+                           name="shingles",
+                           tag=os.path.basename(sf_dir.rstrip("/")))
 
 
 def _sql_embed_index() -> str:
@@ -1106,7 +1109,8 @@ def stream_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_via_batch(
         vecs,
         lambda b: _screen_buckets(fan_out(b)).select(
-            "vec_id", "band_idx", "bucket", "nsq"))
+            "vec_id", "band_idx", "bucket", "nsq"),
+        name="embidx", tag=os.path.basename(sf_dir.rstrip("/")))
 
 
 def _sql_image_alerts() -> str:

@@ -38,9 +38,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         os.makedirs(stage, exist_ok=True)
         shutil.copy2(src, dst)
-    from mit_mapreduce_spark.catalog import _normalize_event_ts
-    schema = spark.read.parquet(stage).schema
-    raw = spark.readStream.schema(schema).parquet(stage)
+    from mit_mapreduce_spark.catalog import _cached_schema, _normalize_event_ts
+    raw = spark.readStream.schema(_cached_schema(spark, dst)).parquet(stage)
     return _normalize_event_ts(raw)
 
 
@@ -57,8 +56,8 @@ def table_stream(spark: SparkSession, sf_dir: str,
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         os.makedirs(stage, exist_ok=True)
         shutil.copy2(src, dst)
-    schema = spark.read.parquet(stage).schema
-    return spark.readStream.schema(schema).parquet(stage)
+    from mit_mapreduce_spark.catalog import _cached_schema
+    return spark.readStream.schema(_cached_schema(spark, dst)).parquet(stage)
 
 
 def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +103,23 @@ def run_stream_to_table(stream_df: DataFrame, mode: str,
     return name
 
 
-def drain_via_batch(stream_df: DataFrame, frame_fn) -> DataFrame:
+def _register_scratch_cleanup(path: str) -> None:
+    """Best-effort removal of a session-scoped scratch dir at
+    interpreter exit (ADVICE r14: drain sinks accumulated one uuid
+    dir per invocation, growing .scratch without bound)."""
+    import atexit
+
+    if path in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+_CLEANUP_REGISTERED: set = set()
+
+
+def drain_via_batch(stream_df: DataFrame, frame_fn,
+                    name: str = "anon", tag: str = "") -> DataFrame:
     """Drain a stream through foreachBatch, applying the certified
     BATCH plan shape (``frame_fn``) to each micro-batch, into a
     per-invocation parquet sink; returns the drained table.
@@ -125,26 +140,42 @@ def drain_via_batch(stream_df: DataFrame, frame_fn) -> DataFrame:
     micro-batch and ``frame_fn`` is a pure per-row/per-doc function
     (any aggregate inside it is per-doc over columns co-resident in
     that doc's row), so append-mode rows are emitted exactly once per
-    doc regardless of batching. The sink is seeded with the output
-    schema up front so a zero-row stream (hostile fuzz corpora) still
-    drains to a readable empty table, and the uuid path is
-    per-invocation (the r13-ADVICE session-scoping rule — no
-    cross-invocation or concurrent-session interleaving). Production
-    swaps the idempotent partition-overwrite sink
-    (run_stream_foreach_batch) or Kafka with the identical per-batch
-    plan."""
+    doc regardless of batching.
+
+    Sink discipline (ADVICE r14): each micro-batch OVERWRITES its own
+    batch_id-keyed subdirectory, so a replayed batch — Spark's
+    at-least-once foreachBatch contract after a failure — replaces
+    its previous output instead of appending duplicate rows (the
+    run_stream_foreach_batch idempotence pattern, keyed on batch_id
+    instead of partition values). The sink path is deterministic per
+    (name, sf tag, applicationId) — the applicationId keeps two
+    sessions on one checkout from interleaving (the r13-ADVICE
+    session-scoping rule), the per-invocation reset keeps serial
+    reruns bounded on disk, and the whole dir is removed at
+    interpreter exit. A seed subdirectory carries the output schema
+    so a zero-row stream (hostile fuzz corpora) still drains to a
+    readable empty table. Every invocation recomputes from the
+    stream — nothing is reused across invocations. Production swaps
+    the partition-overwrite sink (run_stream_foreach_batch) or Kafka
+    with the identical per-batch plan."""
     spark = stream_df.sparkSession
-    out = os.path.join(_SCRATCH, f"drain_{uuid.uuid4().hex[:12]}")
-    frame_fn(spark.createDataFrame([], stream_df.schema)) \
-        .write.mode("overwrite").parquet(out)
+    out = os.path.join(
+        _SCRATCH,
+        f"drain_{name}_{tag}_{spark.sparkContext.applicationId}")
+    shutil.rmtree(out, ignore_errors=True)
+    _register_scratch_cleanup(out)
+    seed = frame_fn(spark.createDataFrame([], stream_df.schema))
+    seed.write.mode("overwrite").parquet(os.path.join(out, "seed"))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        frame_fn(batch_df).write.mode("append").parquet(out)
+        frame_fn(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id}"))
 
     q = (stream_df.writeStream.foreachBatch(_apply)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return (spark.read.option("recursiveFileLookup", "true")
+            .schema(seed.schema).parquet(out))
 
 
 def run_stream_foreach_batch(stream_df: DataFrame, out_dir: str,
