@@ -1564,6 +1564,113 @@ def _rag_topk_impl(spark: SparkSession, sf_dir: str, posting_top: int,
     )
 
 
+def _rag_topk_pair(spark: SparkSession, sf_dir: str, posting_top: int,
+                   q_top_dims: int,
+                   corpus: tuple[DataFrame, DataFrame, DataFrame,
+                                 DataFrame]) -> DataFrame:
+    """Exact AND pruned top-k ranks from ONE dim-join pass (r15, guide
+    §2.3/§1.2 — the bm25 pair treatment for the dense leg):
+    retrieval_pruning_recall previously ran `_rag_topk_impl` twice,
+    paying the 12.7 M-row posting equi-join and (qid, cdoc, chunk_id)
+    aggregation once per variant. Impact-truncation verdicts are pure
+    functions of the posting/query tables (the identical row_number
+    windows the pruned variant runs), so one join computes both dot
+    products: dot = Σ val·qval over all matched postings (exact,
+    bit-identical) and dot_p = Σ over matches flagged on BOTH sides,
+    with has_p marking pairs that matched ≥1 doubly-flagged posting —
+    exactly the pruned variant's candidate set and integer sum. Chunk
+    norms are exact (pre-truncation) in both variants by construction;
+    the pruned QUERY norm sums only the kept dims, exactly as
+    `_rag_topk_impl` computes qnorm after truncation. Returns one row
+    per exact candidate with rnk_e / rnk_p / _in_p (see
+    _bm25_topk_pair — pruned candidates are a subset of exact
+    candidates, so overlap stats are one aggregation, no self-join)."""
+    from pyspark.sql import Window as W
+
+    nch, cidf, csparse, cnorm = corpus
+    oov_idf = (F.round(F.log(F.col("n_chunks").cast("double") + 1.0)
+                       * RAG_IDF_GRID).cast("bigint") + 1)
+    wc = W.partitionBy("dim").orderBy(F.abs(F.col("val")).desc(),
+                                      "cdoc", "chunk_id")
+    # rank over the val != 0 rows only, exactly as the pruned variant
+    # filters before ranking (val is a sum of positive idf integers so
+    # the filter is vacuous on this data, but the flag stays faithful)
+    cs = (csparse.withColumn(
+        "_cr", F.when(F.col("val") != 0, F.row_number().over(wc)))
+        .select("cdoc", "chunk_id", "dim", "val",
+                (F.col("_cr").isNotNull()
+                 & (F.col("_cr") <= posting_top)).alias("_cin")))
+    docs = load_table(spark, sf_dir, "documents")
+    qids = (docs.where(F.col("doc_id") % RAG_QUERY_MOD == 0)
+            .orderBy("doc_id").limit(RAG_N_QUERIES).select("doc_id"))
+    qsparse = (
+        docs.join(F.broadcast(qids), "doc_id")
+        .select(F.col("doc_id").alias("qid"),
+                F.explode(_ws_tokens()).alias("w"))
+        .join(F.broadcast(cidf), "w", "left")
+        .crossJoin(F.broadcast(nch))
+        .select("qid", _rag_bucket(F.col("w")).alias("dim"),
+                F.coalesce(F.col("idf_i"), oov_idf).alias("s"))
+        .groupBy("qid", "dim").agg(F.sum("s").cast("bigint").alias("val"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.abs(F.col("val")).desc(), "dim")
+    qs = (qsparse.withColumn(
+        "_qr", F.when(F.col("val") != 0, F.row_number().over(wq)))
+        .select("qid", "dim", F.col("val").alias("qval"),
+                (F.col("_qr").isNotNull()
+                 & (F.col("_qr") <= q_top_dims)).alias("_qin")))
+    # the pruned vector IS the query in the pruned variant (SPLADE
+    # discipline): its query norm sums ONLY the kept dims, exactly as
+    # _rag_topk_impl computes qnorm after truncation; the exact
+    # variant's norm sums all dims
+    qnorm = (qs.groupBy("qid")
+             .agg(F.sum(F.col("qval") * F.col("qval")).cast("bigint")
+                  .alias("qn"),
+                  F.sum(F.when(F.col("_qin"),
+                               F.col("qval") * F.col("qval")))
+                  .cast("bigint").alias("qn_p")))
+    dots = (
+        cs.join(F.broadcast(qs), "dim")
+        .where(F.col("cdoc") != F.col("qid"))
+        .groupBy("qid", "cdoc", "chunk_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).cast("bigint")
+             .alias("dot"),
+             F.sum(F.when(F.col("_cin") & F.col("_qin"),
+                          F.col("val") * F.col("qval")))
+             .cast("bigint").alias("_dot_p"),
+             F.max(F.col("_cin") & F.col("_qin")).alias("_has_p"))
+    )
+    scored = (
+        dots.join(F.broadcast(qnorm.where(F.col("qn") > 0)), "qid")
+        .join(cnorm.where(F.col("cn") > 0), ["cdoc", "chunk_id"])
+        .select("qid", "cdoc", "chunk_id", "dot", "_dot_p", "_has_p",
+                (F.col("dot").cast("double")
+                 / (F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double")))).alias("cosine"),
+                # a has_p pair implies its query kept >= 1 dim, so
+                # qn_p > 0 wherever _cosine_p is consumed
+                (F.col("_dot_p").cast("double")
+                 / (F.sqrt(F.col("qn_p").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))))
+                .alias("_cosine_p"))
+        .localCheckpoint(eager=False)
+    )
+    we = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "cdoc",
+                                      "chunk_id")
+    wpn = W.partitionBy("qid").orderBy(F.col("_has_p").desc(),
+                                       F.col("_cosine_p").desc(), "cdoc",
+                                       "chunk_id")
+    # both ranks ride ONE qid exchange on ONE frame (see
+    # _bm25_topk_pair) — the caller's overlap stats then need no
+    # self-join and no checkpoint
+    return scored.select(
+        "qid", "cdoc", "chunk_id",
+        F.row_number().over(we).cast("int").alias("rnk_e"),
+        (F.col("_has_p")
+         & (F.row_number().over(wpn) <= RAG_TOP_K)).alias("_in_p"),
+        F.row_number().over(wpn).cast("int").alias("rnk_p"))
+
+
 # --- pruning-quality certification: pruned vs exact retrieval ---------------
 
 # Rank-discount weights for the NDCG columns, on a fixed integer grid
@@ -1662,30 +1769,33 @@ def retrieval_pruning_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving path. At 100 TB both legs ride the constant query
     budget, so the eval stays a bounded fraction of a corpus scan."""
     from mit_mapreduce_spark.operators.textstats import (
-        BM25_POSTING_TOP, BM25_TOP_K, _bm25_topk_impl, _doc_tf)
+        BM25_POSTING_TOP, BM25_TOP_K, _doc_tf)
 
     w = _ndcg_weights(max(BM25_TOP_K, RAG_TOP_K))
     cum = [sum(w[:i + 1]) for i in range(len(w))]
     w_arr = F.array(*[F.lit(x) for x in w])          # 1-indexed by rank
     idcg_arr = F.array(*[F.lit(x) for x in cum])     # 1-indexed by k_exact
 
-    def overlap(exact: DataFrame, pruned: DataFrame, keys: list[str],
-                leg: str) -> DataFrame:
-        ov = (exact.select("qid", *keys)
-              .join(pruned.select("qid", *keys, "rnk"), ["qid", *keys])
-              .groupBy("qid")
-              .agg(F.count("*").cast("bigint").alias("n_overlap"),
-                   F.sum(F.element_at(w_arr, F.col("rnk")))
-                   .cast("bigint").alias("dcg_micro")))
+    def overlap(ranked: DataFrame, top_k: int, leg: str) -> DataFrame:
+        # r15: the exact top-k and the pruned top-k are both row
+        # subsets of ONE ranked candidate frame (rnk_e / _in_p+rnk_p —
+        # every pruned candidate is an exact candidate), so the
+        # exact∩pruned stats are ONE aggregation over the exact top-k
+        # rows: no exact⋈pruned self-join, no checkpoint, and the
+        # candidate pipeline executes once. Same integers as the r14
+        # join form (proved exceptAll-identical before adoption).
+        hit = F.col("_in_p") & (F.col("rnk_p") <= top_k)
         return (
-            exact.groupBy("qid")
-            .agg(F.count("*").cast("bigint").alias("k_exact"))
-            .join(ov, "qid", "left")
+            ranked.where(F.col("rnk_e") <= top_k)
+            .groupBy("qid")
+            .agg(F.count("*").cast("bigint").alias("k_exact"),
+                 F.coalesce(F.sum(hit.cast("bigint")), F.lit(0))
+                 .cast("bigint").alias("n_overlap"),
+                 F.coalesce(F.sum(F.when(
+                     hit, F.element_at(w_arr, F.col("rnk_p")))), F.lit(0))
+                 .cast("bigint").alias("dcg_micro"))
             .select(F.lit(leg).alias("leg"), "qid", "k_exact",
-                    F.coalesce("n_overlap", F.lit(0)).cast("bigint")
-                    .alias("n_overlap"),
-                    F.coalesce("dcg_micro", F.lit(0)).cast("bigint")
-                    .alias("dcg_micro"),
+                    "n_overlap", "dcg_micro",
                     F.element_at(idcg_arr, F.col("k_exact").cast("int"))
                     .cast("bigint").alias("idcg_micro"))
             .withColumn("ndcg", F.col("dcg_micro").cast("double")
@@ -1697,22 +1807,27 @@ def retrieval_pruning_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analysis + physical planning + codegen compilation) ran
     # serially on one driver core; build them on two threads like
     # the admission pools. Same frames, same single final action.
+    # r15 (guide §2.3/§1.2): each leg's exact+pruned variants now
+    # come from ONE candidate pass (_bm25_topk_pair/_rag_topk_pair —
+    # the truncation verdict rides the posting rows as a flag and the
+    # aggregation sums both ways), halving the two expensive
+    # candidate joins and (q, d) aggregations this audit paid per leg.
     from concurrent.futures import ThreadPoolExecutor
+
+    from mit_mapreduce_spark.operators.textstats import _bm25_topk_pair
 
     def _bm_leg():
         tf = _doc_tf(spark, sf_dir)
         return overlap(
-            _bm25_topk_impl(spark, sf_dir, 0, tf=tf),
-            _bm25_topk_impl(spark, sf_dir, BM25_POSTING_TOP, tf=tf),
-            ["did"], "bm25")
+            _bm25_topk_pair(spark, sf_dir, BM25_POSTING_TOP, tf),
+            BM25_TOP_K, "bm25")
 
     def _rag_leg():
         corpus = _rag_corpus(spark, sf_dir)
         return overlap(
-            _rag_topk_impl(spark, sf_dir, 0, 0, corpus=corpus),
-            _rag_topk_impl(spark, sf_dir, RAG_POSTING_TOP,
-                           RAG_Q_TOP_DIMS, corpus=corpus),
-            ["cdoc", "chunk_id"], "rag")
+            _rag_topk_pair(spark, sf_dir, RAG_POSTING_TOP,
+                           RAG_Q_TOP_DIMS, corpus),
+            RAG_TOP_K, "rag")
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         bm_f = pool.submit(_bm_leg)

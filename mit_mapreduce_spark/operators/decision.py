@@ -545,9 +545,19 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25's stats fold). Top-k is TakeOrderedAndProject, not a global
     sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(F.col("l_orderkey").alias("okey"),
-                      F.col("l_partkey").alias("part")).distinct() \
-        .localCheckpoint(eager=False)
+    # r15 (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): hash-repartition the item rows by okey BEFORE the
+    # distinct — HashPartitioning(okey) satisfies the distinct's
+    # ClusteredDistribution(okey, part) (subset rule) AND the pair
+    # self-join's okey requirement, so the checkpointed table feeds
+    # both join sides with ZERO further exchanges (was: distinct
+    # exchanged on (okey, part), then BOTH self-join legs re-exchanged
+    # on okey — 3 row-scale shuffles where 1 suffices; same rows at
+    # any scale, the repartition just picks the reusable key).
+    items = (li.select(F.col("l_orderkey").alias("okey"),
+                       F.col("l_partkey").alias("part"))
+             .repartition("okey").distinct()
+             .localCheckpoint(eager=False))
     n_orders = items.agg(
         F.countDistinct("okey").cast("bigint").alias("n_orders"))
     item_n = items.groupBy("part").agg(

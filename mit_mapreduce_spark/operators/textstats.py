@@ -1839,6 +1839,91 @@ def _bm25_topk_impl(spark: SparkSession, sf_dir: str, posting_top: int,
     )
 
 
+def _bm25_topk_pair(spark: SparkSession, sf_dir: str, posting_top: int,
+                    tf: DataFrame) -> DataFrame:
+    """Exact AND pruned top-k ranks from ONE candidate pass (r15,
+    guide §2.3/§1.2): retrieval_pruning_recall previously ran
+    `_bm25_topk_impl` twice — two 4.5 M-row candidate joins and two
+    (qid, did) aggregations that differ ONLY in which postings
+    participate. The truncation verdict for a posting is a pure
+    function of the posting table (impact rank over (w) by tf desc,
+    doc_id — the identical window the pruned variant runs), so one
+    pass computes both sums: score_micro = Σ term_score over all
+    matched postings (the exact leg, bit-identical — the flag column
+    is just carried along) and score_p = Σ over flagged postings with
+    has_p marking pairs that matched ≥1 pruned posting (exactly the
+    pruned variant's candidate set and integer sum, since integer
+    sums are order-independent). Returns one row per exact candidate
+    with rnk_e (exact rank), rnk_p (rank among pruned candidates —
+    valid only where _in_p) and _in_p (pair is in the pruned top-k):
+    because every pruned candidate IS an exact candidate (it matched
+    ≥1 posting), the caller's exact∩pruned overlap stats reduce to a
+    single aggregation over this frame — no self-join, no
+    checkpoint."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = (
+        docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("double")
+                          .alias("_total")))
+        .select("n_docs",
+                (F.col("_total")
+                 / F.nullif(F.col("n_docs"), F.lit(0)).cast("double"))
+                .alias("avgdl"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "w", "avgdl",
+            F.round(F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5) + 1.0) * BM25_GRID)
+            .cast("bigint").alias("idf_micro"))
+    )
+    qids = (docs.where(F.col("doc_id") % BM25_QUERY_MOD == 0)
+            .orderBy("doc_id").limit(BM25_N_QUERIES).select("doc_id"))
+    q = (tf.join(F.broadcast(qids), "doc_id")
+         .select(F.col("doc_id").alias("qid"), "w"))
+    wp = W.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
+    term_score = F.round(
+        F.col("idf_micro")
+        * ((F.col("tf") * (BM25_K1 + 1.0))
+           / (F.col("tf") + BM25_K1 * ((1.0 - BM25_B)
+              + BM25_B * (F.col("dl") / F.col("avgdl")))))).cast("bigint")
+    postings_scored = (
+        tf.withColumn("_r", F.row_number().over(wp))
+        .join(dl, "doc_id").join(idf, "w")
+        .select("w", F.col("doc_id").alias("did"),
+                term_score.alias("term_score"),
+                (F.col("_r") <= posting_top).alias("_inp"))
+    )
+    scored = (
+        postings_scored.join(F.broadcast(q), "w")
+        .where(F.col("did") != F.col("qid"))
+        .groupBy("qid", "did")
+        .agg(F.sum("term_score").cast("bigint").alias("score_micro"),
+             F.sum(F.when(F.col("_inp"), F.col("term_score")))
+             .cast("bigint").alias("_score_p"),
+             F.max(F.col("_inp")).alias("_has_p"))
+        .localCheckpoint(eager=False)
+    )
+    we = W.partitionBy("qid").orderBy(F.col("score_micro").desc(), "did")
+    # pruned rows sort first on _has_p DESC, so row_number over the
+    # full partition equals the rank within the pruned candidate set
+    wpn = W.partitionBy("qid").orderBy(F.col("_has_p").desc(),
+                                       F.col("_score_p").desc(), "did")
+    # both ranks ride ONE qid exchange on ONE frame — the caller's
+    # overlap stats then need no self-join and no checkpoint
+    return scored.select(
+        "qid", "did",
+        F.row_number().over(we).cast("int").alias("rnk_e"),
+        (F.col("_has_p")
+         & (F.row_number().over(wpn) <= BM25_TOP_K)).alias("_in_p"),
+        F.row_number().over(wpn).cast("int").alias("rnk_p"))
+
+
 # --- hybrid retrieval: reciprocal-rank fusion of the two legs ---------------
 
 RRF_K = 60            # the standard RRF damping constant (Cormack et al.)
